@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** One declared operator: the Spark plan builder plus (optionally) the
+  * equivalent DuckDB SQL the driver uses as the correctness oracle.
+  * `oracle = None` means the op is covered by scalatest only and is not
+  * declared to the driver's hash-compare gate (SURVEY.md §2.0).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+/** Cross-engine determinism helpers (SURVEY.md §2.0 rules).
+  *
+  * The driver hash-compares our parquet output against DuckDB's answer, so
+  * every declared aggregate must be *bit-identical* across engines. Plain
+  * double sums are not: partial/final aggregation associates additions in a
+  * nondeterministic order. Fix: route sums through exact DECIMAL arithmetic
+  * (deterministic regardless of order), then cast the final value back to
+  * DOUBLE so both engines emit the same 8-byte value with no decimal
+  * scale/precision mismatch in the output schema.
+  */
+object Qf {
+  /** Exact sum of a double expression: cast each value to DECIMAL(28,scale)
+    * (scalar cast of identical doubles → identical decimals in both engines),
+    * sum exactly, cast the one final value to double.
+    * DuckDB mirror: `CAST(SUM(CAST(x AS DECIMAL(28,s))) AS DOUBLE)`.
+    *
+    * RULE: scale must be >= the true decimal precision of the expression
+    * (e.g. 2-decimal money → 2; product of two 2-decimal values → 4; of
+    * three → 6). Then the cast never actually rounds and is engine-agnostic;
+    * a smaller scale puts ~1% of values at a rounding tie where Spark and
+    * DuckDB disagree.
+    */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum divided (in double) by the count.
+    * DuckDB mirror: `CAST(SUM(CAST(x AS DECIMAL(28,s))) AS DOUBLE) / COUNT(x)`.
+    */
+  def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(c)
+
+  /** Row count as BIGINT (matches DuckDB COUNT(*)). */
+  def nrows: Column = count(lit(1))
+
+  /** Window/rank functions return INT in Spark but BIGINT in DuckDB; always
+    * declare ranks as long.
+    */
+  def asLong(c: Column): Column = c.cast("long")
+}
