@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Perf gate: times every declared query at SPARK_GRAFT_SF_DIR and prints one
   * JSON line (driver contract).
@@ -11,6 +12,12 @@ import org.apache.spark.sql.SparkSession
   * steady-state pass is what corresponds to BASELINE.md's "warm session"
   * numbers. The reported total is the sum of the reported per-query times;
   * `"pass"` documents the policy.
+  *
+  * Failed queries are excluded from the total and counted in `"failures"`
+  * (a broken query must not silently lower the perf metric). The JSON line
+  * is also written to bench.json in the working directory — round 1's stdout
+  * line was buried in sbt's [info] prefixes and the driver recorded
+  * parsed:null, so the file is the machine-readable channel.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,22 +26,33 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
+      Some((System.nanoTime() - t0) / 1e9)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results: Seq[(String, Option[Double])] = SparkEntry.queries.toSeq.map { case (name, fn) =>
       timeOnce(fn) // warm-up pass: JIT + codegen cache
       name -> timeOnce(fn)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass":"2nd-of-2 (warm)"}""")
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + "\":" + v
+      case (k, None)    => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, Some(v)) => v }
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val total = ok.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","pass":"2nd-of-2 (warm)","n_queries":${results.size},""" +
+        s""""failures":[${failed.mkString(",")}]}"""
+    println(line)
+    Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()
   }
 }

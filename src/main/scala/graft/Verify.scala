@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is INT64 TIMESTAMP(NANOS); set at construction so session
+      // behavior doesn't depend on which loader ran first (Tables.events
+      // also sets it idempotently for sessions built elsewhere, e.g. tests).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

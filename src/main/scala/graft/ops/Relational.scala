@@ -41,6 +41,12 @@ object Relational {
 
   /** Glue ApplyMapping/SelectFields/RenameField equivalent: choose, rename,
     * retype in one narrow projection (no shuffle).
+    *
+    * The retype is demonstrated via decimal(12,2) but the *declared* column is
+    * cast back to double: the driver's hasher canonicalizes DECIMAL
+    * differently from DuckDB's (round-1 red row was byte-identical values),
+    * so DECIMAL stays out of declared output schemas — same discipline as
+    * Qf.dsum (exact decimal inside, double out).
     */
   private def projSelectRenameCast(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -48,7 +54,7 @@ object Relational {
       .select(
         col("c_custkey").as("custkey"),
         col("c_name").as("name"),
-        col("c_acctbal").cast("decimal(12,2)").as("acctbal_dec"),
+        col("c_acctbal").cast("decimal(12,2)").cast("double").as("acctbal"),
         col("c_nationkey").cast("long").as("nationkey"),
       )
       .orderBy("custkey")
@@ -113,26 +119,29 @@ object Relational {
 
   // ---------------------------------------------------------------- joins
 
-  /** Fact ⋈ small dim with an explicit broadcast hint: at 100 TB the fact
-    * side never shuffles — the dim ships to every executor.
+  /** Fact ⋈ dim. No broadcast() hint: customer SCALES with SF (unlike
+    * nation/region), and a forced hint overrides AQE's size threshold
+    * unconditionally — at 100 TB that's an executor OOM. AQE broadcasts it
+    * anyway while it fits and falls back to shuffle join when it doesn't.
     */
   private def joinInnerBroadcast(s: SparkSession, dir: String): DataFrame =
     Tables
       .orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "c_name", "o_totalprice", "c_mktsegment")
       .orderBy("o_orderkey")
 
   /** TPC-H-Q5-shaped star join: fact chained through 4 dims, then a grouped
-    * revenue rollup. Dims are broadcast (hinted for the three tiny ones;
-    * AQE would pick it anyway) so the only exchange is the final group-by —
-    * and partial aggregation shrinks that to |groups| per task.
+    * revenue rollup. Broadcast hints ONLY on the fixed-cardinality dims
+    * (nation=25, region=5 at every SF); customer scales with SF so AQE
+    * decides its strategy at runtime. Partial aggregation then shrinks the
+    * final group-by exchange to |groups| rows per task.
     */
   private def joinMultiwayStar(s: SparkSession, dir: String): DataFrame =
     Tables
       .lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -367,7 +376,7 @@ object Relational {
       projSelectRenameCast,
       Some(
         "SELECT c_custkey AS custkey, c_name AS name, " +
-          "CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal_dec, " +
+          "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal, " +
           "CAST(c_nationkey AS BIGINT) AS nationkey FROM customer ORDER BY custkey"
       ),
     ),

@@ -69,6 +69,17 @@ def main():
             print(f"  cols : {sc}")
             print(f"  spark: {a}")
             print(f"  duck : {b}")
+            # how far off: max abs delta over float-parseable mismatched cells
+            deltas = []
+            for _, ra, rb in bad:
+                for va, vb in zip(ra, rb):
+                    if va != vb:
+                        try:
+                            deltas.append(abs(float(va) - float(vb)))
+                        except ValueError:
+                            pass
+            if deltas:
+                print(f"  max abs float delta over mismatches: {max(deltas):.3e}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(sr)} rows)")
