@@ -1,0 +1,262 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Qf._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis + dedup operators over the `documents` corpus
+  * (SURVEY.md §2.10 — the LLM-data-pipeline surface).
+  *
+  * Scale doctrine: every op here is explode/groupBy/join shaped — shuffles
+  * scale with token count, never with the square of the corpus. The one
+  * quadratic-looking op (`dedup_near_jaccard`) joins on shared shingles, so
+  * its cost is Σ per-shingle pair counts, which on natural text is ~linear;
+  * at 100 TB the MinHash/LSH candidate generator (MinHashDedup, tested in
+  * scalatest) feeds this same verifier only candidate pairs.
+  */
+object Text {
+
+  /** Normalized text: lowercase, trim, collapse whitespace runs. This is the
+    * canonical form for exact dedup; mirrored in DuckDB as
+    * `lower(trim(regexp_replace(text, '\s+', ' ', 'g')))`.
+    */
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Word bigrams without a generator UDF: zip the word array against itself
+    * shifted by one. slice() lengths are size-1 (>= 0 for any non-empty
+    * split), so single-word docs yield an empty bigram list, not an error.
+    */
+  private def bigrams(w: Column): Column =
+    zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (x, y) => concat_ws(" ", x, y),
+    )
+
+  /** 3-word shingles, same shifted-zip trick (docs with < 3 words produce
+    * an empty list via slice length 0; negative lengths are avoided by the
+    * greatest(0, ...) guard).
+    */
+  private def shingles3(w: Column): Column = {
+    val len = greatest(size(w) - 2, lit(0))
+    zip_with(
+      zip_with(slice(w, lit(1), len), slice(w, lit(2), len), (x, y) => concat_ws(" ", x, y)),
+      slice(w, lit(3), len),
+      (xy, z) => concat_ws(" ", xy, z),
+    )
+  }
+
+  // ------------------------------------------------------------- dedup ops
+
+  /** Exact dedup on normalized text. The group key shipped through the
+    * shuffle is md5(norm) — 32 bytes instead of the full document — which is
+    * the 100 TB-correct shape (the text column never leaves the map side).
+    * Survivor = min doc_id per normal form; n_copies counts the duplicates.
+    */
+  private def dedupExactNorm(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .groupBy(md5(normText(col("text"))).as("norm_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), nrows.as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Near-duplicate pairs by exact 3-shingle Jaccard >= 0.8.
+    * Plan: distinct (doc, shingle) → self-equi-join on shingle (a < b) →
+    * |∩| per pair → |∪| = |A|+|B|−|∩| → ratio. All shuffle-relational; the
+    * join key is the shingle so only docs sharing a shingle ever pair up —
+    * no all-pairs blowup. Jaccard is a ratio of exact ints (deterministic);
+    * round(4) for the declared column.
+    */
+  private def dedupNearJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = docs
+      .filter(size(words(col("text"))) >= 3)
+      .select(col("doc_id"), explode(shingles3(words(col("text")))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(nrows.as("n_sh"))
+    val inter = sh
+      .select(col("doc_id").as("id_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(nrows.as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn(
+        "jaccard",
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 4),
+      )
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b", "n_inter", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ----------------------------------------------------------- text stats
+
+  /** Per-language corpus stats: doc count, avg chars, avg tokens, vocabulary
+    * size. Two aggregates joined on lang: doc-grain stats can't share a plan
+    * with the exploded token-grain distinct. Integer sums are exact, so the
+    * averages (int sum / count, divided in double) are deterministic across
+    * engines without decimal routing.
+    */
+  private def textStatsLang(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("toks", words(col("text")))
+    val base = docs
+      .groupBy("lang")
+      .agg(
+        nrows.as("n_docs"),
+        (sum(col("n_chars")).cast("double") / nrows).as("avg_chars"),
+        (sum(size(col("toks"))).cast("double") / nrows).as("avg_tokens"),
+      )
+    val vocab = docs
+      .select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy("lang")
+      .agg(countDistinct(col("tok")).as("vocab"))
+    base.join(vocab, "lang").orderBy("lang")
+  }
+
+  /** Top-10 terms per language (terms longer than 3 chars — a stand-in for a
+    * stopword list), count-desc with term tiebreak. Explode → two-level agg →
+    * rank-filter: the window shuffle carries only (lang, term, n).
+    */
+  private def textTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
+    Tables
+      .documents(s, dir)
+      .select(col("lang"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) > 3)
+      .groupBy("lang", "term")
+      .agg(nrows.as("n"))
+      .withColumn("rn", asLong(row_number().over(w)))
+      .filter(col("rn") <= 10)
+      .orderBy("lang", "rn")
+  }
+
+  /** TF-IDF, top-3 terms per doc. THE FORMULA IS THE ORACLE CONTRACT:
+    *   tf      = count of term in doc (raw count)
+    *   idf     = ln((N + 1) / (df + 1)) + 1      (smoothed)
+    *   score   = round(tf * idf, 4)
+    * with N = total docs, df = docs containing term. N reaches the plan as a
+    * 1-row broadcast cross join (never a collected literal).
+    * Rank by (score desc, term) per doc, keep rn <= 3.
+    */
+  private def textTfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(nrows.as("tf"))
+    val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(nrows.as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "score",
+        round(
+          col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1),
+          4,
+        ),
+      )
+      .withColumn("rn", asLong(row_number().over(w)))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "term", "score", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Top-20 corpus bigrams, count-desc with bigram tiebreak. */
+  private def textNgramsBigram(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(explode(bigrams(words(col("text")))).as("bigram"))
+      .groupBy("bigram")
+      .agg(nrows.as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  // ------------------------------------------------------------- catalog
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dedup_exact_norm",
+      dedupExactNorm,
+      Some(
+        "SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_md5, " +
+          "min(doc_id) AS keep_id, count(*) AS n_copies " +
+          "FROM documents GROUP BY 1 ORDER BY keep_id"
+      ),
+    ),
+    QueryDef(
+      "dedup_near_jaccard",
+      dedupNearJaccard,
+      Some(
+        "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+          "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
+          "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ws WHERE len(w) >= 3), " +
+          "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), " +
+          "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter " +
+          "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+          "SELECT id_a, id_b, n_inter, " +
+          "round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard " +
+          "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+          "WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8 " +
+          "ORDER BY id_a, id_b"
+      ),
+    ),
+    QueryDef(
+      "text_stats_lang",
+      textStatsLang,
+      Some(
+        "WITH d AS (SELECT lang, n_chars, string_split(text, ' ') AS toks FROM documents), " +
+          "base AS (SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars, " +
+          "CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avg_tokens FROM d GROUP BY 1), " +
+          "v AS (SELECT lang, count(DISTINCT tok) AS vocab FROM " +
+          "(SELECT lang, unnest(toks) AS tok FROM d) GROUP BY 1) " +
+          "SELECT base.lang AS lang, n_docs, avg_chars, avg_tokens, vocab " +
+          "FROM base JOIN v USING (lang) ORDER BY lang"
+      ),
+    ),
+    QueryDef(
+      "text_top_terms",
+      textTopTerms,
+      Some(
+        "SELECT lang, term, n, rn FROM (" +
+          "SELECT lang, term, count(*) AS n, " +
+          "row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS rn " +
+          "FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) " +
+          "WHERE length(term) > 3 GROUP BY lang, term) WHERE rn <= 10 ORDER BY lang, rn"
+      ),
+    ),
+    QueryDef(
+      "text_tfidf_topk",
+      textTfidfTopk,
+      Some(
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+          "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+          "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), " +
+          "n AS (SELECT count(*) AS n_docs FROM documents), " +
+          "scored AS (SELECT doc_id, tf.term AS term, " +
+          "round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1), 4) AS score " +
+          "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) " +
+          "SELECT doc_id, term, score, rn FROM (" +
+          "SELECT doc_id, term, score, " +
+          "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn " +
+          "FROM scored) WHERE rn <= 3 ORDER BY doc_id, rn"
+      ),
+    ),
+    QueryDef(
+      "text_ngrams_bigram",
+      textNgramsBigram,
+      Some(
+        "SELECT bigram, count(*) AS n FROM (" +
+          "SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram " +
+          "FROM (SELECT string_split(text, ' ') AS w FROM documents)) " +
+          "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+      ),
+    ),
+  )
+}
