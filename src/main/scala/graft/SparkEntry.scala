@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private def catalog: Seq[QueryDef] =
-    ops.Relational.entries ++ ops.Scalars.entries ++
+    ops.Relational.entries ++ ops.Scalars.entries ++ ops.Events.entries ++
       ops.Text.entries ++ ops.Vectors.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

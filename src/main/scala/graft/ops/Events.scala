@@ -1,0 +1,265 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Qf._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators (SURVEY.md §2.8 + the event-shaped §2.3/§2.4/§2.5
+  * rows). Every aggregation body here is a pure DataFrame => DataFrame
+  * transform with no sort, so the SAME body runs under Structured Streaming
+  * (readStream → transform → writeStream) — the declared batch query adds
+  * only the total ordering the correctness gate needs. Streaming-mode parity
+  * is asserted in scalatest via MemoryStream (StreamingParitySpec).
+  *
+  * Time discipline (SURVEY §1.3): `Tables.events` exposes `etime` =
+  * timestamp_micros(ts div 1000) and the raw ns long `ts`. Range/asof
+  * comparisons happen on *microsecond longs* on both engines, so the ns→µs
+  * truncation can never flip a boundary row between Spark and DuckDB.
+  */
+object Events {
+
+  /** Microsecond epoch of the event — the cross-engine comparison unit. */
+  private val tsUs = expr("ts div 1000")
+
+  // ------------------------------------------------ window aggregations
+
+  /** 1 h tumbling window per event_type: count + sum(value). */
+  def tumbling1h(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("etime"), "1 hour"), col("event_type"))
+      .agg(nrows.as("n_events"), dsum(col("value"), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"), col("sum_value"))
+
+  private def streamTumbling1h(s: SparkSession, dir: String): DataFrame =
+    tumbling1h(Tables.events(s, dir)).orderBy("win_start", "event_type")
+
+  /** 1 h windows sliding every 15 min: each event lands in 4 windows.
+    * The oracle reconstructs the window set per event from the 15-min grid.
+    */
+  def sliding1h15m(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("etime"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(nrows.as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+
+  private def streamSliding(s: SparkSession, dir: String): DataFrame =
+    sliding1h15m(Tables.events(s, dir)).orderBy("win_start", "event_type")
+
+  /** Session windows, 5 min inactivity gap, per user. Session end = last
+    * event + gap (Spark session_window semantics, mirrored by the
+    * gaps-and-islands oracle with a `>=` new-session test: session windows
+    * are start-inclusive / end-exclusive).
+    */
+  def session5m(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("etime"), "5 minutes"), col("user_id"))
+      .agg(nrows.as("n_events"), dsum(col("value"), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"),
+        col("sum_value"),
+      )
+
+  private def streamSession5m(s: SparkSession, dir: String): DataFrame =
+    session5m(Tables.events(s, dir)).orderBy("user_id", "sess_start")
+
+  /** Exactly-once by event_id. dropDuplicates keeps an arbitrary row, which
+    * is nondeterministic under retries on ANY engine — the deterministic
+    * dedup is group-by-key + min of the payload (same rule the streaming
+    * variant enforces via dropDuplicatesWithinWatermark on the unique key).
+    */
+  def dedupById(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_id"))
+      .agg(
+        min(col("user_id")).as("user_id"),
+        min(col("event_type")).as("event_type"),
+        min(col("value")).as("value"),
+      )
+
+  private def streamDedup(s: SparkSession, dir: String): DataFrame =
+    dedupById(Tables.events(s, dir)).orderBy("event_id")
+
+  // ----------------------------------------------------- event windows
+
+  /** Per-user inter-event gap: µs since the previous event (lag), plus the
+    * next event's type (lead) — the sessionization delta primitive.
+    */
+  private def winLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), tsUs.as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Rolling 1 h per-user sum/count via a RANGE frame over µs longs. The
+    * frame bound is numeric microseconds on BOTH engines — a time-interval
+    * frame over DuckDB's TIMESTAMP_NS against Spark's ns longs could flip
+    * boundary rows by sub-µs residue.
+    */
+  private def winRangeInterval(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables
+      .events(s, dir)
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"), col("value"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum(col("value").cast("decimal(28,2)")).over(w).cast("double"))
+      .drop("value")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  // ------------------------------------------------------------- pivot
+
+  /** Event counts pivoted by event_type into columns — FIXED value list so
+    * the output schema is static (deterministic columns, and the plan is a
+    * single pass: pivot with known values compiles to conditional aggs).
+    */
+  private def aggPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types
+      .foldLeft(pivoted)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("user_id")
+  }
+
+  // -------------------------------------------------------------- asof
+
+  /** As-of join: for each purchase, the user's most recent click at-or-before
+    * the purchase (µs grain). Spark has no native ASOF — the rewrite is
+    * range-join candidates → row_number()=1, with a deterministic tiebreak.
+    * The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so this query
+    * cross-checks the rewrite against a reference asof implementation.
+    * Scale: the candidate join is an equi-join on user_id plus a range
+    * residual; the per-purchase top-1 collapses it before any further
+    * exchange (same shape as win_topk_per_group).
+    */
+  private def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), tsUs.as("us"))
+    val p = e
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("us").as("p_us"))
+    val c = e
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("us").as("c_us"))
+    val w = Window
+      .partitionBy(col("p_id"))
+      .orderBy(col("c_us").desc_nulls_last, col("c_id").desc)
+    p.join(c, col("user_id") === col("c_user") && col("c_us") <= col("p_us"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("user_id"), col("c_id"), (col("p_us") - col("c_us")).as("wait_us"))
+      .orderBy("p_id")
+  }
+
+  // ------------------------------------------------------------- catalog
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "stream_tumbling_1h",
+      streamTumbling1h,
+      Some(
+        "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type, " +
+          "count(*) AS n_events, " +
+          "CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value " +
+          "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"
+      ),
+    ),
+    QueryDef(
+      "stream_sliding",
+      streamSliding,
+      Some(
+        "WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us FROM events), " +
+          "x AS (SELECT event_type, us, unnest(range(0, 4)) AS k FROM e), " +
+          "wins AS (SELECT event_type, make_timestamp((us // 900000000) * 900000000 - k * 900000000) AS win_start " +
+          "FROM x) " +
+          "SELECT win_start, event_type, count(*) AS n_events FROM wins " +
+          "GROUP BY 1, 2 ORDER BY win_start, event_type"
+      ),
+    ),
+    QueryDef(
+      "stream_session_5m",
+      streamSession5m,
+      Some(
+        "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events), " +
+          "l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e), " +
+          "f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s FROM l), " +
+          "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f) " +
+          "SELECT user_id, min(t) AS sess_start, max(t) + INTERVAL 5 MINUTE AS sess_end, " +
+          "count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value " +
+          "FROM g GROUP BY user_id, sid ORDER BY user_id, sess_start"
+      ),
+    ),
+    QueryDef(
+      "stream_dedup",
+      streamDedup,
+      Some(
+        "SELECT event_id, min(user_id) AS user_id, min(event_type) AS event_type, " +
+          "min(value) AS value FROM events GROUP BY event_id ORDER BY event_id"
+      ),
+    ),
+    QueryDef(
+      "win_lag_lead",
+      winLagLead,
+      Some(
+        "SELECT event_id, user_id, event_type, ts_us, " +
+          "ts_us - lag(ts_us) OVER w AS gap_us, lead(event_type) OVER w AS next_type " +
+          "FROM (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events) " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id) " +
+          "ORDER BY user_id, ts_us, event_id"
+      ),
+    ),
+    QueryDef(
+      "win_range_interval",
+      winRangeInterval,
+      Some(
+        "SELECT event_id, user_id, ts_us, " +
+          "count(*) OVER w AS roll_n, " +
+          "CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS roll_sum " +
+          "FROM (SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS ts_us FROM events) " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us " +
+          "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+          "ORDER BY user_id, ts_us, event_id"
+      ),
+    ),
+    QueryDef(
+      "agg_pivot",
+      aggPivot,
+      Some(
+        "SELECT user_id, " +
+          "count(*) FILTER (event_type = 'click') AS click, " +
+          "count(*) FILTER (event_type = 'error') AS error, " +
+          "count(*) FILTER (event_type = 'purchase') AS purchase, " +
+          "count(*) FILTER (event_type = 'signup') AS signup, " +
+          "count(*) FILTER (event_type = 'view') AS view " +
+          "FROM events GROUP BY user_id ORDER BY user_id"
+      ),
+    ),
+    QueryDef(
+      "join_asof",
+      joinAsof,
+      Some(
+        "WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events), " +
+          "p AS (SELECT event_id AS p_id, user_id, us AS p_us FROM e WHERE event_type = 'purchase'), " +
+          "c AS (SELECT user_id AS c_user, event_id AS c_id, us AS c_us FROM e WHERE event_type = 'click') " +
+          "SELECT p_id, user_id, c_id, p_us - c_us AS wait_us " +
+          "FROM p ASOF LEFT JOIN c ON user_id = c_user AND p_us >= c_us " +
+          "ORDER BY p_id"
+      ),
+    ),
+  )
+}
