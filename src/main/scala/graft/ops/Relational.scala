@@ -249,6 +249,111 @@ object Relational {
       .filter(col("n_orders") >= 5)
       .orderBy("o_custkey")
 
+  // ------------------------------------------- multi-level aggregations
+
+  /** ROLLUP subtotal hierarchy. grouping() flags are part of the declared
+    * output (cast long — Spark emits TINYINT, DuckDB BIGINT) and lead the
+    * ordering so subtotal rows with NULL keys sort identically on both
+    * engines (NULLS FIRST pinned explicitly).
+    */
+  private def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        nrows.as("n_rows"),
+      )
+      .orderBy(
+        col("g_flag"),
+        col("g_status"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first,
+      )
+
+  /** CUBE: all subtotal combinations (adds the status-only slice ROLLUP lacks). */
+  private def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        nrows.as("n_rows"),
+      )
+      .orderBy(
+        col("g_flag"),
+        col("g_status"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first,
+      )
+
+  /** Explicit GROUPING SETS incl. the grand total (Dataset.groupingSets, 4.x). */
+  private def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"),
+        col("l_linestatus"),
+      )
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        dsum(col("l_extendedprice"), 2).as("sum_price"),
+        nrows.as("n_rows"),
+      )
+      .orderBy(
+        col("g_flag"),
+        col("g_status"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first,
+      )
+
+  /** Per-group ordered value list: collect_list is unordered by contract, so
+    * sort_array inside the projection is what makes it declarable (§2.0
+    * rule 4). Routes through ObjectHashAggregate.
+    */
+  private def aggCollectSorted(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderstatus"))).as("statuses"))
+      .orderBy("o_custkey")
+
+  /** Sample stats pack. These are merge-based aggregates whose low bits
+    * depend on association order — round(4) absorbs the cross-engine ULP
+    * noise (values here are O(1e2..1e5), 4 decimals is ~1e-9 relative).
+    */
+  private def aggStats(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"),
+      )
+      .orderBy("l_returnflag")
+
+  /** Exact interpolating percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` — both linear-interpolate between adjacent ranks).
+    */
+  private def aggPercentileExact(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        nrows.as("n_rows"),
+      )
+      .orderBy("l_returnflag")
+
   // -------------------------------------------------------------- windows
 
   /** row_number / rank / dense_rank with a total tiebreak (SURVEY §2.5). */
@@ -310,6 +415,95 @@ object Relational {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** ntile / percent_rank / cume_dist per market segment. The rank ratios
+    * are exact small-int divisions — bit-identical across engines, no
+    * rounding needed. Partitioned by segment (a global window would
+    * single-task at scale).
+    */
+  private def winNtilePct(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables
+      .customer(s, dir)
+      .select(
+        col("c_mktsegment"),
+        col("c_custkey"),
+        col("c_acctbal"),
+        asLong(ntile(4).over(w)).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+      )
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** first/last value over an explicit bounded frame (±1 row neighborhood). */
+  private def winFirstLastFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-1, 1)
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        first(col("o_orderkey")).over(w).as("prev_key"),
+        last(col("o_orderkey")).over(w).as("next_key"),
+      )
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  // ------------------------------------------------------ remaining joins
+
+  /** Full outer on deliberately-divergent subsets (high-balance customers vs
+    * big-spender order groups) so both unmatched sides are non-empty;
+    * coalesce(keys) gives the total-orderable output key.
+    */
+  private def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables
+      .customer(s, dir)
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("a_key"), col("c_acctbal"))
+    val b = Tables
+      .orders(s, dir)
+      .filter(col("o_totalprice") > 100000)
+      .groupBy(col("o_custkey"))
+      .agg(nrows.as("n_big_orders"))
+    a.join(b, col("a_key") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("a_key"), col("o_custkey")).as("custkey"),
+        col("c_acctbal"),
+        col("n_big_orders"),
+      )
+      .orderBy("custkey")
+  }
+
+  /** Bounded cross join: 5×25 dim product (cardinality is static at every
+    * SF — the one case where a cartesian is scale-safe).
+    */
+  private def joinCrossBounded(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .region(s, dir)
+      .crossJoin(Tables.nation(s, dir))
+      .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+      .orderBy("r_regionkey", "n_nationkey")
+
+  /** Equi-join + range residual (theta): ship date within 90 days of the
+    * order date. The equi key drives the physical join; the interval
+    * predicate evaluates as a post-join filter — no cartesian.
+    */
+  private def joinThetaRange(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .join(
+        Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").between(col("o_orderdate"), col("o_orderdate") + expr("INTERVAL 90 DAYS")),
+      )
+      .groupBy(col("o_orderpriority"))
+      .agg(nrows.as("n_rows"), dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+
   // ------------------------------------------- sort / limit / top-k / set
 
   /** Multi-column sort with explicit NULLS FIRST/LAST (defaults differ
@@ -354,6 +548,26 @@ object Relational {
       .union(Tables.customer(s, dir).select(col("c_custkey").as("key")))
       .distinct()
       .orderBy("key")
+
+  /** INTERSECT (distinct semantics): custkeys with both a finished and an
+    * open order.
+    */
+  private def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("key"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("key")))
+      .orderBy("key")
+  }
+
+  /** EXCEPT (distinct semantics): finished-order customers with no open order. */
+  private def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("key"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("key")))
+      .orderBy("key")
+  }
 
   // ------------------------------------------------------------- catalog
 
@@ -574,6 +788,147 @@ object Relational {
       Some(
         "SELECT DISTINCT o_custkey AS key FROM (SELECT o_custkey FROM orders " +
           "UNION ALL SELECT c_custkey FROM customer) t(o_custkey) ORDER BY key"
+      ),
+    ),
+    QueryDef(
+      "agg_rollup",
+      aggRollup,
+      Some(
+        "SELECT l_returnflag, l_linestatus, " +
+          "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, " +
+          "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status, " +
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty, " +
+          "COUNT(*) AS n_rows FROM lineitem " +
+          "GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+          "ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
+      ),
+    ),
+    QueryDef(
+      "agg_cube",
+      aggCube,
+      Some(
+        "SELECT l_returnflag, l_linestatus, " +
+          "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, " +
+          "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status, " +
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty, " +
+          "COUNT(*) AS n_rows FROM lineitem " +
+          "GROUP BY CUBE (l_returnflag, l_linestatus) " +
+          "ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
+      ),
+    ),
+    QueryDef(
+      "agg_grouping_sets",
+      aggGroupingSets,
+      Some(
+        "SELECT l_returnflag, l_linestatus, " +
+          "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, " +
+          "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status, " +
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price, " +
+          "COUNT(*) AS n_rows FROM lineitem " +
+          "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+          "ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
+      ),
+    ),
+    QueryDef(
+      "agg_collect_sorted",
+      aggCollectSorted,
+      Some(
+        "SELECT o_custkey, list(o_orderstatus ORDER BY o_orderstatus) AS statuses " +
+          "FROM orders GROUP BY o_custkey ORDER BY o_custkey"
+      ),
+    ),
+    QueryDef(
+      "agg_stats",
+      aggStats,
+      Some(
+        "SELECT l_returnflag, " +
+          "round(stddev_samp(l_extendedprice), 4) AS sd_price, " +
+          "round(var_samp(l_quantity), 4) AS var_qty, " +
+          "round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, " +
+          "round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+      ),
+    ),
+    QueryDef(
+      "agg_percentile_exact",
+      aggPercentileExact,
+      Some(
+        "SELECT l_returnflag, " +
+          "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
+          "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, " +
+          "COUNT(*) AS n_rows " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+      ),
+    ),
+    QueryDef(
+      "win_ntile_pct",
+      winNtilePct,
+      Some(
+        "SELECT c_mktsegment, c_custkey, c_acctbal, " +
+          "ntile(4) OVER w AS quartile, percent_rank() OVER w AS pct_rank, " +
+          "cume_dist() OVER w AS cume FROM customer " +
+          "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) " +
+          "ORDER BY c_mktsegment, c_custkey"
+      ),
+    ),
+    QueryDef(
+      "win_first_last_frame",
+      winFirstLastFrame,
+      Some(
+        "SELECT o_custkey, o_orderkey, o_orderdate, " +
+          "first_value(o_orderkey) OVER w AS prev_key, " +
+          "last_value(o_orderkey) OVER w AS next_key FROM orders " +
+          "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+          "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) " +
+          "ORDER BY o_custkey, o_orderdate, o_orderkey"
+      ),
+    ),
+    QueryDef(
+      "join_full_outer",
+      joinFullOuter,
+      Some(
+        "SELECT coalesce(a.c_custkey, b.o_custkey) AS custkey, a.c_acctbal, b.n_big_orders " +
+          "FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) a " +
+          "FULL JOIN (SELECT o_custkey, COUNT(*) AS n_big_orders FROM orders " +
+          "WHERE o_totalprice > 100000 GROUP BY o_custkey) b " +
+          "ON a.c_custkey = b.o_custkey ORDER BY custkey"
+      ),
+    ),
+    QueryDef(
+      "join_cross_bounded",
+      joinCrossBounded,
+      Some(
+        "SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation " +
+          "ORDER BY r_regionkey, n_nationkey"
+      ),
+    ),
+    QueryDef(
+      "join_theta_range",
+      joinThetaRange,
+      Some(
+        "SELECT o_orderpriority, COUNT(*) AS n_rows, " +
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+      ),
+    ),
+    QueryDef(
+      "set_intersect",
+      setIntersect,
+      Some(
+        "SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F' " +
+          "INTERSECT SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O' " +
+          "ORDER BY key"
+      ),
+    ),
+    QueryDef(
+      "set_except",
+      setExcept,
+      Some(
+        "SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F' " +
+          "EXCEPT SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O' " +
+          "ORDER BY key"
       ),
     ),
   )

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources / sinks / catalog surface (SURVEY.md §2.1).
+  *
+  * `scan_parquet` / `scan_parquet_pushdown` live in Relational; this module
+  * adds the catalog (temp-view + SQL text) entry point and the job-bookmark
+  * incremental-read pattern as declared queries, and the CSV/JSON/partitioned
+  * write round-trip helpers that SourcesSpec exercises (no corpus fixture
+  * exists for those formats, so they are scalatest-covered per SURVEY §2.1).
+  */
+object Sources {
+
+  /** Glue Data Catalog equivalent: register a table under a name and answer
+    * SQL text against it — the spark.sql entry point, same plan as the
+    * DataFrame API would build.
+    */
+  private def sinkCatalog(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_v")
+    s.sql(
+      "SELECT o_orderstatus, COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price " +
+        "FROM graft_orders_v GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+  }
+
+  /** Job-bookmark equivalent: read only events after a checkpoint. The
+    * checkpoint predicate is on the raw ns long, so it pushes down to the
+    * parquet scan (row-group skip on ts statistics) — at 100 TB the
+    * incremental read touches only new row groups. Output includes the new
+    * high-watermark a bookmark store would persist.
+    * Checkpoint: 2024-03-01T00:00:00Z. DuckDB's TIMESTAMP_NS scan truncates
+    * to µs (ns values are multiples of 1000), so the Spark predicate uses
+    * `ts > checkpoint_ns + 999` — both engines cut at exactly the same µs
+    * and sub-µs residue can never flip a boundary event.
+    */
+  private def incrementalRead(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .filter(col("ts") > lit(1709251200000000999L))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        max(expr("ts div 1000")).as("new_watermark_us"),
+      )
+      .orderBy("event_type")
+
+  // ------------------------------------------- scalatest-covered helpers
+
+  /** CSV ingestion with header + explicit schema (Glue crawler-less path). */
+  def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("header", "true").csv(path)
+
+  /** CSV ingestion with schema inference (Glue crawler path). */
+  def readCsvInferred(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** JSON-lines ingestion, nested struct inference. */
+  def readJson(s: SparkSession, path: String): DataFrame =
+    s.read.json(path)
+
+  /** Partitioned parquet sink (write_dynamic_frame partitionKeys equivalent).
+    * Returns the re-read frame so tests can assert round-trip equality and
+    * partition pruning.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): DataFrame = {
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  // ------------------------------------------------------------- catalog
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sink_catalog",
+      sinkCatalog,
+      Some(
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+      ),
+    ),
+    QueryDef(
+      "incremental_read",
+      incrementalRead,
+      Some(
+        "SELECT event_type, COUNT(*) AS n_new, max(epoch_ns(ts) // 1000) AS new_watermark_us " +
+          "FROM events WHERE epoch_ns(ts) > 1709251200000000 * 1000 " +
+          "GROUP BY event_type ORDER BY event_type"
+      ),
+    ),
+  )
+}
