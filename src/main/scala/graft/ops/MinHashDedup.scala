@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded-LSH near-duplicate candidate generation — the 100 TB
+  * dedup path (SURVEY.md §2.10 `dedup_minhash_lsh`).
+  *
+  * Why this exists when `dedup_near_jaccard` is already exact: the exact
+  * plan's shingle self-join pairs every pair of docs sharing ANY shingle.
+  * On natural corpora that's near-linear, but adversarial/boilerplate-heavy
+  * corpora (the 100 TB case) make it quadratic. Banded MinHash bounds the
+  * work: signatures are fixed-width (nHashes longs per doc regardless of
+  * doc size), and the only join key is the (band, band-signature) pair —
+  * docs collide only when a whole band agrees, with probability
+  * 1 − (1 − j^rows)^bands for true Jaccard j. With 128 hashes in 32 bands
+  * of 4 rows, j = 0.8 is caught with p ≈ 1 − (1−0.41)^32 ≈ 1-1e-7, while
+  * j = 0.2 pairs almost never collide — the candidate set stays tiny.
+  *
+  * Everything is plain DataFrame ops (no MLlib, no UDF): the per-permutation
+  * MinHash is `min(xxhash64(i, shingle))`, which keeps the whole signature
+  * build inside whole-stage codegen and one shuffle (the groupBy(doc_id)).
+  * False positives are removed by exact-Jaccard verification on candidates
+  * only; false-negative rate is the LSH recall measured in MinHashLshSpec.
+  */
+object MinHashDedup {
+
+  /** Distinct (doc_id, shingle) pairs; k-word shingles from normalized text. */
+  def shingleSet(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = split(Text.normText(col(textCol)), " ")
+    val len = greatest(size(w) - 2, lit(0))
+    val sh3 = zip_with(
+      zip_with(slice(w, lit(1), len), slice(w, lit(2), len), (x, y) => concat_ws(" ", x, y)),
+      slice(w, lit(3), len),
+      (xy, z) => concat_ws(" ", xy, z),
+    )
+    docs
+      .filter(size(w) >= 3)
+      .select(col("doc_id"), explode(sh3).as("sh"))
+      .distinct()
+  }
+
+  /** nHashes-wide MinHash signature per doc: element i is the minimum of the
+    * i-th hash family over the doc's shingle set. One shuffle (doc_id).
+    */
+  def signatures(shingles: DataFrame, nHashes: Int = 128): DataFrame = {
+    val mins: Seq[Column] = (0 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))))
+    shingles.groupBy(col("doc_id")).agg(array(mins: _*).as("sig"))
+  }
+
+  /** Candidate pairs (id_a < id_b) whose signatures agree on at least one
+    * full band. The join key is a 64-bit hash of (band index, band slice) —
+    * fixed-width, shuffle-friendly; hash collisions only ever ADD candidates,
+    * which exact verification then rejects.
+    */
+  def candidatePairs(sigs: DataFrame, bands: Int = 32, rows: Int = 4): DataFrame = {
+    val banded = sigs
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))")
+        ).as(Seq("band", "bsig")),
+      )
+      .select(
+        col("doc_id"),
+        xxhash64(col("band"), expr("concat_ws(',', transform(bsig, x -> cast(x AS STRING)))"))
+          .as("bucket"),
+      )
+    banded
+      .select(col("doc_id").as("id_a"), col("bucket"))
+      .join(banded.select(col("doc_id").as("id_b"), col("bucket")), "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard for given pairs only (the verification step): joins each
+    * pair back to its shingle sets; cost is |candidates|, not |corpus|².
+    */
+  def verifyPairs(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(shingles.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+      .join(shingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(col("sh") === col("sh_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")),
+      )
+  }
+
+  /** End-to-end: near-dup pairs at threshold via LSH candidates + exact
+    * verify. Same output contract as the exact `dedup_near_jaccard` modulo
+    * LSH recall (measured >= 0.95 at the declared parameters in spec).
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      nHashes: Int = 128,
+      bands: Int = 32,
+      rows: Int = 4,
+  ): DataFrame = {
+    val sh = shingleSet(docs)
+    val cands = candidatePairs(signatures(sh, nHashes), bands, rows)
+    verifyPairs(cands, sh).filter(col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+  }
+}

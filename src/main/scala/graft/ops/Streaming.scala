@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** True Structured Streaming surface (SURVEY.md §2.8): the batch bodies in
+  * `Events` run unchanged on streams; this module adds what only exists in
+  * streaming — watermarks, stateful processing, streaming dedup, and the
+  * checkpointed append sink. StreamingParitySpec drives everything through
+  * MemoryStream and asserts batch↔streaming parity and watermark semantics.
+  */
+object Streaming {
+
+  /** An event as the streaming specs feed it (mirrors the events table with
+    * etime already materialized).
+    */
+  final case class Ev(event_id: Long, etime: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Watermarked tumbling window: events later than `delay` behind the max
+    * seen event time are dropped once the watermark passes their window —
+    * the late-data policy Glue streaming jobs get from Spark.
+    */
+  def tumblingWithWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("etime", delay)
+      .groupBy(window(col("etime"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+
+  /** Streaming exactly-once dedup on the unique key within the watermark
+    * horizon (state is bounded by the watermark, unlike batch distinct).
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("etime", delay).dropDuplicatesWithinWatermark("event_id")
+
+  /** Running per-user event counters across micro-batches via explicit
+    * state (mapGroupsWithState) — the custom-state escape hatch when
+    * windowed aggs can't express the logic. Final state ≡ batch
+    * groupBy(user).count, asserted in spec.
+    */
+  def statefulUserCount(events: Dataset[Ev]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Ev], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + batch.size
+          state.update(next)
+          (user, next)
+      }
+  }
+
+  /** Windowed agg → append-mode parquet sink with checkpoint: the
+    * fault-tolerant file-sink pattern (results commit exactly once per
+    * window close).
+    */
+  def startAppendSink(agg: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start(path)
+
+  /** Drive any streaming Dataset to completion into a named memory sink and
+    * return the sink contents (spec helper; Complete mode for aggregations,
+    * Append for row streams).
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

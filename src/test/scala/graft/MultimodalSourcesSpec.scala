@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.{Multimodal, Sources}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal binary plumbing + CSV/JSON/partitioned-sink round trips
+  * (SURVEY.md §2.10 multimodal_binary, §2.1 scalatest rows).
+  */
+class MultimodalSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.synth(spark, 300)
+
+  test("multimodal: per-mime stats over opaque payloads") {
+    val stats = Multimodal.perMimeStats(media.toDF()).collect()
+    assert(stats.length == 3)
+    assert(stats.forall(_.getAs[Long]("n_items") == 100L))
+    assert(stats.forall(r => r.getAs[Int]("min_bytes") >= 16 && r.getAs[Int]("max_bytes") <= 4096))
+  }
+
+  test("multimodal: size histogram buckets partition the corpus") {
+    val hist = Multimodal.sizeHistogram(media.toDF(), 1024)
+    assert(hist.agg(sum("n")).collect()(0).getLong(0) == 300L)
+  }
+
+  test("multimodal: batched decode stub — schema, batch shape, determinism") {
+    val decoded = Multimodal.decodeFeatures(media, dim = 8)
+    assert(decoded.schema.fieldNames.toSeq == Seq("id", "mime", "n_bytes", "feature"))
+    val rows = decoded.collect()
+    assert(rows.length == 300)
+    assert(rows.forall(_.feature.length == 8))
+    // deterministic fake kernel: same input -> same features on a re-run
+    val again = Multimodal.decodeFeatures(media, dim = 8).collect()
+    assert(rows.sortBy(_.id).zip(again.sortBy(_.id)).forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+
+  test("multimodal: frame sampling explodes every nth index") {
+    val df = Seq((1L, 10), (2L, 3)).toDF("id", "n_frames")
+    val frames = Multimodal.sampleFrames(df, "n_frames", every = 3).collect()
+    assert(frames.count(_.getLong(0) == 1L) == 4) // 0,3,6,9
+    assert(frames.count(_.getLong(0) == 2L) == 1) // 0
+  }
+
+  test("multimodal: partitioned-by-mime sink round-trips") {
+    val out = Multimodal.writeByMime(media.toDF(), tmpDir("mime-sink"))
+    assert(out.count() == 300)
+    assert(out.select("mime").distinct().count() == 3)
+  }
+
+  test("CSV: explicit schema + header round trip, inference agrees") {
+    val path = tmpDir("csv") + "/t.csv"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path),
+      "id,name,score\n1,alpha,1.5\n2,beta,2.5\n3,gamma,\n",
+    )
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType), StructField("score", DoubleType)))
+    val typed = Sources.readCsv(spark, path, schema)
+    assert(typed.count() == 3)
+    assert(typed.filter(col("score").isNull).count() == 1)
+    val inferred = Sources.readCsvInferred(spark, path)
+    assert(inferred.schema("id").dataType.typeName.startsWith("int"))
+    assert(inferred.schema("score").dataType.typeName == "double")
+  }
+
+  test("JSON lines: nested struct inference") {
+    val path = tmpDir("json") + "/t.json"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path),
+      """{"id":1,"meta":{"k":7,"tags":["a","b"]}}""" + "\n" + """{"id":2,"meta":{"k":9,"tags":[]}}""" + "\n",
+    )
+    val df = Sources.readJson(spark, path)
+    assert(df.count() == 2)
+    assert(df.select(col("meta.k")).as[Long].collect().sorted.sameElements(Array(7L, 9L)))
+  }
+
+  test("partitioned parquet sink: round trip + partition pruning") {
+    val src = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val path = tmpDir("part-sink")
+    val back = Sources.writePartitioned(src, path, Seq("o_orderstatus"))
+    assert(back.count() == src.count())
+    // pruned read touches only one partition directory
+    val pruned = back.filter(col("o_orderstatus") === "F")
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(pruned.count() == src.filter(col("o_orderstatus") === "F").count())
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("o_orderstatus=")))
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{Events, Streaming}
+import graft.ops.Streaming.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Batch ↔ streaming parity (SURVEY.md §5.3): the same transform bodies that
+  * power the declared batch queries, re-run under Structured Streaming via
+  * MemoryStream with out-of-order input, must produce the same answers; the
+  * watermark must drop exactly the too-late rows.
+  */
+class StreamingParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  /** Small out-of-order event set: two users, three hours. */
+  private val evs: Seq[Ev] = Seq(
+    Ev(1, ts(5), 1, "click", 1.0),
+    Ev(4, ts(125), 1, "view", 4.0), // arrives early in the sequence, later hour
+    Ev(2, ts(61), 1, "click", 2.0),
+    Ev(3, ts(62), 2, "view", 3.0),
+    Ev(5, ts(10), 2, "click", 5.0),
+    Ev(6, ts(11), 2, "click", 6.0),
+  )
+
+  private def batchDf = evs.toDF()
+
+  test("tumbling window: streaming (complete mode) equals batch") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs)
+    val streamed = Streaming.runToMemory(
+      spark,
+      Events.tumbling1h(input.toDF()),
+      "tumbling_parity",
+      OutputMode.Complete(),
+    )
+    val batch = Events.tumbling1h(batchDf)
+    assert(
+      streamed.orderBy("win_start", "event_type").collect().toSeq ==
+        batch.orderBy("win_start", "event_type").collect().toSeq
+    )
+  }
+
+  test("session window: streaming equals batch") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs)
+    val streamed = Streaming.runToMemory(
+      spark,
+      Events.session5m(input.toDF().withWatermark("etime", "10 minutes")),
+      "session_parity",
+      OutputMode.Complete(),
+    )
+    val batch = Events.session5m(batchDf)
+    assert(
+      streamed.orderBy("user_id", "sess_start").collect().toSeq ==
+        batch.orderBy("user_id", "sess_start").collect().toSeq
+    )
+  }
+
+  test("watermark drops exactly the too-late rows") {
+    val input = MemoryStream[Ev](spark)
+    val agg = Streaming.tumblingWithWatermark(input.toDF(), "10 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append()).format("memory").queryName("late_wm").start()
+    // batch 1: events up to 02:05 -> watermark advances to 01:55; hour-0 and hour-1 windows close
+    input.addData(Seq(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(61), 1, "click", 2.0), Ev(3, ts(125), 1, "view", 3.0)))
+    q.processAllAvailable()
+    // batch 2: an hour-0 event now 2h late -> dropped; an in-horizon hour-2 event -> kept
+    input.addData(Seq(Ev(4, ts(6), 1, "click", 9.0), Ev(5, ts(126), 1, "view", 9.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_wm").collect()
+    val hour0 = out.filter(_.getAs[Timestamp]("win_start") == ts(0))
+    // the late hour-0 event must NOT have re-opened the closed window
+    assert(hour0.forall(_.getAs[Long]("n_events") == 1L), s"late event leaked into closed window: ${hour0.mkString}")
+  }
+
+  test("dropDuplicatesWithinWatermark: exactly-once by event_id") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs ++ evs) // every event duplicated
+    val streamed = Streaming.runToMemory(
+      spark,
+      Streaming.dedupWithinWatermark(input.toDF()),
+      "dedup_stream",
+      OutputMode.Append(),
+    )
+    assert(streamed.select("event_id").distinct().count() == evs.size)
+    assert(streamed.count() == evs.size)
+  }
+
+  test("mapGroupsWithState running count equals batch groupBy count") {
+    val input = MemoryStream[Ev](spark)
+    val counts = Streaming.statefulUserCount(input.toDS())
+    val q = counts.toDF("user_id", "n").writeStream
+      .outputMode(OutputMode.Update()).format("memory").queryName("stateful_counts").start()
+    input.addData(evs.take(3))
+    q.processAllAvailable()
+    input.addData(evs.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    // last emitted state per user == batch count
+    val latest = spark
+      .table("stateful_counts")
+      .groupBy("user_id")
+      .agg(max("n").as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val batch = batchDf.groupBy("user_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == batch)
+  }
+
+  test("append-mode parquet sink with checkpoint writes closed windows") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs)
+    val out = tmpDir("sink-out")
+    val ckpt = tmpDir("sink-ckpt")
+    val q = Streaming.startAppendSink(Streaming.tumblingWithWatermark(input.toDF(), "0 seconds"), out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val files = spark.read.parquet(out)
+    // append mode only emits windows the watermark closed; with 0s delay the
+    // last window (02:05) stays open -> hours 0 and 1 are on disk
+    assert(files.count() >= 2)
+    assert(new java.io.File(ckpt).listFiles().nonEmpty, "checkpoint must be written")
+  }
+}
