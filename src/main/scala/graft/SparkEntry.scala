@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def catalog: Seq[QueryDef] =
     ops.Relational.entries ++ ops.Sources.entries ++ ops.Scalars.entries ++
-      ops.Events.entries ++ ops.Text.entries ++ ops.Vectors.entries
+      ops.Udaf.entries ++ ops.Events.entries ++ ops.Text.entries ++
+      ops.Vectors.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -139,6 +139,29 @@ object Scalars {
       )
       .orderBy("c_custkey")
 
+  /** Map functions pack: build a MapType column with str_to_map, read it
+    * back with element_at / map_keys / map_contains_key. DuckDB's MAP↔parquet
+    * interop is fragile (SURVEY §2.7), so the declared output projects map
+    * lookups to SCALARS and the oracle reproduces the same values with
+    * string ops — the contract is the values, the Spark side is what proves
+    * the map surface.
+    */
+  private def fnMap(s: SparkSession, dir: String): DataFrame = {
+    val m = expr("str_to_map(concat('brand:', p_brand, '|type:', p_type, '|size:', p_size), '\\\\|', ':')")
+    Tables
+      .part(s, dir)
+      .select(
+        col("p_partkey"),
+        element_at(m, "brand").as("m_brand"),
+        element_at(m, "type").as("m_type"),
+        element_at(m, "size").cast("long").as("m_size"),
+        size(map_keys(m)).cast("long").as("n_keys"),
+        array_contains(map_keys(m), "size").as("has_size"),
+        map_contains_key(m, "color").as("has_color"),
+      )
+      .orderBy("p_partkey")
+  }
+
   /** Scala UDF demo (Glue `Map.apply` equivalent): text normalizer. Declared
     * because the same transform is expressible in DuckDB SQL. A UDF is a
     * codegen barrier + serialization boundary — the library norm is
@@ -247,6 +270,16 @@ object Scalars {
         "SELECT c_custkey, md5(c_name) AS md5_name, sha256(c_name) AS sha_name, " +
           "repeat('*', length(c_name) - 4) || substring(c_name, length(c_name) - 3, 4) AS masked " +
           "FROM customer ORDER BY c_custkey"
+      ),
+    ),
+    QueryDef(
+      "fn_map",
+      fnMap,
+      Some(
+        "SELECT p_partkey, p_brand AS m_brand, p_type AS m_type, " +
+          "CAST(p_size AS BIGINT) AS m_size, CAST(3 AS BIGINT) AS n_keys, " +
+          "true AS has_size, false AS has_color " +
+          "FROM part ORDER BY p_partkey"
       ),
     ),
     QueryDef(
