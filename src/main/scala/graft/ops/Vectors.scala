@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.Qf._
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -24,7 +25,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object Vectors {
 
-  /** dot(a, b) as a fold over zipped arrays, in double. */
+  /** dot(a, b) as a fold over zipped arrays, in double — the pure-built-in
+    * formulation (works on any session, no registration needed).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -32,10 +35,17 @@ object Vectors {
       (acc, v) => acc + v,
     )
 
+  /** Same fold as a native codegen expression (graft.functions.DotProduct):
+    * bit-identical values, ~no per-element lambda/array overhead. Requires
+    * GraftFunctions.register on the session — declared query builders do it.
+    */
+  def nativeDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
   /** For the 100 probe vectors (vec_id < 100): top-10 nearest corpus
     * neighbors by cosine (self excluded), rank on (rounded sim desc, cand_id).
     */
   private def simTopkCosine(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val probes = e
       .filter(col("vec_id") < 100)
@@ -45,7 +55,7 @@ object Vectors {
     corpus
       .crossJoin(broadcast(probes)) // corpus stays partitioned; probes ship
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", round(dot(col("pvec"), col("cvec")), 4))
+      .withColumn("sim", round(nativeDot(col("pvec"), col("cvec")), 4))
       .withColumn("rn", asLong(row_number().over(w)))
       .filter(col("rn") <= 10)
       .select("probe_id", "cand_id", "sim", "rn")
@@ -54,11 +64,12 @@ object Vectors {
 
   /** All pairs with cosine >= 0.3 inside the same `label` block (a < b). */
   private def simThresholdPairs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("vb"))
     a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .withColumn("sim", round(dot(col("va"), col("vb")), 4))
+      .withColumn("sim", round(nativeDot(col("va"), col("vb")), 4))
       .filter(col("sim") >= 0.3)
       .select("label", "id_a", "id_b", "sim")
       .orderBy("label", "id_a", "id_b")

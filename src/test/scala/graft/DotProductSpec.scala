@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{DotProduct, GraftFunctions}
+import graft.ops.Vectors
+import org.apache.spark.sql.functions._
+
+/** The native codegen dot product must be a drop-in for the HOF fold:
+  * bit-identical values (same left-to-right double accumulation), null
+  * behavior, and SQL-callable registration via both paths.
+  */
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot is bit-identical to the HOF fold on real embeddings") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val pairs = e
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+      .filter(col("id_a") < 40 && col("id_b") < 40)
+    val diff = pairs
+      .withColumn("hof", Vectors.dot(col("va"), col("vb")))
+      .withColumn("native", Vectors.nativeDot(col("va"), col("vb")))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0, "native and HOF dot diverged — fold order changed")
+  }
+
+  test("registered in SQL, null-safe, self-dot of normalized vector is ~1") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d, " +
+        "graft_dot(CAST(NULL AS ARRAY<FLOAT>), CAST(array(1.0) AS ARRAY<FLOAT>)) AS n"
+    ).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1))
+    val selfDot = Tables
+      .embeddings(spark, sfDir)
+      .select(Vectors.nativeDot(col("embedding"), col("embedding")).as("d"))
+      .agg(min("d"), max("d"))
+      .collect()(0)
+    assert(math.abs(selfDot.getDouble(0) - 1.0) < 1e-3 && math.abs(selfDot.getDouble(1) - 1.0) < 1e-3)
+  }
+
+  test("expression supports codegen (does not fall back to interpreted-only)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val la = Literal.create(Array(1.0f, 2.0f), ArrayType(FloatType))
+    val lb = Literal.create(Array(3.0f, 4.0f), ArrayType(FloatType))
+    val expr = DotProduct(la, lb)
+    // CodegenFallback expressions break whole-stage fusion; DotProduct must not be one
+    assert(!expr.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    // and interpreted eval must produce the fold value
+    assert(expr.eval(null) == 11.0)
+  }
+
+  test("SparkSessionExtensions injection path builds the same expression") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val (_, _, builder) = GraftFunctions.functions.head
+    val e = builder(Seq(
+      Literal.create(Array(1.0f), ArrayType(FloatType)),
+      Literal.create(Array(2.0f), ArrayType(FloatType)),
+    ))
+    assert(e.isInstanceOf[DotProduct])
+  }
+}
