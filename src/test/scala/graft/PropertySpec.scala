@@ -1,0 +1,113 @@
+package graft
+
+import graft.ops.{Events, GlueParity, Text}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Algebraic laws on generated frames (SURVEY.md §5.4) — properties that
+  * must hold for EVERY input, not just the fixture corpus. Driven by raw
+  * scalacheck inside scalatest (scalatestplus bridge isn't a dependency);
+  * generators are small (a Spark job per case) but adversarial: empty
+  * strings, repeated rows, single-element groups.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, p: Prop, n: Int = 10): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n).withMaxSize(30), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val word = Gen.oneOf("data", "table", "scan", "row", "agg", "fast", "slow", "x", "")
+  private val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    check(
+      "dedup-idempotent",
+      Prop.forAll(Gen.nonEmptyListOf(doc)) { texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val once = df.groupBy(Text.normText(col("text")).as("norm")).agg(min("doc_id").as("keep_id"))
+        val twice = once.groupBy(col("norm")).agg(min("keep_id").as("keep_id"))
+        once.count() == twice.count() && once.except(twice.select("norm", "keep_id")).count() == 0
+      },
+    )
+  }
+
+  test("union-all count additivity; union-distinct equals set union") {
+    check(
+      "union-laws",
+      Prop.forAll(Gen.listOf(Gen.chooseNum(0L, 20L)), Gen.listOf(Gen.chooseNum(0L, 20L))) { (a, b) =>
+        val da = a.toDF("k")
+        val db = b.toDF("k")
+        da.unionAll(db).count() == a.size + b.size &&
+        da.union(db).distinct().count() == (a ++ b).distinct.size
+      },
+    )
+  }
+
+  test("session windows partition the event set and never overlap per user") {
+    val evGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 100L)))
+    check(
+      "session-partition",
+      Prop.forAll(evGen) { evs =>
+        val df = evs.zipWithIndex.map { case ((u, minute), i) =>
+          (i.toLong, new java.sql.Timestamp(minute * 60000L), u, "e", 1.0)
+        }.toDF("event_id", "etime", "user_id", "event_type", "value")
+        val sessions = Events.session5m(df)
+        val total = sessions.agg(sum("n_events")).collect()(0).getLong(0) == evs.size.toLong
+        val rows = sessions.orderBy("user_id", "sess_start").collect()
+        val noOverlap = rows.groupBy(_.getAs[Long]("user_id")).values.forall { ss =>
+          ss.sliding(2).forall {
+            case Array(x, y) =>
+              !y.getAs[java.sql.Timestamp]("sess_start").before(x.getAs[java.sql.Timestamp]("sess_end"))
+            case _ => true
+          }
+        }
+        total && noOverlap
+      },
+      n = 8,
+    )
+  }
+
+  test("splitRows is a partition: disjoint and complete for any predicate") {
+    check(
+      "splitrows-partition",
+      Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)), Gen.chooseNum(-50, 50)) { (xs, cut) =>
+        val df = xs.toDF("x")
+        val (hit, miss) = GlueParity.splitRows(df, col("x") > cut)
+        hit.count() + miss.count() == xs.size.toLong &&
+        hit.collect().forall(_.getInt(0) > cut) &&
+        miss.collect().forall(_.getInt(0) <= cut)
+      },
+    )
+  }
+
+  test("dsum equals BigDecimal ground truth for 2-decimal inputs") {
+    val money = Gen.chooseNum(0, 1000000).map(_ / 100.0)
+    check(
+      "dsum-exact",
+      Prop.forAll(Gen.nonEmptyListOf(money)) { xs =>
+        val got = xs.toDF("x").agg(Qf.dsum(col("x"), 2)).collect()(0).getDouble(0)
+        val truth = xs.map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        got == truth
+      },
+    )
+  }
+
+  test("jaccard over shingle sets is symmetric and in [0, 1] (pure law)") {
+    def shingles(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    check(
+      "jaccard-laws",
+      Prop.forAll(doc, doc) { (t1, t2) =>
+        val (s1, s2) = (shingles(t1), shingles(t2))
+        s1.isEmpty || s2.isEmpty || {
+          val j12 = s1.intersect(s2).size.toDouble / s1.union(s2).size
+          val j21 = s2.intersect(s1).size.toDouble / s2.union(s1).size
+          j12 == j21 && j12 >= 0.0 && j12 <= 1.0
+        }
+      },
+      n = 50,
+    )
+  }
+}
