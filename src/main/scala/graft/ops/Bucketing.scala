@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed co-located joins (SURVEY.md §7.4 scale register): pre-shuffle
+  * both sides of a recurring join ONCE at write time (`bucketBy` on the join
+  * key with matching bucket counts), and every subsequent join on that key
+  * plans a sort-merge join with NO exchange on either side — at 100 TB the
+  * difference between re-shuffling the fact table per query and reading
+  * co-located buckets. BucketingSpec asserts the exchange-free plan and
+  * result equality vs the plain join.
+  */
+object Bucketing {
+
+  /** Persist a frame as a bucketed managed table (sorted within buckets so
+    * the SMJ's sort is also pre-done on read where the reader supports it).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on the bucket key. */
+  def joinBucketed(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
+  /** True when a physical plan contains no shuffle exchange — the property
+    * bucketed co-location buys.
+    */
+  def hasNoShuffle(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}
