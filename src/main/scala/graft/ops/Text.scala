@@ -65,17 +65,21 @@ object Text {
       .orderBy("keep_id")
 
   /** Near-duplicate pairs by exact 3-shingle Jaccard >= 0.8.
-    * Plan: distinct (doc, shingle) → self-equi-join on shingle (a < b) →
-    * |∩| per pair → |∪| = |A|+|B|−|∩| → ratio. All shuffle-relational; the
-    * join key is the shingle so only docs sharing a shingle ever pair up —
-    * no all-pairs blowup. Jaccard is a ratio of exact ints (deterministic);
-    * round(4) for the declared column.
+    * Plan: distinct (doc, shingle-hash) → self-equi-join on the hash
+    * (a < b) → |∩| per pair → |∪| = |A|+|B|−|∩| → ratio. The join/shuffle
+    * key is xxhash64(shingle), NOT the shingle text: at corpus scale the
+    * shuffled bytes drop ~3× and the join compares longs (a 64-bit collision
+    * among even 10^9 distinct shingles is ~1e-10 — far below the accepted
+    * FP-rounding risk; the same reasoning as dedup_exact_norm's md5 key).
+    * Only docs sharing a shingle ever pair up — no all-pairs blowup.
+    * Jaccard is a ratio of exact ints (deterministic); round(4) declared.
     */
   private def dedupNearJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sh = docs
       .filter(size(words(col("text"))) >= 3)
-      .select(col("doc_id"), explode(shingles3(words(col("text")))).as("sh"))
+      .select(col("doc_id"), explode(shingles3(words(col("text")))).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(nrows.as("n_sh"))
     val inter = sh
