@@ -1,8 +1,19 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{
+  GroupState,
+  GroupStateTimeout,
+  OutputMode,
+  StatefulProcessor,
+  StreamingQuery,
+  TimeMode,
+  TimerValues,
+  Trigger,
+  TTLConfig,
+  ValueState,
+}
 
 /** True Structured Streaming surface (SURVEY.md §2.8): the batch bodies in
   * `Events` run unchanged on streams; this module adds what only exists in
@@ -49,6 +60,45 @@ object Streaming {
           state.update(next)
           (user, next)
       }
+  }
+
+  /** Per-user running (count, sum) via the 4.x `transformWithState` API —
+    * the successor to mapGroupsWithState: explicit named state handles,
+    * TTL support, timers. Requires the RocksDB state store provider
+    * (spec sets it). Final state ≡ batch groupBy count/sum.
+    */
+  final case class UserTotals(user_id: Long, n: Long, total: Double)
+
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Ev, UserTotals] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE,
+      )
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev], timerValues: TimerValues): Iterator[UserTotals] = {
+      val (n0, s0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var n = n0
+      var s = s0
+      rows.foreach { e => n += 1; s += e.value }
+      totals.update((n, s))
+      Iterator.single(UserTotals(user, n, s))
+    }
+  }
+
+  def statefulRunningTotals(events: Dataset[Ev]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotalsProcessor,
+        TimeMode.None(),
+        OutputMode.Update(),
+        implicitly[org.apache.spark.sql.Encoder[UserTotals]],
+      )
   }
 
   /** Windowed agg → append-mode parquet sink with checkpoint: the

@@ -114,6 +114,49 @@ class StreamingParitySpec extends SparkSpec {
     assert(latest == batch)
   }
 
+  test("transformWithState running totals equal batch aggregates") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try {
+      val input = MemoryStream[Ev](spark)
+      val q = Streaming
+        .statefulRunningTotals(input.toDS())
+        .toDF()
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName("tws_totals")
+        .start()
+      input.addData(evs.take(2))
+      q.processAllAvailable()
+      input.addData(evs.drop(2))
+      q.processAllAvailable()
+      q.stop()
+      val latest = spark
+        .table("tws_totals")
+        .groupBy("user_id")
+        .agg(max("n").as("n"), max("total").as("total"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      val batch = batchDf
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(latest == batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("append-mode parquet sink with checkpoint writes closed windows") {
     val input = MemoryStream[Ev](spark)
     input.addData(evs)
