@@ -54,6 +54,41 @@ class DotProductSpec extends SparkSpec {
     assert(expr.eval(null) == 11.0)
   }
 
+  test("optimizer rule rewrites the HOF pattern to the native expression") {
+    import graft.functions.DotProductRewrite
+    spark.experimental.extraOptimizations = Seq(DotProductRewrite)
+    try {
+      val e = Tables.embeddings(spark, sfDir).limit(50)
+      val hofPlan = e
+        .select(Vectors.dot(col("embedding"), col("embedding")).as("d"))
+      val optimized = hofPlan.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_dot"), s"rewrite did not fire:\n$optimized")
+      assert(!optimized.contains("aggregate("), s"HOF survived the rewrite:\n$optimized")
+      // and the rewritten plan computes the same values as the un-rewritten one
+      val rewritten = hofPlan.collect().map(_.getDouble(0))
+      spark.experimental.extraOptimizations = Nil
+      val plain = e.select(Vectors.dot(col("embedding"), col("embedding")).as("d"))
+        .collect().map(_.getDouble(0))
+      assert(rewritten.sameElements(plain))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rule leaves non-matching aggregates untouched") {
+    import graft.functions.DotProductRewrite
+    spark.experimental.extraOptimizations = Seq(DotProductRewrite)
+    try {
+      // a sum-of-squares fold (multiply of the SAME variable) must NOT match
+      val df = Tables.embeddings(spark, sfDir).limit(5)
+        .select(aggregate(
+          zip_with(col("embedding"), col("embedding"), (x, _) => x.cast("double") * x.cast("double")),
+          lit(0.0),
+          (acc, v) => acc + v,
+        ).as("sumsq"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+      assert(df.collect().forall(_.getDouble(0) >= 0.0))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("SparkSessionExtensions injection path builds the same expression") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, FloatType}
