@@ -24,6 +24,33 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("plan lint: no DECIMAL outputs, no nondeterministic expressions in declared queries") {
+    // DECIMAL in a declared schema fails the driver's hasher even for
+    // byte-identical values (round-1 lesson); nondeterministic expressions
+    // fail it eventually. Guard both statically for every declared query.
+    val banned = Set(
+      "Rand", "Randn", "Uuid", "Shuffle", "CurrentTimestamp", "Now",
+      "CurrentDate", "MonotonicallyIncreasingID", "SparkPartitionID", "InputFileName",
+    )
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      df.schema.foreach { f =>
+        assert(
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType],
+          s"$name declares DECIMAL output column ${f.name}",
+        )
+      }
+      df.queryExecution.analyzed.foreach { node =>
+        node.expressions.foreach(_.foreach { e =>
+          assert(
+            !banned.contains(e.getClass.getSimpleName),
+            s"$name contains nondeterministic expression ${e.getClass.getSimpleName}",
+          )
+        })
+      }
+    }
+  }
+
   test("group-sum reconciliation: pricing summary totals vs global aggregate") {
     val global = SparkEntry.queries("agg_global")(spark, sfDir).collect()(0)
     val pricing = SparkEntry
