@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Pins the physical-plan shapes PERF.md documents, so a refactor that
+  * silently loses pushdown, re-shuffles a broadcast star join, or degrades
+  * top-k into a global sort fails CI instead of the 100 TB run.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.count() // finalize AQE
+    df.queryExecution.executedPlan
+  }
+
+  private def planString(name: String): String = plan(name).toString
+
+  test("scan_parquet_pushdown: filter and projection reach the parquet scan") {
+    val p = planString("scan_parquet_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p.take(1500))
+    assert(p.contains("ReadSchema") && !p.contains("l_shipdate"), "projection must prune unused columns")
+  }
+
+  test("filter_pred: compound predicate fully pushed") {
+    // plan toString truncates long filter lists — read the scan metadata
+    // (unwrap AQE: collectLeaves treats AdaptiveSparkPlanExec as a leaf)
+    val finalPlan = plan("filter_pred") match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other                                                            => other
+    }
+    val pushed = finalPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata("PushedFilters") }
+      .mkString
+    assert(pushed.contains("GreaterThan(l_quantity,30.0)") && pushed.contains("In(l_returnflag"), pushed)
+  }
+
+  test("incremental_read: checkpoint bound pushed onto the ts column") {
+    val p = planString("incremental_read")
+    assert(p.contains("GreaterThan(ts,1709251200000000999)"), p.take(1500))
+  }
+
+  test("join_multiway_star: broadcast joins only, fact side never exchanges pre-agg") {
+    val p = planString("join_multiway_star")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "star dims must broadcast at gate scale")
+  }
+
+  test("topk_global plans TakeOrderedAndProject, not a global sort") {
+    val p = planString("topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("sim_topk_cosine: probes broadcast, corpus streams; native dot in the plan") {
+    val p = planString("sim_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("graft_dot"), "native DotProduct must be in the executed plan")
+  }
+
+  test("no cartesian products outside the bounded cross join") {
+    SparkEntry.queries.keys.filterNot(_ == "join_cross_bounded").foreach { name =>
+      val p = planString(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+}
