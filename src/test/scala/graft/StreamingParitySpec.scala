@@ -157,6 +157,37 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("file-source stream ingests landed files incrementally, exactly once") {
+    val srcDir = tmpDir("fs-src")
+    val events = Tables
+      .events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val first = events.filter(col("event_id") % 2 === 0)
+    val second = events.filter(col("event_id") % 2 === 1)
+    first.coalesce(1).write.mode("append").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(first.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("fs_ingest")
+      .start()
+    q.processAllAvailable()
+    val afterFirst = spark.table("fs_ingest").count()
+    assert(afterFirst == first.count(), "first landed file fully ingested")
+
+    // a new file lands -> only the delta is processed
+    second.coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("fs_ingest")
+    assert(all.count() == events.count(), "second file ingested")
+    assert(all.select("event_id").distinct().count() == events.count(), "no event ingested twice")
+  }
+
   test("append-mode parquet sink with checkpoint writes closed windows") {
     val input = MemoryStream[Ev](spark)
     input.addData(evs)
