@@ -20,9 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * intermediate array, stays inside WholeStageCodegen) — the kernel under
   * every 100 TB similarity scan.
   *
-  * Mismatched lengths fold over the common prefix (zip_with would pad with
-  * nulls and null-poison the sum; corpus vectors are fixed-width so the case
-  * is degenerate — the choice only affects malformed input).
+  * Null semantics match the HOF formulation EXACTLY (the optimizer rewrite
+  * depends on it): mismatched lengths return NULL (zip_with pads the shorter
+  * side with nulls, null-poisoning the sum) and a null element returns NULL.
+  * Fixed-width non-null embedding columns never hit either branch.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -42,10 +43,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -57,12 +60,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       ctx,
       ev,
       (a, b) => s"""
-        |int n = Math.min($a.numElements(), $b.numElements());
-        |double acc = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  acc += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+        |int n = $a.numElements();
+        |if (n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double acc = 0.0;
+        |  for (int i = 0; i < n; i++) {
+        |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
+        |    acc += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+        |  }
+        |  if (!${ev.isNull}) { ${ev.value} = acc; }
         |}
-        |${ev.value} = acc;
       """.stripMargin,
     )
 

@@ -27,9 +27,18 @@ object Bucketing {
   def joinBucketed(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
-  /** True when a physical plan contains no shuffle exchange — the property
-    * bucketed co-location buys.
+  /** True when a physical plan contains no shuffle exchange of any kind
+    * (hash, range, or single-partition) — the property bucketed co-location
+    * buys. Walks the plan (unwrapping AQE) rather than string-matching, so
+    * broadcast exchanges don't false-positive and no shuffle flavor escapes.
     */
-  def hasNoShuffle(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  def hasNoShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    plan.collect { case s: ShuffleExchangeLike => s }.isEmpty
+  }
 }

@@ -143,6 +143,9 @@ object Events {
     * range-join candidates → row_number()=1, with a deterministic tiebreak.
     * The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so this query
     * cross-checks the rewrite against a reference asof implementation.
+    * Clicks are pre-collapsed to one per (user, µs) — min event_id — on
+    * BOTH engines: native ASOF picks an unspecified row among equal-time
+    * matches, so the tie must not exist by the time it joins.
     * Scale: the candidate join is an equi-join on user_id plus a range
     * residual; the per-purchase top-1 collapses it before any further
     * exchange (same shape as win_topk_per_group).
@@ -154,7 +157,8 @@ object Events {
       .select(col("event_id").as("p_id"), col("user_id"), col("us").as("p_us"))
     val c = e
       .filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("us").as("c_us"))
+      .groupBy(col("user_id").as("c_user"), col("us").as("c_us"))
+      .agg(min(col("event_id")).as("c_id"))
     val w = Window
       .partitionBy(col("p_id"))
       .orderBy(col("c_us").desc_nulls_last, col("c_id").desc)
@@ -255,7 +259,8 @@ object Events {
       Some(
         "WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events), " +
           "p AS (SELECT event_id AS p_id, user_id, us AS p_us FROM e WHERE event_type = 'purchase'), " +
-          "c AS (SELECT user_id AS c_user, event_id AS c_id, us AS c_us FROM e WHERE event_type = 'click') " +
+          "c AS (SELECT user_id AS c_user, us AS c_us, min(event_id) AS c_id " +
+          "FROM e WHERE event_type = 'click' GROUP BY 1, 2) " +
           "SELECT p_id, user_id, c_id, p_us - c_us AS wait_us " +
           "FROM p ASOF LEFT JOIN c ON user_id = c_user AND p_us >= c_us " +
           "ORDER BY p_id"

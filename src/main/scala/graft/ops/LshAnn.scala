@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -68,11 +69,14 @@ object LshAnn {
       .filter(col("probe_id") =!= col("cand_id"))
       .select("probe_id", "cand_id")
       .distinct()
+    GraftFunctions.register(probes.sparkSession)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
     cands
       .join(probes, "probe_id")
       .join(corpus, "cand_id")
-      .withColumn("sim", round(Vectors.dot(col("pvec"), col("cvec")), 4))
+      // exact re-rank with the native codegen kernel (bit-identical to the
+      // HOF fold; this is the hot loop of the 100 TB path)
+      .withColumn("sim", round(Vectors.nativeDot(col("pvec"), col("cvec")), 4))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("probe_id", "cand_id", "sim", "rn")

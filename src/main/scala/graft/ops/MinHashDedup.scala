@@ -25,20 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
-  /** Distinct (doc_id, shingle) pairs; k-word shingles from normalized text. */
-  def shingleSet(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val w = split(Text.normText(col(textCol)), " ")
-    val len = greatest(size(w) - 2, lit(0))
-    val sh3 = zip_with(
-      zip_with(slice(w, lit(1), len), slice(w, lit(2), len), (x, y) => concat_ws(" ", x, y)),
-      slice(w, lit(3), len),
-      (xy, z) => concat_ws(" ", xy, z),
-    )
-    docs
-      .filter(size(w) >= 3)
-      .select(col("doc_id"), explode(sh3).as("sh"))
-      .distinct()
-  }
+  /** Distinct (doc_id, shingle-hash) pairs — delegates to Text.shingleHashes
+    * so the LSH path and the exact `dedup_near_jaccard` share ONE shingle
+    * definition (normalized text, 3-word, 64-bit hashed).
+    */
+  def shingleSet(docs: DataFrame, textCol: String = "text"): DataFrame =
+    Text.shingleHashes(docs, textCol)
 
   /** nHashes-wide MinHash signature per doc: element i is the minimum of the
     * i-th hash family over the doc's shingle set. One shuffle (doc_id).

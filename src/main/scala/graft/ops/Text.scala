@@ -64,23 +64,34 @@ object Text {
       .agg(min(col("doc_id")).as("keep_id"), nrows.as("n_copies"))
       .orderBy("keep_id")
 
-  /** Near-duplicate pairs by exact 3-shingle Jaccard >= 0.8.
-    * Plan: distinct (doc, shingle-hash) → self-equi-join on the hash
-    * (a < b) → |∩| per pair → |∪| = |A|+|B|−|∩| → ratio. The join/shuffle
-    * key is xxhash64(shingle), NOT the shingle text: at corpus scale the
-    * shuffled bytes drop ~3× and the join compares longs (a 64-bit collision
-    * among even 10^9 distinct shingles is ~1e-10 — far below the accepted
-    * FP-rounding risk; the same reasoning as dedup_exact_norm's md5 key).
-    * Only docs sharing a shingle ever pair up — no all-pairs blowup.
-    * Jaccard is a ratio of exact ints (deterministic); round(4) declared.
+  /** THE shingle universe: distinct (doc_id, sh) 3-shingle hashes over
+    * NORMALIZED text. Both the exact near-dup join below and the MinHash
+    * LSH path (MinHashDedup) build on this one definition, so the exact
+    * verifier and the LSH candidate generator can never drift apart.
+    * The shuffle/join key is xxhash64(shingle), not the shingle text: at
+    * corpus scale the shuffled bytes drop ~3× and joins compare longs (a
+    * 64-bit collision among even 10^9 distinct shingles is ~1e-10 — far
+    * below the accepted FP-rounding risk; same reasoning as
+    * dedup_exact_norm's md5 key).
+    */
+  def shingleHashes(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = words(normText(col(textCol)))
+    docs
+      .filter(size(w) >= 3)
+      .select(col("doc_id"), explode(shingles3(w)).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs by exact 3-shingle Jaccard >= 0.8 on normalized
+    * text. Plan: shingle hashes → self-equi-join (a < b) → |∩| per pair →
+    * |∪| = |A|+|B|−|∩| → ratio. Only docs sharing a shingle ever pair up —
+    * no all-pairs blowup. Jaccard is a ratio of exact ints (deterministic);
+    * round(4) declared.
     */
   private def dedupNearJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sh = docs
-      .filter(size(words(col("text"))) >= 3)
-      .select(col("doc_id"), explode(shingles3(words(col("text")))).as("sh_str"))
-      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
-      .distinct()
+    val sh = shingleHashes(docs)
     val sizes = sh.groupBy("doc_id").agg(nrows.as("n_sh"))
     val inter = sh
       .select(col("doc_id").as("id_a"), col("sh"))
@@ -197,7 +208,8 @@ object Text {
       "dedup_near_jaccard",
       dedupNearJaccard,
       Some(
-        "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "WITH ws AS (SELECT doc_id, " +
+          "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
           "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
           "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ws WHERE len(w) >= 3), " +
           "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), " +

@@ -54,6 +54,28 @@ class DotProductSpec extends SparkSpec {
     assert(expr.eval(null) == 11.0)
   }
 
+  test("null semantics match the HOF fold: length mismatch and null elements give NULL") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),          // clean -> 11.0
+      (2L, Seq(1.0f, 2.0f), Seq(3.0f)),                // length mismatch -> NULL
+    ).toDF("id", "a", "b")
+      .union(
+        Seq((3L, Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](3.0f, 4.0f)))
+          .toDF("id", "a", "b") // null element -> NULL
+      )
+    val out = df
+      .withColumn("hof", Vectors.dot(col("a"), col("b")))
+      .withColumn("native", Vectors.nativeDot(col("a"), col("b")))
+      .orderBy("id")
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(3) == r.isNullAt(4), s"row ${r.getLong(0)}: HOF/native nullness diverged")
+      if (!r.isNullAt(3)) assert(r.getDouble(3) == r.getDouble(4))
+    }
+    assert(!out(0).isNullAt(4) && out(1).isNullAt(4) && out(2).isNullAt(4))
+  }
+
   test("optimizer rule rewrites the HOF pattern to the native expression") {
     import graft.functions.DotProductRewrite
     spark.experimental.extraOptimizations = Seq(DotProductRewrite)
