@@ -14,7 +14,8 @@ object SparkEntry {
   private def catalog: Seq[QueryDef] =
     ops.Relational.entries ++ ops.Sources.entries ++ ops.Scalars.entries ++
       ops.Udaf.entries ++ ops.Events.entries ++ ops.Text.entries ++
-      ops.Vectors.entries
+      ops.SimHash.entries ++ ops.MinHashDedup.entries ++
+      ops.Vectors.entries ++ ops.LshAnn.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -81,4 +81,24 @@ object LshAnn {
       .filter(col("rn") <= k)
       .select("probe_id", "cand_id", "sim", "rn")
   }
+
+  private def simAnnLsh(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(s, dir)
+    val probes = e
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
+    annTopK(probes, corpus, k = 10, planes = hyperplanes(nTables = 8, bits = 4, dim = 64))
+      .orderBy("probe_id", "rn")
+  }
+
+  /** Declared WITHOUT an oracle (None ⇒ the driver records a rows-only
+    * check): ANN recall is a parameter trade-off, not an exact contract, so
+    * no cross-engine hash can be promised — but the query is deterministic
+    * (seeded literal hyperplanes, exact re-rank, pinned tiebreaks) and the
+    * recall floor is asserted in LshSpec against the brute-force truth.
+    */
+  val entries: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef("sim_ann_lsh", simAnnLsh, None)
+  )
 }

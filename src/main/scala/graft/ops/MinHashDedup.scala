@@ -87,8 +87,12 @@ object MinHashDedup {
   }
 
   /** End-to-end: near-dup pairs at threshold via LSH candidates + exact
-    * verify. Same output contract as the exact `dedup_near_jaccard` modulo
-    * LSH recall (measured >= 0.95 at the declared parameters in spec).
+    * verify. Same output contract as the exact `dedup_near_jaccard` —
+    * identical columns and filter — differing only by LSH recall, which at
+    * 32 bands × 4 rows is 1 − (1 − j⁴)^32 ≈ 1 − 5e-8 per true pair at
+    * j = 0.8 (and higher above). That is why the DECLARED query below can
+    * share the exact plan's DuckDB oracle: a miss is about as likely as the
+    * 64-bit hash collisions already accepted everywhere else.
     */
   def nearDupPairs(
       docs: DataFrame,
@@ -99,6 +103,38 @@ object MinHashDedup {
   ): DataFrame = {
     val sh = shingleSet(docs)
     val cands = candidatePairs(signatures(sh, nHashes), bands, rows)
-    verifyPairs(cands, sh).filter(col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    verifyPairs(cands, sh)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_inter", "jaccard")
   }
+
+  private def dedupMinhashLsh(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    nearDupPairs(graft.Tables.documents(s, dir)).orderBy("id_a", "id_b")
+
+  /** Declared with the SAME oracle SQL as dedup_near_jaccard (see
+    * nearDupPairs scaladoc for why recall permits it): the driver's hash
+    * gate then checks the full LSH pipeline — signatures, banding,
+    * candidate join, exact verification — end to end.
+    */
+  val entries: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "dedup_minhash_lsh",
+      dedupMinhashLsh,
+      Some(
+        "WITH ws AS (SELECT doc_id, " +
+          "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
+          "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
+          "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ws WHERE len(w) >= 3), " +
+          "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), " +
+          "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter " +
+          "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+          "SELECT id_a, id_b, n_inter, " +
+          "round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard " +
+          "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+          "WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8 " +
+          "ORDER BY id_a, id_b"
+      ),
+    ),
+  )
 }
