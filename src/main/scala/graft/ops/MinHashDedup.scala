@@ -34,6 +34,10 @@ object MinHashDedup {
 
   /** nHashes-wide MinHash signature per doc: element i is the minimum of the
     * i-th hash family over the doc's shingle set. One shuffle (doc_id).
+    *
+    * NOTE: the family must not use raw long multiply/add — Spark 4 runs
+    * ANSI mode by default and wrapping arithmetic throws on overflow.
+    * xxhash64(seed, sh) is overflow-free and proven.
     */
   def signatures(shingles: DataFrame, nHashes: Int = 128): DataFrame = {
     val mins: Seq[Column] = (0 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))))
