@@ -14,6 +14,7 @@ object SparkEntry {
   private def catalog: Seq[QueryDef] =
     ops.Relational.entries ++ ops.Sources.entries ++ ops.Scalars.entries ++
       ops.Udaf.entries ++ ops.Events.entries ++ ops.Text.entries ++
+      ops.TextQuality.entries ++
       ops.SimHash.entries ++ ops.MinHashDedup.entries ++
       ops.Vectors.entries ++ ops.LshAnn.entries
 
