@@ -27,7 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // 68 queries × 2 bench passes of whole-stage-codegen classes overflow the
+  // a full-catalog bench (2 passes of whole-stage-codegen classes) overflows the
   // default 240 MB JIT code cache; once full the JIT disables and late
   // queries run interpreted (measured 3-50x slowdowns on whatever ran last).
   "-XX:ReservedCodeCacheSize=2g",

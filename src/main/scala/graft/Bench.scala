@@ -28,7 +28,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // 68 queries × several codegen'd stages per pass overflow the default
+      // The full catalog × several codegen-built stages per pass overflows the default
       // 100-entry generated-class cache, so every pass re-runs janino on
       // every stage — the wide MinHash signature aggregate alone re-compiles
       // for ~13 s. Static conf, so it must be set at session build.

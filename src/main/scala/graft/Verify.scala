@@ -15,7 +15,7 @@ object Verify {
       // behavior doesn't depend on which loader ran first (Tables.events
       // also sets it idempotently for sessions built elsewhere, e.g. tests).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // static conf; default 100 thrashes across 68 queries (see Bench)
+      // static conf; default 100 thrashes across the full catalog (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -28,23 +28,28 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 60-bit SimHash fingerprint per doc_id. */
+  /** 60-bit SimHash fingerprint per doc_id: ONE groupBy(doc_id) carrying 60
+    * signed-sum aggregate columns (the MinHashDedup.signatures shape), then
+    * a single projection packs the sign bits — versus exploding every token
+    * ×60 and shuffling twice, this is 1/60th the rows and one exchange.
+    */
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = docs.select(
       col("doc_id"),
       explode(split(Text.normText(col(textCol)), " ")).as("tok"),
     )
+    val bitSums = (0 until 60).map(i => sum(expr(s"2 * (shiftright(h, $i) & 1) - 1")).as(s"s_$i"))
+    val packed = (0 until 60)
+      .map(i => when(col(s"s_$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _) // 60 positive terms < 2^60 — no ANSI overflow possible
     toks
       .select(
         col("doc_id"),
         expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"),
       )
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(expr("2 * (shiftright(h, i) & 1) - 1")).as("s"))
-      .select(col("doc_id"), col("i"), when(col("s") >= 0, 1L).otherwise(0L).as("b"))
       .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(b, i)")).cast("long").as("fp"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("fp"))
   }
 
   /** All pairs (a < b) at Hamming distance <= maxHamming, via 4×15-bit

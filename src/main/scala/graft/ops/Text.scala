@@ -194,6 +194,25 @@ object Text {
 
   // ------------------------------------------------------------- catalog
 
+  /** Exact 3-shingle Jaccard >= 0.8 oracle over normalized text — SHARED
+    * between `dedup_near_jaccard` and `dedup_minhash_lsh` (the LSH pipeline
+    * is declared against the exact truth; keeping one constant is what makes
+    * "same oracle" impossible to drift).
+    */
+  val nearJaccardOracleSql: String =
+    "WITH ws AS (SELECT doc_id, " +
+      "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ws WHERE len(w) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, n_inter, " +
+      "round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard " +
+      "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8 " +
+      "ORDER BY id_a, id_b"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef(
       "dedup_exact_norm",
@@ -204,24 +223,7 @@ object Text {
           "FROM documents GROUP BY 1 ORDER BY keep_id"
       ),
     ),
-    QueryDef(
-      "dedup_near_jaccard",
-      dedupNearJaccard,
-      Some(
-        "WITH ws AS (SELECT doc_id, " +
-          "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
-          "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
-          "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ws WHERE len(w) >= 3), " +
-          "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), " +
-          "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter " +
-          "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-          "SELECT id_a, id_b, n_inter, " +
-          "round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard " +
-          "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
-          "WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8 " +
-          "ORDER BY id_a, id_b"
-      ),
-    ),
+    QueryDef("dedup_near_jaccard", dedupNearJaccard, Some(nearJaccardOracleSql)),
     QueryDef(
       "text_stats_lang",
       textStatsLang,
