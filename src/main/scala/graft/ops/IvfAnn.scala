@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest neighbors — the data-DEPENDENT
+  * scale path, complementing the data-independent sign-bit LSH in LshAnn:
+  * a coarse quantizer (k centroids, trained by distributed Lloyd
+  * iterations) partitions the corpus into k inverted lists; a probe scores
+  * only the `nprobe` lists whose centroids it is closest to. Candidate
+  * work is ~(nprobe/k)·|corpus| per probe instead of |corpus|; recall
+  * depends on list balance and nprobe and is measured in IvfSpec.
+  *
+  * Everything is DataFrame ops: assignment is a broadcast join of the k
+  * centroids + per-vector arg-max (cosine ≡ dot on normalized inputs, via
+  * the native codegen kernel); the Lloyd update is an elementwise mean —
+  * posexplode to (cluster, dim) grain, avg, re-assemble, L2-normalize.
+  * Centroid seeds are the first k corpus vectors (deterministic); the mean
+  * is a float aggregation, so training is deterministic only up to
+  * summation order — fine for an index (assignment changes of borderline
+  * vectors shift recall marginally, never correctness of returned scores,
+  * which are always exact re-ranks).
+  */
+object IvfAnn {
+
+  /** Nearest-centroid id per vector: broadcast the k centroids, keep the
+    * arg-max dot (ties to the lower centroid id).
+    */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid"))
+    vecs
+      .crossJoin(broadcast(centroids)) // k rows
+      .withColumn("__sim", Vectors.nativeDot(col(vecCol), col("cvec_c")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__sim", "__rn", "cvec_c")
+  }
+
+  /** One distributed Lloyd step: elementwise mean of each cluster's members,
+    * L2-normalized back onto the unit sphere (inputs are normalized, so
+    * cosine stays ≡ dot).
+    */
+  def lloydStep(corpus: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    val assigned = assign(corpus, "cand_id", vecCol, centroids)
+    val dims = assigned
+      .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(avg(col("x")).as("m"))
+    val means = dims
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), expr("transform(pm, p -> p.m)").as("raw"))
+    means
+      .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(
+        col("cid"),
+        expr("transform(raw, x -> cast(x / norm AS FLOAT))").as("cvec_c"),
+      )
+  }
+
+  /** Train a k-centroid coarse quantizer: seed with the first k corpus
+    * vectors (deterministic), run `iters` Lloyd steps.
+    */
+  def train(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val seed = corpus
+      .orderBy("cand_id")
+      .limit(k)
+      .select(monotonicallyStableCid(k), col("cvec").as("cvec_c"))
+    (1 to iters).foldLeft(seed)((c, _) => lloydStep(corpus, "cvec", c))
+  }
+
+  // row_number over a 16-row frame; deterministic because cand_id is ordered
+  private def monotonicallyStableCid(k: Int) = {
+    val w = Window.orderBy(col("cand_id"))
+    (row_number().over(w) - 1).as("cid")
+  }
+
+  /** IVF top-k: assign corpus once (the inverted lists), route each probe to
+    * its nprobe nearest lists, exact re-rank within them.
+    */
+  def ivfTopK(
+      probes: DataFrame, // (probe_id, pvec)
+      corpus: DataFrame, // (cand_id, cvec)
+      centroids: DataFrame, // (cid, cvec_c)
+      nprobe: Int,
+      k: Int,
+  ): DataFrame = {
+    GraftFunctions.register(probes.sparkSession)
+    val lists = assign(corpus, "cand_id", "cvec", centroids)
+    val wp = Window.partitionBy(col("probe_id")).orderBy(col("__sim").desc, col("cid"))
+    val routes = probes
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", Vectors.nativeDot(col("pvec"), col("cvec_c")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nprobe)
+      .select(col("probe_id"), col("pvec"), col("cid"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+    routes
+      .join(lists, "cid")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", round(Vectors.nativeDot(col("pvec"), col("cvec")), 4))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("probe_id", "cand_id", "sim", "rn")
+  }
+}
