@@ -46,6 +46,25 @@ object Approx {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
   }
 
+  /** Declared rows-only (no oracle can exist: DuckDB has no matching HLL/GK
+    * implementations, and sketch values are engine-specific). Both entries
+    * are deterministic — HLL register merges are max-based and therefore
+    * order-independent — and ApproxSpec separately asserts tolerance vs the
+    * exact answers, which the approx_distinct output also carries inline.
+    */
+  val entries: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "agg_approx_distinct",
+      (s, dir) => approxDistinctUsers(graft.Tables.events(s, dir)).orderBy("event_type"),
+      None,
+    ),
+    graft.QueryDef(
+      "agg_hll_mergeable",
+      (s, dir) => hllMergeable(graft.Tables.events(s, dir)).orderBy("event_type"),
+      None,
+    ),
+  )
+
   /** Manual skew salting: replicate the build side `salt` times, scatter the
     * probe side across salts, join on (key, salt). Produces the same rows as
     * the plain join (asserted in spec) while splitting a hot key's work

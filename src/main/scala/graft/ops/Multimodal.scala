@@ -78,6 +78,20 @@ object Multimodal {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Declared rows-only: the corpus has no binary table, so the query runs
+    * per-mime stats over the deterministic synthetic media set (payloads are
+    * a pure function of id — identical on every run, so the driver's
+    * rows-only check is stable; a byte-level DuckDB oracle would mean
+    * re-implementing the generator in SQL for no added signal).
+    */
+  val entries: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "multimodal_binary",
+      (s, dir) => perMimeStats(synth(s, 300).toDF()),
+      None,
+    ),
+  )
+
   /** Deterministic synthetic corpus for specs (no binary table in the test
     * data): payload bytes are a pure function of id.
     */
