@@ -25,19 +25,34 @@ import org.apache.spark.sql.expressions.Window
   */
 object IvfAnn {
 
-  /** Nearest-centroid id per vector: broadcast the k centroids, keep the
-    * arg-max dot (ties to the lower centroid id).
+  /** Route each vector to its topN nearest centroids (ties to the lower
+    * centroid id). ONE implementation for both assignment (topN = 1) and
+    * probe routing (topN = nprobe) so tie-breaks can never diverge.
+    * The topN = 1 path aggregates with max_by instead of a window: the k
+    * scored rows collapse map-side (partial aggregation) before any
+    * exchange — a k-fold shuffle reduction on the corpus-sized side.
     */
-  def assign(vecs: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+  def route(vecs: DataFrame, idCol: String, vecCol: String, centroids: DataFrame, topN: Int): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid"))
-    vecs
-      .crossJoin(broadcast(centroids)) // k rows
+    val scored = vecs
+      .crossJoin(broadcast(centroids)) // k rows per vector
       .withColumn("__sim", Vectors.nativeDot(col(vecCol), col("cvec_c")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__sim", "__rn", "cvec_c")
+    if (topN == 1)
+      scored
+        .groupBy(col(idCol), col(vecCol))
+        .agg(max_by(col("cid"), struct(col("__sim"), -col("cid"))).as("cid"))
+    else {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid"))
+      scored
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= topN)
+        .select(col(idCol), col(vecCol), col("cid"))
+    }
   }
+
+  /** Nearest-centroid id per vector. */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+    route(vecs, idCol, vecCol, centroids, topN = 1)
 
   /** One distributed Lloyd step: elementwise mean of each cluster's members,
     * L2-normalized back onto the unit sphere (inputs are normalized, so
@@ -53,12 +68,17 @@ object IvfAnn {
       .groupBy("cid")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), expr("transform(pm, p -> p.m)").as("raw"))
-    means
+    val updated = means
       .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
       .select(
         col("cid"),
-        expr("transform(raw, x -> cast(x / norm AS FLOAT))").as("cvec_c"),
+        expr("transform(raw, x -> cast(x / norm AS FLOAT))").as("cvec_new"),
       )
+    // a centroid whose list went empty has no mean — keep its previous
+    // position instead of silently dropping it (train must return k lists)
+    centroids
+      .join(updated, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("cvec_new"), col("cvec_c")).as("cvec_c"))
   }
 
   /** Train a k-centroid coarse quantizer: seed with the first k corpus
@@ -90,13 +110,7 @@ object IvfAnn {
   ): DataFrame = {
     GraftFunctions.register(probes.sparkSession)
     val lists = assign(corpus, "cand_id", "cvec", centroids)
-    val wp = Window.partitionBy(col("probe_id")).orderBy(col("__sim").desc, col("cid"))
-    val routes = probes
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", Vectors.nativeDot(col("pvec"), col("cvec_c")))
-      .withColumn("__rn", row_number().over(wp))
-      .filter(col("__rn") <= nprobe)
-      .select(col("probe_id"), col("pvec"), col("cid"))
+    val routes = route(probes, "probe_id", "pvec", centroids, nprobe)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
     routes
       .join(lists, "cid")

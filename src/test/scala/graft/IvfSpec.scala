@@ -60,11 +60,15 @@ class IvfSpec extends SparkSpec {
     // routing by centroid similarity must do meaningfully better
     assert(recall >= 0.35, s"IVF recall $recall not better than blind-scan baseline")
 
-    // candidate work is bounded by the routed lists, not the corpus
+    // candidate work is bounded: each probe scores only its nprobe routed
+    // lists — measured as the actual routes⋈lists row count, which must sit
+    // near (nprobe/k)·|probes|·|corpus| (0.25 here; 0.5 allows imbalance),
+    // far below the brute-force probes×corpus
     val lists = IvfAnn.assign(corpus, "cand_id", "cvec", cents)
-    val candCount = lists.count() // total corpus spread over 16 lists; probes touch 4
-    assert(ann.count() <= probes.count() * 10)
-    assert(candCount == corpus.count())
+    val routed = IvfAnn.route(probes, "probe_id", "pvec", cents, 4)
+    val candRows = routed.join(lists, "cid").count()
+    val bruteForce = probes.count() * corpus.count()
+    assert(candRows < bruteForce / 2, s"routing scanned $candRows of $bruteForce pairs")
 
     // every returned score is the exact dot of the pair (re-rank never approximates)
     val rescored = ann

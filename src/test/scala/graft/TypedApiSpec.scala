@@ -21,7 +21,8 @@ class TypedApiSpec extends SparkSpec {
     val ds = Tables.documents(spark, sfDir).as[Doc]
     val typed = ds
       .filter(_.lang == "en")
-      .map(d => (d.doc_id, d.text.split(" ").length))
+      // split limit -1 keeps trailing empties, matching Spark's split()
+      .map(d => (d.doc_id, d.text.split(" ", -1).length))
       .toDF("doc_id", "n_tokens")
     val untyped = Tables
       .documents(spark, sfDir)
