@@ -94,6 +94,36 @@ class PropertySpec extends SparkSpec {
     )
   }
 
+  test("simhash fingerprint is token-order invariant (signed sums commute)") {
+    check(
+      "simhash-order-invariant",
+      Prop.forAll(Gen.nonEmptyListOf(doc)) { texts =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val shuffled = texts.zipWithIndex.map { case (t, i) =>
+          (i.toLong, t.split(" ", -1).reverse.mkString(" "))
+        }.toDF("doc_id", "text")
+        val a = graft.ops.SimHash.fingerprints(docs).orderBy("doc_id").collect().map(_.getLong(1))
+        val b = graft.ops.SimHash.fingerprints(shuffled).orderBy("doc_id").collect().map(_.getLong(1))
+        a.sameElements(b)
+      },
+      n = 8,
+    )
+  }
+
+  test("minhash signatures are identical for identical shingle sets") {
+    val texts = Seq("data table scan row agg fast", "slow fast table data x row scan")
+    val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val copy = texts.zipWithIndex.map { case (t, i) => (i.toLong + 100, t) }.toDF("doc_id", "text")
+    val sigA = graft.ops.MinHashDedup
+      .signatures(graft.ops.MinHashDedup.shingleSet(base))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val sigB = graft.ops.MinHashDedup
+      .signatures(graft.ops.MinHashDedup.shingleSet(copy))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(sigA.zip(sigB).forall { case (x, y) => x == y },
+      "same text must produce the same MinHash signature regardless of doc_id")
+  }
+
   test("jaccard over shingle sets is symmetric and in [0, 1] (pure law)") {
     def shingles(t: String): Set[String] =
       t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
