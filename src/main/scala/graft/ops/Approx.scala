@@ -63,6 +63,15 @@ object Approx {
       (s, dir) => hllMergeable(graft.Tables.events(s, dir)).orderBy("event_type"),
       None,
     ),
+    // GK percentile sketches are merge-order-sensitive, so the VALUES can
+    // shift with partitioning — but the row set (one per l_returnflag) is
+    // stable, which is exactly what the rows-only check verifies; the
+    // value tolerance lives in ApproxSpec (inline exact columns).
+    graft.QueryDef(
+      "agg_approx_percentile",
+      (s, dir) => approxPercentiles(graft.Tables.lineitem(s, dir)).orderBy("l_returnflag"),
+      None,
+    ),
   )
 
   /** Manual skew salting: replicate the build side `salt` times, scatter the

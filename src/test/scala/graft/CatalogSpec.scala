@@ -10,7 +10,10 @@ class CatalogSpec extends SparkSpec {
   test("keys invariant: oracles cover all declared queries except the known rows-only set") {
     // oracle-less queries get only the driver's weaker rows-only check —
     // adding one must be a deliberate decision, recorded here.
-    val rowsOnly = Set("sim_ann_lsh", "agg_approx_distinct", "agg_hll_mergeable", "multimodal_binary")
+    val rowsOnly = Set(
+      "sim_ann_lsh", "agg_approx_distinct", "agg_approx_percentile",
+      "agg_hll_mergeable", "multimodal_binary",
+    )
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.queries.nonEmpty)
