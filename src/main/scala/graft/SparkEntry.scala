@@ -16,7 +16,7 @@ object SparkEntry {
       ops.Udaf.entries ++ ops.Events.entries ++ ops.Text.entries ++
       ops.TextQuality.entries ++
       ops.SimHash.entries ++ ops.MinHashDedup.entries ++
-      ops.Vectors.entries ++ ops.LshAnn.entries ++
+      ops.Vectors.entries ++ ops.LshAnn.entries ++ ops.IvfAnn.entries ++
       ops.Approx.entries ++ ops.Multimodal.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -58,6 +58,22 @@ object Approx {
       (s, dir) => approxDistinctUsers(graft.Tables.events(s, dir)).orderBy("event_type"),
       None,
     ),
+    // Companion key with a full oracle: the same scan/agg shape minus the
+    // sketch column, so the grouping and exact-distinct legs of the approx
+    // query ARE hash-gated even though the HLL estimate can't be.
+    graft.QueryDef(
+      "agg_approx_distinct_exact",
+      (s, dir) =>
+        graft.Tables
+          .events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+          .orderBy("event_type"),
+      Some(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users " +
+          "FROM events GROUP BY event_type ORDER BY event_type"
+      ),
+    ),
     graft.QueryDef(
       "agg_hll_mergeable",
       (s, dir) => hllMergeable(graft.Tables.events(s, dir)).orderBy("event_type"),

@@ -98,6 +98,29 @@ object IvfAnn {
     (row_number().over(w) - 1).as("cid")
   }
 
+  /** Declared rows-only (like sim_ann_lsh): centroid training is a float
+    * mean whose low bits depend on summation order, so no cross-engine hash
+    * can be promised — but seeding is deterministic (first-k corpus vectors),
+    * tie-breaks are pinned, returned scores are exact re-ranks, and the
+    * recall floor vs brute force is asserted in IvfSpec.
+    */
+  val entries: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "sim_ann_ivf",
+      (s, dir) => {
+        val e = graft.Tables.embeddings(s, dir)
+        val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
+        val probes = e
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+        val centroids = train(corpus, k = 16)
+        ivfTopK(probes, corpus, centroids, nprobe = 4, k = 10)
+          .orderBy("probe_id", "rn")
+      },
+      None,
+    )
+  )
+
   /** IVF top-k: assign corpus once (the inverted lists), route each probe to
     * its nprobe nearest lists, exact re-rank within them.
     */

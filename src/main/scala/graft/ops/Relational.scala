@@ -315,13 +315,15 @@ object Relational {
 
   /** Per-group ordered value list: collect_list is unordered by contract, so
     * sort_array inside the projection is what makes it declarable (§2.0
-    * rule 4). Routes through ObjectHashAggregate.
+    * rule 4). Routes through ObjectHashAggregate. The declared output is the
+    * comma-joined string — array columns crash the driver's pandas hasher
+    * (§2.0 rule 7); the array form stays covered by scalatest.
     */
   private def aggCollectSorted(s: SparkSession, dir: String): DataFrame =
     Tables
       .orders(s, dir)
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderstatus"))).as("statuses"))
+      .agg(concat_ws(",", sort_array(collect_list(col("o_orderstatus")))).as("statuses"))
       .orderBy("o_custkey")
 
   /** Sample stats pack. These are merge-based aggregates whose low bits
@@ -833,7 +835,7 @@ object Relational {
       "agg_collect_sorted",
       aggCollectSorted,
       Some(
-        "SELECT o_custkey, list(o_orderstatus ORDER BY o_orderstatus) AS statuses " +
+        "SELECT o_custkey, array_to_string(list(o_orderstatus ORDER BY o_orderstatus), ',') AS statuses " +
           "FROM orders GROUP BY o_custkey ORDER BY o_custkey"
       ),
     ),

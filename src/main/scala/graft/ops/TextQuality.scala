@@ -108,6 +108,8 @@ object TextQuality {
   /** Rolling-hash document fingerprint (winnowing-style): md5-derived hashes
     * of every 8-char window, keep the 4 smallest distinct — a fixed-width
     * signature robust to small edits, cross-engine exact thanks to md5.
+    * Declared output joins the signature to a comma string — array columns
+    * crash the driver's pandas hasher (§2.0 rule 7).
     */
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -122,7 +124,10 @@ object TextQuality {
         expr("cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS BIGINT)").as("h"),
       )
       .groupBy("doc_id")
-      .agg(slice(sort_array(collect_set(col("h"))), 1, 4).as("fp"))
+      .agg(
+        concat_ws(",", transform(slice(sort_array(collect_set(col("h"))), 1, 4), _.cast("string")))
+          .as("fp")
+      )
       .orderBy("doc_id")
 
   // ------------------------------------------------------------- catalog
@@ -180,7 +185,7 @@ object TextQuality {
       "text_fingerprint",
       textFingerprint,
       Some(
-        "SELECT doc_id, (list_sort(list(DISTINCT h)))[1:4] AS fp FROM " +
+        "SELECT doc_id, array_to_string((list_sort(list(DISTINCT h)))[1:4], ',') AS fp FROM " +
           "(SELECT doc_id, ('0x' || substring(md5(substr(text, i, 8)), 1, 15))::BIGINT AS h FROM " +
           "(SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM documents)) " +
           "GROUP BY doc_id ORDER BY doc_id"

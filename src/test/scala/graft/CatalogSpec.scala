@@ -11,7 +11,7 @@ class CatalogSpec extends SparkSpec {
     // oracle-less queries get only the driver's weaker rows-only check —
     // adding one must be a deliberate decision, recorded here.
     val rowsOnly = Set(
-      "sim_ann_lsh", "agg_approx_distinct", "agg_approx_percentile",
+      "sim_ann_lsh", "sim_ann_ivf", "agg_approx_distinct", "agg_approx_percentile",
       "agg_hll_mergeable", "multimodal_binary",
     )
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
@@ -31,10 +31,14 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
-  test("plan lint: no DECIMAL outputs, no nondeterministic expressions in declared queries") {
+  test("plan lint: no DECIMAL/complex outputs, no nondeterministic expressions in declared queries") {
     // DECIMAL in a declared schema fails the driver's hasher even for
-    // byte-identical values (round-1 lesson); nondeterministic expressions
-    // fail it eventually. Guard both statically for every declared query.
+    // byte-identical values (round-1 lesson); array/struct/map columns CRASH
+    // the driver's pandas comparator outright (round-2 lesson — unhashable
+    // numpy.ndarray in sort_values); nondeterministic expressions fail it
+    // eventually. Guard all three statically for every declared query:
+    // complex results must be flattened (concat_ws) before declaration.
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
     val banned = Set(
       "Rand", "Randn", "Uuid", "Shuffle", "CurrentTimestamp", "Now",
       "CurrentDate", "MonotonicallyIncreasingID", "SparkPartitionID", "InputFileName",
@@ -43,8 +47,14 @@ class CatalogSpec extends SparkSpec {
       val df = fn(spark, sfDir)
       df.schema.foreach { f =>
         assert(
-          !f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType],
+          !f.dataType.isInstanceOf[DecimalType],
           s"$name declares DECIMAL output column ${f.name}",
+        )
+        assert(
+          !(f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[StructType] ||
+            f.dataType.isInstanceOf[MapType]),
+          s"$name declares complex-typed output column ${f.name} (${f.dataType.simpleString}) — " +
+            "the driver checker cannot hash it; flatten with concat_ws (§2.0 rule 7)",
         )
       }
       df.queryExecution.analyzed.foreach { node =>

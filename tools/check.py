@@ -52,6 +52,16 @@ def main():
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
+        # the driver's pandas comparator CRASHES on list-typed cells
+        # (unhashable numpy.ndarray, round-2 lesson) — our repr() canon
+        # would mask that, so fail loudly instead.
+        complex_cells = sp[:1] and [c for c, v in zip(sp_cols, sp[0])
+                                    if isinstance(v, (list, tuple, dict))]
+        if complex_cells:
+            print(f"FAIL {name}: complex-typed columns {complex_cells} — "
+                  "driver checker cannot hash these; flatten with concat_ws")
+            n_fail += 1
+            continue
         sc, sr = canon(sp, sp_cols)
         dc, dr = canon(du, du_cols)
         if sc != dc:
