@@ -31,7 +31,7 @@ object TextQuality {
     * the MECHANISM (deterministic profile scores + argmax) cross-engine,
     * which is what transfers to a real corpus.
     */
-  private val Profiles: Seq[(String, Seq[String])] = Seq(
+  val Profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),
     "de" -> Seq("der", "die", "und", "ist", "von"),
     "es" -> Seq("el", "la", "que", "los", "una"),
@@ -84,7 +84,12 @@ object TextQuality {
       )
       .orderBy("doc_id")
 
-  private def textLangid(s: SparkSession, dir: String): DataFrame = {
+  /** Language-ID over any (doc_id, lang, text) frame: per-profile stopword
+    * ratios + fixed-priority argmax. Public so LangidSpec can run it on a
+    * discriminative fixture corpus (the driver's documents table shares one
+    * vocabulary across all lang labels, so accuracy there is uninformative).
+    */
+  def langid(df: DataFrame): DataFrame = {
     val scores = Profiles.map { case (l, words) => l -> ratioIn(words) }
     val byLang = scores.toMap
     val langs = Profiles.map(_._1)
@@ -95,15 +100,15 @@ object TextQuality {
       val beatsRest = langs.filter(_ != l).map(o => sc >= byLang(o)).reduce(_ && _)
       when(beatsRest, lit(l)).otherwise(els)
     }
-    Tables
-      .documents(s, dir)
-      .select(
-        Seq(col("doc_id")) ++
-          scores.map { case (l, c) => c.as(s"s_$l") } ++
-          Seq(pred.as("pred_lang"), (pred === col("lang")).as("label_match")): _*
-      )
-      .orderBy("doc_id")
+    df.select(
+      Seq(col("doc_id")) ++
+        scores.map { case (l, c) => c.as(s"s_$l") } ++
+        Seq(pred.as("pred_lang"), (pred === col("lang")).as("label_match")): _*
+    ).orderBy("doc_id")
   }
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    langid(Tables.documents(s, dir))
 
   /** Rolling-hash document fingerprint (winnowing-style): md5-derived hashes
     * of every 8-char window, keep the 4 smallest distinct — a fixed-width
