@@ -113,7 +113,9 @@ object IvfAnn {
         val probes = e
           .filter(col("vec_id") < 100)
           .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
-        val centroids = train(corpus, k = 16)
+        // the lazy centroid plan is referenced twice (corpus assign + probe
+        // routing) — persist the 16-row result so Lloyd training runs once
+        val centroids = train(corpus, k = 16).persist()
         ivfTopK(probes, corpus, centroids, nprobe = 4, k = 10)
           .orderBy("probe_id", "rn")
       },
