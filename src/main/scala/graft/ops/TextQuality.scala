@@ -45,29 +45,35 @@ object TextQuality {
   private def ratioIn(words: Seq[String]): Column =
     round(size(filter(w, t => t.isInCollection(words))).cast("double") / nTokens, 4)
 
-  private def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val alpha = round(
+  private def alphaRatio: Column =
+    round(
       length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / length(col("text")),
       4,
     )
-    val stop = ratioIn(Stop)
-    val ai = round(alpha * 10000, 0).cast("long")
-    val si = round(stop * 10000, 0).cast("long")
+
+  /** The composite quality score as a reusable Column over a `text` column —
+    * exact scaled-integer weighted sum, one final division (see object doc).
+    */
+  def qualityCol: Column = {
+    val ai = round(alphaRatio * 10000, 0).cast("long")
+    val si = round(ratioIn(Stop) * 10000, 0).cast("long")
     val tf = least(lit(10000L), nTokens.cast("long") * 200L)
+    (lit(5L) * ai + lit(3L) * (lit(10000L) - si) + lit(2L) * tf).cast("double") / 100000.0
+  }
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         nTokens.cast("long").as("n_tokens"),
-        alpha.as("alpha_ratio"),
-        stop.as("stop_ratio"),
+        alphaRatio.as("alpha_ratio"),
+        ratioIn(Stop).as("stop_ratio"),
         round((length(col("text")) - (nTokens - 1)).cast("double") / nTokens, 4).as("mean_word_len"),
-        ((lit(5L) * ai + lit(3L) * (lit(10000L) - si) + lit(2L) * tf).cast("double") / 100000.0)
-          .as("quality"),
+        qualityCol.as("quality"),
       )
       .orderBy("doc_id")
-  }
 
   /** Whitespace tokens vs a BPE-ish regex tokenization ([a-z]+ | digits |
     * single other char) vs distinct types — the three token counts a
@@ -89,17 +95,23 @@ object TextQuality {
     * discriminative fixture corpus (the driver's documents table shares one
     * vocabulary across all lang labels, so accuracy there is uninformative).
     */
-  def langid(df: DataFrame): DataFrame = {
-    val scores = Profiles.map { case (l, words) => l -> ratioIn(words) }
-    val byLang = scores.toMap
+  /** Predicted language as a reusable Column: fixed argmax priority
+    * en > de > es > fr > zh (mirrored in the oracle) — first language whose
+    * score >= every other wins.
+    */
+  def predLangCol: Column = {
+    val byLang = Profiles.map { case (l, words) => l -> ratioIn(words) }.toMap
     val langs = Profiles.map(_._1)
-    // fixed argmax priority en > de > es > fr > zh (mirrored in the oracle):
-    // first language whose score >= every other wins
-    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+    langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
       val sc = byLang(l)
       val beatsRest = langs.filter(_ != l).map(o => sc >= byLang(o)).reduce(_ && _)
       when(beatsRest, lit(l)).otherwise(els)
     }
+  }
+
+  def langid(df: DataFrame): DataFrame = {
+    val scores = Profiles.map { case (l, words) => l -> ratioIn(words) }
+    val pred = predLangCol
     df.select(
       Seq(col("doc_id")) ++
         scores.map { case (l, c) => c.as(s"s_$l") } ++
@@ -109,6 +121,76 @@ object TextQuality {
 
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     langid(Tables.documents(s, dir))
+
+  /** Repetition signals (the Gopher-style quality filters): fraction of
+    * tokens taken by the most frequent token, fraction of duplicate tokens,
+    * fraction of bigrams taken by the most frequent bigram. Explode →
+    * two-level aggregate: the shuffle key is (doc_id, token), so partial
+    * (map-side) aggregation collapses repeats before the exchange and the
+    * per-doc reduce sees at most |vocab(doc)| rows — linear in corpus size,
+    * no per-doc quadratic scan.
+    */
+  def repetition(df: DataFrame): DataFrame = {
+    val tstat = df
+      .select(col("doc_id"), explode(w).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").cast("long").as("n_tokens"),
+        max("c").cast("long").as("top_token"),
+        count(lit(1)).cast("long").as("uniq_tokens"),
+      )
+    // bigram_i = tokens[i] + " " + tokens[i+1]: zip tokens with themselves
+    // shifted by one; the unpaired tail slot is null → filtered out
+    val bigrams = filter(
+      zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull,
+    )
+    val bstat = df
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").cast("long").as("top_bigram"), sum("c").cast("long").as("n_bigrams"))
+    tstat
+      .join(bstat, "doc_id") // docs with < 2 tokens have no bigrams and drop
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("top_token").cast("double") / col("n_tokens"), 4).as("top_token_frac"),
+        round((col("n_tokens") - col("uniq_tokens")).cast("double") / col("n_tokens"), 4)
+          .as("dup_token_frac"),
+        round(col("top_bigram").cast("double") / col("n_bigrams"), 4).as("top_bigram_frac"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** The end-to-end curation pass a training-data pipeline runs: exact
+    * dedup (keep the smallest doc_id per md5(text)), drop low-quality docs,
+    * keep docs whose predicted language matches their label. Dedup is the
+    * only shuffle (32-byte md5 keys + a doc_id equi-join); quality and
+    * language-ID are pure per-row column arithmetic fused into one
+    * projection — at 100 TB this pipeline is one exchange, not three.
+    */
+  def curationPipeline(docs: DataFrame, minQuality: Double): DataFrame = {
+    val keepers = docs
+      .groupBy(md5(col("text")).as("k"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id") // scales with corpus: no broadcast hint, AQE decides
+    docs
+      .join(keepers, "doc_id")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        nTokens.cast("long").as("n_tokens"),
+        qualityCol.as("quality"),
+        predLangCol.as("pred_lang"),
+      )
+      .filter(col("quality") >= minQuality && col("pred_lang") === col("lang"))
+      .select("doc_id", "n_tokens", "quality", "pred_lang")
+      .orderBy("doc_id")
+  }
 
   /** Rolling-hash document fingerprint (winnowing-style): md5-derived hashes
     * of every 8-char window, keep the 4 smallest distinct — a fixed-width
@@ -151,13 +233,15 @@ object TextQuality {
       "+ 2 * least(10000, n_tokens * 200) AS DOUBLE) / 100000.0 AS quality " +
       "FROM b ORDER BY doc_id"
 
-  private val langidSql = {
-    val score = Profiles
-      .map { case (l, ws) =>
-        val lst = ws.map(x => s"'$x'").mkString(",")
-        s"round(CAST(len(list_filter(w, t -> t IN ($lst))) AS DOUBLE) / len(w), 4) AS s_$l"
-      }
-      .mkString(", ")
+  // shared SQL fragments mirroring ratioIn/predLangCol (DuckDB dialect)
+  private val scoreSql = Profiles
+    .map { case (l, ws) =>
+      val lst = ws.map(x => s"'$x'").mkString(",")
+      s"round(CAST(len(list_filter(w, t -> t IN ($lst))) AS DOUBLE) / len(w), 4) AS s_$l"
+    }
+    .mkString(", ")
+
+  private val predCaseSql = {
     val langs = Profiles.map(_._1)
     val cases = langs.init
       .map { l =>
@@ -165,13 +249,50 @@ object TextQuality {
         s"WHEN $ge THEN '$l'"
       }
       .mkString(" ")
-    "WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents), " +
-      s"b AS (SELECT doc_id, lang, $score FROM d) " +
-      "SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh, " +
-      s"CASE $cases ELSE 'zh' END AS pred_lang, " +
-      s"(CASE $cases ELSE 'zh' END) = lang AS label_match " +
-      "FROM b ORDER BY doc_id"
+    s"CASE $cases ELSE '${langs.last}' END"
   }
+
+  private val langidSql =
+    "WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents), " +
+      s"b AS (SELECT doc_id, lang, $scoreSql FROM d) " +
+      "SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh, " +
+      s"$predCaseSql AS pred_lang, " +
+      s"($predCaseSql) = lang AS label_match " +
+      "FROM b ORDER BY doc_id"
+
+  private val repetitionSql =
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+      "tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t), " +
+      "tstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      "CAST(max(c) AS BIGINT) AS top_token, CAST(count(*) AS BIGINT) AS uniq_tokens " +
+      "FROM tc GROUP BY doc_id), " +
+      "big AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "LATERAL (SELECT unnest(range(1, len(w))) AS i)), " +
+      "bc AS (SELECT doc_id, b, count(*) AS c FROM big GROUP BY doc_id, b), " +
+      "bstat AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram, " +
+      "CAST(sum(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY doc_id) " +
+      "SELECT t.doc_id, t.n_tokens, " +
+      "round(CAST(t.top_token AS DOUBLE) / t.n_tokens, 4) AS top_token_frac, " +
+      "round(CAST(t.n_tokens - t.uniq_tokens AS DOUBLE) / t.n_tokens, 4) AS dup_token_frac, " +
+      "round(CAST(b.top_bigram AS DOUBLE) / b.n_bigrams, 4) AS top_bigram_frac " +
+      "FROM tstat t JOIN bstat b USING (doc_id) ORDER BY doc_id"
+
+  private val curationSql =
+    "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+      "d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents " +
+      "WHERE doc_id IN (SELECT doc_id FROM keep)), " +
+      "b AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens, " +
+      "round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio, " +
+      "round(CAST(len(list_filter(w, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(w), 4) AS stop_ratio, " +
+      s"$scoreSql FROM d), " +
+      "c AS (SELECT doc_id, lang, n_tokens, " +
+      "CAST(5 * CAST(round(alpha_ratio * 10000, 0) AS BIGINT) " +
+      "+ 3 * (10000 - CAST(round(stop_ratio * 10000, 0) AS BIGINT)) " +
+      "+ 2 * least(10000, n_tokens * 200) AS DOUBLE) / 100000.0 AS quality, " +
+      s"$predCaseSql AS pred_lang FROM b) " +
+      "SELECT doc_id, n_tokens, quality, pred_lang FROM c " +
+      "WHERE quality >= 0.85 AND pred_lang = lang ORDER BY doc_id"
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("text_quality", textQuality, Some(qualitySql)),
@@ -186,6 +307,16 @@ object TextQuality {
       ),
     ),
     QueryDef("text_langid", textLangid, Some(langidSql)),
+    QueryDef(
+      "text_repetition",
+      (s, dir) => repetition(Tables.documents(s, dir)),
+      Some(repetitionSql),
+    ),
+    QueryDef(
+      "curation_pipeline",
+      (s, dir) => curationPipeline(Tables.documents(s, dir), minQuality = 0.85),
+      Some(curationSql),
+    ),
     QueryDef(
       "text_fingerprint",
       textFingerprint,

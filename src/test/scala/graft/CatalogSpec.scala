@@ -103,6 +103,46 @@ class CatalogSpec extends SparkSpec {
     assert(above <= 100)
   }
 
+  test("curation_pipeline reconciles with text_quality and text_langid") {
+    // the composed pipeline must equal the conjunction of its stages
+    val kept = SparkEntry.queries("curation_pipeline")(spark, sfDir).select("doc_id", "quality")
+    val q = SparkEntry.queries("text_quality")(spark, sfDir).select(col("doc_id"), col("quality").as("q2"))
+    val l = SparkEntry.queries("text_langid")(spark, sfDir).filter(col("label_match"))
+    val expected = q
+      .filter(col("q2") >= 0.85)
+      .join(l, "doc_id")
+      .select("doc_id") // no dups in the fixture corpus, so dedup drops nothing
+    assert(kept.count() == expected.count())
+    assert(kept.join(expected, Seq("doc_id"), "left_anti").count() == 0)
+    // and stage quality values agree bit-for-bit across the two plans
+    assert(kept.join(q, "doc_id").filter(col("quality") =!= col("q2")).count() == 0)
+  }
+
+  test("text_repetition fractions are consistent with text_token_count") {
+    val rep = SparkEntry.queries("text_repetition")(spark, sfDir)
+    val tok = SparkEntry
+      .queries("text_token_count")(spark, sfDir)
+      .select(col("doc_id"), col("ws_tokens"), col("uniq_tokens"))
+    val joined = rep.join(tok, "doc_id")
+    assert(joined.filter(col("n_tokens") =!= col("ws_tokens")).count() == 0)
+    // dup_token_frac must be the rounded (n - uniq) / n from the OTHER query
+    val mismatch = joined
+      .filter(
+        col("dup_token_frac") =!=
+          round((col("ws_tokens") - col("uniq_tokens")).cast("double") / col("ws_tokens"), 4)
+      )
+      .count()
+    assert(mismatch == 0)
+    // fractions live in (0, 1]; top_token_frac >= 1/n up to round-4 error
+    // (declared values are round(x, 4), so allow 5e-5 per unit of n)
+    assert(
+      rep
+        .filter(col("top_token_frac") * col("n_tokens") < lit(1.0) - col("n_tokens") * 5e-5)
+        .count() == 0
+    )
+    assert(rep.filter(col("top_bigram_frac") <= 0 || col("top_bigram_frac") > 1).count() == 0)
+  }
+
   test("rollup grand-total row equals table count") {
     val total = SparkEntry
       .queries("agg_rollup")(spark, sfDir)
