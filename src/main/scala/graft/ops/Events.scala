@@ -169,9 +169,60 @@ object Events {
       .orderBy("p_id")
   }
 
+  /** Interval join: for each view, the same user's clicks strictly after it
+    * and within 30 minutes — the batch statement of a stream-stream interval
+    * join (each side watermarked, join condition = equi-key + time range).
+    * StreamingParitySpec re-runs this body under two MemoryStreams to assert
+    * the streaming plan produces the identical pair set. Scale: an equi-join
+    * on user_id with the range as a residual filter — shuffles each side
+    * once by user, never builds the time cross-product.
+    */
+  /** The shared join body: inputs are (view_id, user_id, v_time) and
+    * (click_id, c_user, c_time) with TIMESTAMP times, so the identical
+    * condition drives both the batch plan and a watermarked stream-stream
+    * join (Spark derives the state-eviction bound from this range).
+    */
+  def intervalJoin(views: DataFrame, clicks: DataFrame): DataFrame =
+    views
+      .join(
+        clicks,
+        col("user_id") === col("c_user") &&
+          col("c_time") > col("v_time") &&
+          col("c_time") <= col("v_time") + expr("INTERVAL 30 MINUTES"),
+      )
+      .select(
+        col("view_id"),
+        col("click_id"),
+        col("user_id"),
+        (unix_micros(col("c_time")) - unix_micros(col("v_time"))).as("gap_us"),
+      )
+
+  private def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("etime"))
+    val v = e
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("etime").as("v_time"))
+    val c = e
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("etime").as("c_time"))
+    intervalJoin(v, c).orderBy("view_id", "click_id")
+  }
+
   // ------------------------------------------------------------- catalog
 
   val entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "join_interval",
+      joinInterval,
+      Some(
+        "WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events), " +
+          "v AS (SELECT event_id AS view_id, user_id, us AS v_us FROM e WHERE event_type = 'view'), " +
+          "c AS (SELECT event_id AS click_id, user_id, us AS c_us FROM e WHERE event_type = 'click') " +
+          "SELECT view_id, click_id, user_id, c_us - v_us AS gap_us " +
+          "FROM v JOIN c USING (user_id) WHERE c_us > v_us AND c_us <= v_us + 1800000000 " +
+          "ORDER BY view_id, click_id"
+      ),
+    ),
     QueryDef(
       "stream_tumbling_1h",
       streamTumbling1h,

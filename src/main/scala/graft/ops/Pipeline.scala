@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse-pipeline verbs a production ETL runs around the query catalog:
+  * SCD2 merge/upsert, deterministic hash-based dataset splitting, and the
+  * typed Dataset[T] API surface (SURVEY.md §1.1 — everything else in the
+  * catalog is DataFrame/Row-based; this file proves the case-class Encoder
+  * path works identically).
+  */
+object Pipeline {
+
+  /** SCD2 merge: apply an updates batch (per-customer order spend) to a
+    * dimension snapshot, emitting versioned rows — unchanged keys keep their
+    * v1 row current; changed keys get v1 closed plus a current v2 row.
+    *
+    * One left join on the natural key is the ONLY exchange; both output rows
+    * of an updated key are produced in the same task by exploding a
+    * conditional array (no second join, no union re-shuffle). At 100 TB the
+    * updates side is the small delta — AQE broadcasts it when it fits, and
+    * the dimension never shuffles twice.
+    *
+    * Balance arithmetic stays in exact DECIMAL until the final double cast,
+    * so no round() is needed anywhere (SURVEY.md §2.0 determinism rules).
+    */
+  private def mergeScd2(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal").cast(DecimalType(28, 2)).as("bal0"))
+    val upd = Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(28, 2))).as("spend"))
+    val one = struct(
+      lit(1L).as("version"),
+      col("bal0").cast("double").as("bal"),
+      col("spend").isNull.as("is_current"),
+    )
+    val two = struct(
+      lit(2L).as("version"),
+      (col("bal0") + col("spend")).cast("double").as("bal"),
+      lit(true).as("is_current"),
+    )
+    dim
+      .join(upd, Seq("c_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        explode(when(col("spend").isNull, array(one)).otherwise(array(one, two))).as("r"),
+      )
+      .select(col("c_custkey"), col("r.version"), col("r.bal"), col("r.is_current"))
+      .orderBy("c_custkey", "version")
+  }
+
+  private val mergeScd2Sql =
+    "WITH upd AS (SELECT o_custkey AS c_custkey, " +
+      "SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS spend FROM orders GROUP BY 1), " +
+      "j AS (SELECT c.c_custkey, CAST(c.c_acctbal AS DECIMAL(28,2)) AS bal0, u.spend " +
+      "FROM customer c LEFT JOIN upd u USING (c_custkey)) " +
+      "SELECT c_custkey, CAST(1 AS BIGINT) AS version, CAST(bal0 AS DOUBLE) AS bal, " +
+      "spend IS NULL AS is_current FROM j " +
+      "UNION ALL " +
+      "SELECT c_custkey, CAST(2 AS BIGINT) AS version, CAST(bal0 + spend AS DOUBLE) AS bal, " +
+      "true AS is_current FROM j WHERE spend IS NOT NULL " +
+      "ORDER BY c_custkey, version"
+
+  /** Deterministic train/test split: bucket = first 16 bits of md5(doc_id)
+    * mod 100, train = bucket < 90. Pure per-row arithmetic — no shuffle, no
+    * seed state, reproducible on any engine and any partitioning, and a doc
+    * keeps its split when the corpus grows (the property that matters for
+    * 100 TB incremental pipelines, and that sample()/rand() does not have).
+    */
+  private def sampleHashSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 100
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        bucket.as("bucket"),
+        when(bucket < 90, lit("train")).otherwise(lit("test")).as("split"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val sampleHashSplitSql =
+    "SELECT doc_id, lang, " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket, " +
+      "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 " +
+      "THEN 'train' ELSE 'test' END AS split " +
+      "FROM documents ORDER BY doc_id"
+
+  /** The typed surface: case-class Encoder scan → typed filter/map lambdas →
+    * groupByKey → typed aggregate columns. Lambdas cost Encoder
+    * serialization vs Column expressions (they black-box Catalyst — no
+    * pushdown through a typed map), which is why the REST of the catalog is
+    * Column-based; this query pins that the typed path yields identical
+    * results where ergonomics favor it. Sum/count are exact integers, and
+    * the one double division is of identical operands on both engines.
+    */
+  final case class Doc(doc_id: Long, lang: String, text: String)
+
+  private def typedDocStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[Doc] = Tables.documents(s, dir).select("doc_id", "lang", "text").as[Doc]
+    ds.filter(d => d.text.nonEmpty)
+      .map(d => (d.lang, d.text.split(" ").length.toLong))
+      .groupByKey(_._1)
+      .agg(
+        count(lit(1)).as("n_docs").as[Long],
+        sum(col("_2")).as("sum_tokens").as[Long],
+      )
+      .toDF("lang", "n_docs", "sum_tokens")
+      .withColumn("avg_tokens", col("sum_tokens").cast("double") / col("n_docs"))
+      .orderBy("lang")
+  }
+
+  private val typedDocStatsSql =
+    "SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, " +
+      "CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens " +
+      "FROM documents WHERE text <> '' GROUP BY lang ORDER BY lang"
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("merge_scd2", mergeScd2, Some(mergeScd2Sql)),
+    QueryDef("sample_hash_split", sampleHashSplit, Some(sampleHashSplitSql)),
+    QueryDef("typed_doc_stats", typedDocStats, Some(typedDocStatsSql)),
+  )
+}

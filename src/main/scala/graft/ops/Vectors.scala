@@ -75,6 +75,34 @@ object Vectors {
       .orderBy("label", "id_a", "id_b")
   }
 
+  /** Embedding-cosine near-duplicate removal — the vector-space member of the
+    * dedup family (exact / MinHash / SimHash / embedding). A vector is a
+    * duplicate when some SMALLER-id vector in the same `label` block has
+    * cosine >= the threshold; survivors are everything else. Blocking on
+    * `label` bounds candidates by the largest block (at 100 TB swap the block
+    * key for an LSH bucket — LshAnn.candidates has the exact same join shape,
+    * so the plan scales unchanged). The dup-id set is distinct vec_ids only
+    * (8 bytes a row), then a single left join marks survivors — embeddings
+    * are scored once and never shuffled as join payload afterwards.
+    */
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
+    val b =
+      e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("vb"))
+    val dupIds = a
+      .join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .filter(round(nativeDot(col("va"), col("vb")), 4) >= 0.4)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+      .withColumn("dup", lit(true))
+    e.select(col("vec_id"), col("label"))
+      .join(dupIds, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("dup").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** documents ⟕ embeddings on doc_id = vec_id: the joined text+vector frame
     * every downstream embedding pipeline starts from. Left join because the
     * corpora diverge at sf0.1 (5000 docs vs 2000 vectors).
@@ -119,6 +147,17 @@ object Vectors {
           "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
           "WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.3 " +
           "ORDER BY label, id_a, id_b"
+      ),
+    ),
+    QueryDef(
+      "dedup_embedding",
+      dedupEmbedding,
+      Some(
+        "WITH pairs AS (SELECT b.vec_id AS dup_id " +
+          "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+          "WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4) " +
+          "SELECT vec_id, label, vec_id NOT IN (SELECT dup_id FROM pairs) AS kept " +
+          "FROM embeddings ORDER BY vec_id"
       ),
     ),
     QueryDef(

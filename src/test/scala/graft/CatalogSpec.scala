@@ -143,6 +143,72 @@ class CatalogSpec extends SparkSpec {
     assert(rep.filter(col("top_bigram_frac") <= 0 || col("top_bigram_frac") > 1).count() == 0)
   }
 
+  test("dedup_embedding reconciles with sim_threshold_pairs at its threshold") {
+    // a vec is dropped iff some same-label smaller-id partner scores >= 0.4,
+    // and sim_threshold_pairs (>= 0.3) is a superset of those pairs
+    val kept = SparkEntry.queries("dedup_embedding")(spark, sfDir)
+    val dropped = kept.filter(!col("kept")).select(col("vec_id"))
+    val expected = SparkEntry
+      .queries("sim_threshold_pairs")(spark, sfDir)
+      .filter(col("sim") >= 0.4)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assert(dropped.count() == expected.count())
+    assert(dropped.join(expected, Seq("vec_id"), "left_anti").count() == 0)
+  }
+
+  test("merge_scd2 invariants: one current row per key, version monotone, balance conserved") {
+    val m = SparkEntry.queries("merge_scd2")(spark, sfDir)
+    val perKey = m.groupBy("c_custkey").agg(
+      sum(when(col("is_current"), 1L).otherwise(0L)).as("n_cur"),
+      count(lit(1)).as("n_rows"),
+      max("version").as("v_max"),
+    )
+    assert(perKey.filter(col("n_cur") =!= 1L).count() == 0, "exactly one current row per key")
+    assert(perKey.filter(col("n_rows") =!= col("v_max")).count() == 0, "versions are 1..n dense")
+    // v2 bal - v1 bal == the customer's total order spend
+    val deltas = m
+      .groupBy("c_custkey")
+      .agg((max(when(col("version") === 2L, col("bal"))) -
+        max(when(col("version") === 1L, col("bal")))).as("delta"))
+      .filter(col("delta").isNotNull)
+    val spend = Tables
+      .orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(Qf.dsum(col("o_totalprice"), 2).as("spend"))
+    assert(
+      deltas.join(spend, "c_custkey").filter(abs(col("delta") - col("spend")) > 1e-6).count() == 0
+    )
+  }
+
+  test("sample_hash_split is deterministic, complete, and near the 90/10 target") {
+    val s1 = SparkEntry.queries("sample_hash_split")(spark, sfDir)
+    val total = s1.count()
+    val train = s1.filter(col("split") === "train").count()
+    assert(s1.select("doc_id").distinct().count() == total, "every doc exactly once")
+    val frac = train.toDouble / total
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac out of tolerance vs 0.9 target")
+    // same hash → same split on re-run (no seed/partitioning dependence)
+    val s2 = SparkEntry.queries("sample_hash_split")(spark, sfDir)
+    assert(s1.join(s2.withColumnRenamed("split", "s2"), "doc_id")
+      .filter(col("split") =!= col("s2")).count() == 0)
+  }
+
+  test("typed_doc_stats equals the untyped Column formulation") {
+    val typed = SparkEntry.queries("typed_doc_stats")(spark, sfDir)
+    val untyped = Tables
+      .documents(spark, sfDir)
+      .filter(length(col("text")) > 0)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"),
+      )
+      .withColumn("avg_tokens", col("sum_tokens").cast("double") / col("n_docs"))
+      .orderBy("lang")
+    assert(typed.collect().toSeq == untyped.collect().toSeq)
+  }
+
   test("rollup grand-total row equals table count") {
     val total = SparkEntry
       .queries("agg_rollup")(spark, sfDir)

@@ -79,6 +79,46 @@ class StreamingParitySpec extends SparkSpec {
     assert(hour0.forall(_.getAs[Long]("n_events") == 1L), s"late event leaked into closed window: ${hour0.mkString}")
   }
 
+  test("stream-stream interval join equals batch interval join") {
+    // views on one stream, clicks on another; both watermarked so Spark can
+    // bound the join state from the interval condition. Expected pairs:
+    // (11,21) gap 15m, (12,23) gap 10m, (13,24) gap 1m; 22 is 35m late and
+    // 25 precedes its view, so both must be absent.
+    val views = Seq(Ev(11, ts(10), 1, "view", 0), Ev(12, ts(100), 1, "view", 0), Ev(13, ts(20), 2, "view", 0))
+    val clicks = Seq(
+      Ev(21, ts(25), 1, "click", 0),
+      Ev(22, ts(45), 1, "click", 0),
+      Ev(23, ts(110), 1, "click", 0),
+      Ev(24, ts(21), 2, "click", 0),
+      Ev(25, ts(19), 2, "click", 0),
+    )
+    val vIn = MemoryStream[Ev](spark)
+    val cIn = MemoryStream[Ev](spark)
+    // deliver clicks across two batches to exercise buffered join state
+    vIn.addData(views)
+    cIn.addData(clicks.take(2))
+    cIn.addData(clicks.drop(2))
+    def vShape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id").as("view_id"), col("user_id"), col("etime").as("v_time"))
+      .withWatermark("v_time", "1 hour")
+    def cShape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("etime").as("c_time"))
+      .withWatermark("c_time", "1 hour")
+    val streamed = Streaming.runToMemory(
+      spark,
+      Events.intervalJoin(vShape(vIn.toDF()), cShape(cIn.toDF())),
+      "interval_parity",
+      OutputMode.Append(),
+    )
+    val batch = Events.intervalJoin(vShape(views.toDF()), cShape(clicks.toDF()))
+    assert(
+      streamed.orderBy("view_id", "click_id").collect().toSeq ==
+        batch.orderBy("view_id", "click_id").collect().toSeq
+    )
+    assert(batch.select("view_id", "click_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((11L, 21L), (12L, 23L), (13L, 24L)))
+  }
+
   test("dropDuplicatesWithinWatermark: exactly-once by event_id") {
     val input = MemoryStream[Ev](spark)
     input.addData(evs ++ evs) // every event duplicated
