@@ -116,6 +116,83 @@ object MinHashDedup {
   private def dedupMinhashLsh(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     nearDupPairs(graft.Tables.documents(s, dir)).orderBy("id_a", "id_b")
 
+  /** Connected components over the near-dup pair graph: every doc labeled
+    * with the smallest doc_id reachable through near-dup edges — the dup
+    * CLUSTER a curation pipeline actually consumes (pairs alone can't say
+    * "keep one of {a,b,c}" when a~b and b~c but a!~c).
+    *
+    * Min-label propagation to fixpoint: each round, a node's label becomes
+    * the min of its own and its neighbors'; converges in graph-diameter
+    * rounds (near-dup components are shallow — 3-4 rounds in practice).
+    * The working set is only nodes that HAVE an edge (at 100 TB: the dup
+    * fraction of the corpus, not the corpus); singletons join back at the
+    * end with themselves as cluster. Each round is one equi-join + groupBy
+    * on 8-byte ids; `localCheckpoint` truncates the growing lineage so round
+    * k doesn't replay rounds 1..k-1 (on a cluster, `checkpoint` to durable
+    * storage instead). The per-round driver action is a changed-label COUNT
+    * (a scalar — not a collect of data). The fixpoint is unique, so the
+    * result is deterministic no matter how rounds schedule.
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("cluster_id").as("nbr_min"))
+      val next = labels
+        .select(col("doc_id"), col("cluster_id").as("old"))
+        .join(nbrMin, Seq("doc_id"))
+        .select(col("doc_id"), least(col("old"), col("nbr_min")).as("cluster_id"), col("old"))
+        .localCheckpoint()
+      changed = next.filter(col("cluster_id") =!= col("old")).count()
+      labels = next.select("doc_id", "cluster_id")
+      round += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
+    docs
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  private def dedupClusters(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    clusters(docs, nearDupPairs(docs)).orderBy("doc_id")
+  }
+
+  /** Cluster oracle: the exact-Jaccard pair set (same recall argument as
+    * dedup_minhash_lsh) fed through a recursive CTE computing the min
+    * reachable id per node.
+    */
+  private val clustersOracleSql: String =
+    "WITH RECURSIVE " +
+      "ws AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ws WHERE len(w) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT id_a, id_b FROM inter " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8), " +
+      "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "reach(node, r) AS (SELECT a, a FROM edges UNION " +
+      "SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node) " +
+      "SELECT d.doc_id, coalesce(m.cid, d.doc_id) AS cluster_id " +
+      "FROM documents d LEFT JOIN (SELECT node, min(r) AS cid FROM reach GROUP BY node) m " +
+      "ON d.doc_id = m.node ORDER BY d.doc_id"
+
   /** Declared with the SAME oracle SQL as dedup_near_jaccard (see
     * nearDupPairs scaladoc for why recall permits it): the driver's hash
     * gate then checks the full LSH pipeline — signatures, banding,
@@ -123,5 +200,6 @@ object MinHashDedup {
     */
   val entries: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("dedup_minhash_lsh", dedupMinhashLsh, Some(Text.nearJaccardOracleSql)),
+    graft.QueryDef("dedup_clusters", dedupClusters, Some(clustersOracleSql)),
   )
 }

@@ -78,17 +78,67 @@ object Multimodal {
     df.sparkSession.read.parquet(path)
   }
 
-  /** Declared rows-only: the corpus has no binary table, so the query runs
-    * per-mime stats over the deterministic synthetic media set (payloads are
-    * a pure function of id — identical on every run, so the driver's
-    * rows-only check is stable; a byte-level DuckDB oracle would mean
-    * re-implementing the generator in SQL for no added signal).
+  /** Chunked binary processing with a REAL cross-engine oracle: the payload
+    * is `encode(text)` (the corpus is pure ASCII at every SF — verified —
+    * so DuckDB can mirror every byte op on the VARCHAR side), chunked into
+    * fixed 64-byte frames. Per doc: chunk counts, md5 of the first and
+    * middle chunk, and an every-4th-chunk "frame sample" whose md5s roll up
+    * into one digest. The frame sample is `sequence` + `transform` — pure
+    * per-row arithmetic, ZERO shuffles for the whole query bar the declared
+    * sort: this is the shape a real frame extractor keeps at 100 TB (the
+    * stub md5 kernel swaps for a codec call inside the same transform).
+    */
+  def chunkStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("n_chunks", expr("(n_bytes + 63) div 64"))
+      .withColumn(
+        "smpl",
+        expr(
+          "transform(sequence(cast(0 as bigint), n_chunks - 1, cast(4 as bigint)), " +
+            "i -> md5(substring(payload, cast(i * 64 + 1 as int), 64)))"
+        ),
+      )
+      .select(
+        col("doc_id"),
+        col("n_bytes"),
+        col("n_chunks"),
+        size(col("smpl")).cast("long").as("n_sampled"),
+        md5(expr("substring(payload, 1, 64)")).as("first_md5"),
+        md5(expr("substring(payload, cast(((n_bytes div 64) div 2) * 64 + 1 as int), 64)"))
+          .as("mid_md5"),
+        md5(concat_ws("", col("smpl"))).as("sampled_md5"),
+      )
+      .orderBy("doc_id")
+
+  private val chunkStatsSql =
+    "WITH b AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents), " +
+      "c AS (SELECT doc_id, text, n_bytes, (n_bytes + 63) // 64 AS n_chunks FROM b) " +
+      "SELECT doc_id, n_bytes, n_chunks, " +
+      "CAST(len(range(0, n_chunks, 4)) AS BIGINT) AS n_sampled, " +
+      "md5(substring(text, 1, 64)) AS first_md5, " +
+      "md5(substring(text, ((n_bytes // 64) // 2) * 64 + 1, 64)) AS mid_md5, " +
+      "md5(array_to_string(list_transform(range(0, n_chunks, 4), " +
+      "i -> md5(substring(text, i * 64 + 1, 64))), '')) AS sampled_md5 " +
+      "FROM c ORDER BY doc_id"
+
+  /** `multimodal_binary` stays rows-only: the per-mime stats run over the
+    * deterministic synthetic media set (payloads are a pure function of id,
+    * so the driver's rows-only check is stable; a byte-level DuckDB oracle
+    * would mean re-implementing the generator in SQL for no added signal).
+    * `multimodal_chunk_stats` carries the family's hash-green oracle.
     */
   val entries: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
       "multimodal_binary",
       (s, dir) => perMimeStats(synth(s, 300).toDF()),
       None,
+    ),
+    graft.QueryDef(
+      "multimodal_chunk_stats",
+      (s, dir) => chunkStats(graft.Tables.documents(s, dir)),
+      Some(chunkStatsSql),
     ),
   )
 

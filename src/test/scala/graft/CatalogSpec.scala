@@ -209,6 +209,37 @@ class CatalogSpec extends SparkSpec {
     assert(typed.collect().toSeq == untyped.collect().toSeq)
   }
 
+  test("dedup_clusters: labels are canonical minima and pairs land in one cluster") {
+    val cl = SparkEntry.queries("dedup_clusters")(spark, sfDir)
+    assert(cl.filter(col("cluster_id") > col("doc_id")).count() == 0, "label must be a min")
+    // every cluster representative is its own representative (canonical)
+    val reps = cl.select(col("cluster_id").as("doc_id")).distinct()
+    val repSelf = reps
+      .join(cl, "doc_id")
+      .filter(col("cluster_id") =!= col("doc_id"))
+    assert(repSelf.count() == 0, "a cluster id must map to itself")
+    // both endpoints of every near-dup edge share a cluster (transitivity base)
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+    val byA = cl.select(col("doc_id").as("id_a"), col("cluster_id").as("ca"))
+    val byB = cl.select(col("doc_id").as("id_b"), col("cluster_id").as("cb"))
+    assert(pairs.join(byA, "id_a").join(byB, "id_b").filter(col("ca") =!= col("cb")).count() == 0)
+  }
+
+  test("multimodal_chunk_stats: chunk arithmetic and digests reconcile") {
+    val c = SparkEntry.queries("multimodal_chunk_stats")(spark, sfDir)
+    assert(c.filter(col("n_chunks") =!= expr("(n_bytes + 63) div 64")).count() == 0)
+    assert(c.filter(col("n_sampled") =!= expr("(n_chunks + 3) div 4")).count() == 0)
+    // first chunk digest equals the string-side md5 (ASCII corpus ⇒ byte==char)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(expr("substring(text, 1, 64)")).as("s_md5"))
+    assert(c.join(docs, "doc_id").filter(col("first_md5") =!= col("s_md5")).count() == 0)
+    // and the corpus really is pure ASCII — the assumption the oracle rests on
+    assert(
+      Tables.documents(spark, sfDir)
+        .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text"))).count() == 0
+    )
+  }
+
   test("rollup grand-total row equals table count") {
     val total = SparkEntry
       .queries("agg_rollup")(spark, sfDir)

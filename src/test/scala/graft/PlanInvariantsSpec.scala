@@ -57,6 +57,33 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("graft_dot"), "native DotProduct must be in the executed plan")
   }
 
+  test("join_interval: equi join on user_id, range condition stays residual") {
+    val p = planString("join_interval")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join must key on user_id, not build a time cross-product")
+    assert(p.contains("EqualTo(event_type,view)") && p.contains("EqualTo(event_type,click)"),
+      "side filters must reach the scans")
+  }
+
+  test("sample_hash_split: pure per-row projection, zero exchanges") {
+    val finalPlan = plan("sample_hash_split") match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other                                                            => other
+    }
+    // the declared orderBy is the only allowed exchange (driver sorts anyway)
+    val exchanges = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, s"hash split must not shuffle beyond the final sort: $finalPlan")
+  }
+
+  test("merge_scd2: exactly one join, no union re-shuffle") {
+    val p = planString("merge_scd2")
+    assert(p.contains("Generate"), "versioned rows must come from the conditional explode")
+    assert(!p.contains("Union"), "both versions must be produced in one pass, not a self-union")
+  }
+
   test("no cartesian products outside the bounded cross join") {
     SparkEntry.queries.keys.filterNot(_ == "join_cross_bounded").foreach { name =>
       val p = planString(name)
