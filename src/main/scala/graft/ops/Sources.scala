@@ -72,6 +72,17 @@ object Sources {
     df.sparkSession.read.parquet(path)
   }
 
+  /** ORC round trip (the other columnar lake format Spark bundles natively —
+    * a reference user with ORC data switches formats with one word). ORC
+    * supports the same predicate pushdown/column pruning path as parquet;
+    * SourcesSpec asserts the round trip and the pushed filter.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
   // ------------------------------------------------------------- catalog
 
   val entries: Seq[QueryDef] = Seq(

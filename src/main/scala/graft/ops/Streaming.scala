@@ -113,6 +113,31 @@ object Streaming {
       .format("parquet")
       .start(path)
 
+  /** foreachBatch merge sink: the escape hatch for sinks Structured
+    * Streaming has no native writer for (upserts, JDBC, multi-table fanout).
+    * Each micro-batch anti-joins the target's existing keys and appends only
+    * new ones — an idempotent insert-if-absent merge, so replayed batches
+    * (at-least-once delivery after a restart) cannot duplicate rows. The
+    * checkpoint makes batch ids durable; the anti-join makes the write
+    * idempotent even across checkpoint loss. At scale the target key read
+    * prunes to the join columns only (parquet column pruning).
+    */
+  def startForeachBatchUpsert(events: DataFrame, target: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val fresh =
+          if (new java.io.File(target).exists()) {
+            val existing = s.read.parquet(target).select("event_id")
+            batch.join(existing, Seq("event_id"), "left_anti")
+          } else batch
+        fresh.dropDuplicates("event_id").write.mode("append").parquet(target)
+        ()
+      }
+      .start()
+
   /** Drive any streaming Dataset to completion into a named memory sink and
     * return the sink contents (spec helper; Complete mode for aggregations,
     * Append for row streams).

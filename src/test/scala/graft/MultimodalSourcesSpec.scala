@@ -86,4 +86,17 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(pruned.count() == src.filter(col("o_orderstatus") === "F").count())
     assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("o_orderstatus=")))
   }
+
+  test("ORC: round trip preserves data and pushes filters to the scan") {
+    val src = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val path = tmpDir("orc-sink")
+    Sources.writeOrc(src, path)
+    val back = Sources.readOrc(spark, path)
+    assert(back.orderBy("o_orderkey").collect().toSeq == src.orderBy("o_orderkey").collect().toSeq)
+    val filtered = back.filter(col("o_totalprice") > 100000.0)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("Orc") || scan.contains("orc"), scan.take(300))
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(o_totalprice"), scan.take(500))
+    assert(filtered.count() == src.filter(col("o_totalprice") > 100000.0).count())
+  }
 }

@@ -119,6 +119,22 @@ class StreamingParitySpec extends SparkSpec {
       Set((11L, 21L), (12L, 23L), (13L, 24L)))
   }
 
+  test("foreachBatch upsert sink: replayed/duplicate batches cannot duplicate rows") {
+    val target = tmpDir("fb-target") + "/data"
+    val ckpt = tmpDir("fb-ckpt")
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs.take(4))
+    val q1 = Streaming.startForeachBatchUpsert(input.toDF(), target, ckpt)
+    q1.awaitTermination()
+    // second run re-delivers two already-written events plus two new ones
+    input.addData(evs.drop(2))
+    val q2 = Streaming.startForeachBatchUpsert(input.toDF(), target, ckpt)
+    q2.awaitTermination()
+    val out = spark.read.parquet(target)
+    assert(out.count() == evs.size, "each event exactly once despite overlap")
+    assert(out.select("event_id").distinct().count() == evs.size)
+  }
+
   test("dropDuplicatesWithinWatermark: exactly-once by event_id") {
     val input = MemoryStream[Ev](spark)
     input.addData(evs ++ evs) // every event duplicated
