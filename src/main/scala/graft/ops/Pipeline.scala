@@ -124,9 +124,59 @@ object Pipeline {
       "CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens " +
       "FROM documents WHERE text <> '' GROUP BY lang ORDER BY lang"
 
+  /** Table profiling (the crawler/profiler pass every lake pipeline runs
+    * before processing): per-column row/null/distinct counts and min/max,
+    * computed in ONE scan + ONE aggregate row, then unpivoted to a row per
+    * column via explode of a struct array (no per-column rescans). min/max
+    * are stringified so heterogeneous column types share one output schema.
+    * Scale note: multiple exact COUNT(DISTINCT) in one agg plan through
+    * Spark's Expand (rows × #distinct-columns before the exchange) — at
+    * 100 TB swap exact distincts for approx_count_distinct and the Expand
+    * disappears; the declared query keeps exact for the oracle.
+    */
+  private def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val aggs = Seq(count(lit(1)).cast("long").as("n_rows")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).cast("long").as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"),
+      )
+    }
+    val structs = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_val"),
+        col(s"${c}_max").as("max_val"),
+      )
+    }
+    Tables
+      .documents(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(structs: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
+  private val profileColumnsSql =
+    Seq("doc_id", "lang", "source", "n_chars")
+      .map { c =>
+        s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS n_nulls, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val " +
+          "FROM documents"
+      }
+      .mkString("", " UNION ALL ", " ORDER BY col_name")
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("merge_scd2", mergeScd2, Some(mergeScd2Sql)),
     QueryDef("sample_hash_split", sampleHashSplit, Some(sampleHashSplitSql)),
     QueryDef("typed_doc_stats", typedDocStats, Some(typedDocStatsSql)),
+    QueryDef("profile_columns", profileColumns, Some(profileColumnsSql)),
   )
 }
