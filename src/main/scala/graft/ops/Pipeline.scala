@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -173,7 +174,95 @@ object Pipeline {
       }
       .mkString("", " UNION ALL ", " ORDER BY col_name")
 
+  /** Fuzzy entity matching: for every part, its nearest same-(brand, size)
+    * neighbor by name edit distance (<= 5) plus the fuzzy-neighbor count —
+    * the blocked string-similarity join every entity-resolution pipeline
+    * runs. Blocking on (brand, size) bounds candidate pairs by the largest
+    * block (320 k pairs at sf0.1, never |parts|²); levenshtein is a
+    * codegen'd built-in on both engines with identical standard semantics.
+    * Tiebreak (dist asc, key asc) makes the best match deterministic.
+    */
+  private def joinFuzzyParts(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"), col("p_brand"), col("p_size"))
+    val b = p.select(
+      col("p_partkey").as("b_key"),
+      col("p_name").as("b_name"),
+      col("p_brand").as("bb"),
+      col("p_size").as("bs"),
+    )
+    val pairs = a
+      .join(b, col("p_brand") === col("bb") && col("p_size") === col("bs") && col("a_key") =!= col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 5)
+    val byA = Window.partitionBy("a_key")
+    pairs
+      .withColumn("rn", row_number().over(byA.orderBy(col("dist"), col("b_key"))))
+      .withColumn("n_fuzzy", count(lit(1)).over(byA))
+      .filter(col("rn") === 1)
+      .select(
+        col("a_key"),
+        col("n_fuzzy").cast("long").as("n_fuzzy"),
+        col("b_key").as("best_key"),
+        col("dist").cast("long").as("best_dist"),
+      )
+      .orderBy("a_key")
+  }
+
+  private val joinFuzzySql =
+    "WITH pairs AS (SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, " +
+      "levenshtein(a.p_name, b.p_name) AS dist " +
+      "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size " +
+      "AND a.p_partkey <> b.p_partkey WHERE levenshtein(a.p_name, b.p_name) <= 5) " +
+      "SELECT a_key, CAST(count(*) OVER (PARTITION BY a_key) AS BIGINT) AS n_fuzzy, " +
+      "b_key AS best_key, CAST(dist AS BIGINT) AS best_dist " +
+      "FROM pairs QUALIFY row_number() OVER (PARTITION BY a_key ORDER BY dist, b_key) = 1 " +
+      "ORDER BY a_key"
+
+  /** Stratified-sample balance report: the md5-bucket 20% sample per lang
+    * stratum with exact kept fractions — shows the hash sample stays
+    * stratified as the corpus grows (same zero-state argument as
+    * sample_hash_split; one groupBy exchange).
+    */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 100
+    Tables
+      .documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(bucket < 20, 1L).otherwise(0L)).as("n_kept"),
+      )
+      .withColumn("kept_frac", round(col("n_kept").cast("double") / col("n_total"), 4))
+      .orderBy("lang")
+  }
+
+  private val sampleStratifiedSql =
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_total, " +
+      "CAST(count(*) FILTER (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20) AS BIGINT) AS n_kept, " +
+      "round(CAST(count(*) FILTER (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20) AS DOUBLE) / count(*), 4) AS kept_frac " +
+      "FROM documents GROUP BY lang ORDER BY lang"
+
+  /** Fixed-width histogram of doc lengths (the binning/feature-engineering
+    * primitive): integer bin arithmetic, one groupBy exchange on the bin id.
+    */
+  private def featureHist(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select((expr("n_chars div 200") * 200).as("bin_lo"))
+      .groupBy("bin_lo")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin_lo")
+
+  private val featureHistSql =
+    "SELECT (n_chars // 200) * 200 AS bin_lo, CAST(count(*) AS BIGINT) AS n " +
+      "FROM documents GROUP BY 1 ORDER BY 1"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("join_fuzzy", joinFuzzyParts, Some(joinFuzzySql)),
+    QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    QueryDef("feature_hist", featureHist, Some(featureHistSql)),
     QueryDef("merge_scd2", mergeScd2, Some(mergeScd2Sql)),
     QueryDef("sample_hash_split", sampleHashSplit, Some(sampleHashSplitSql)),
     QueryDef("typed_doc_stats", typedDocStats, Some(typedDocStatsSql)),
