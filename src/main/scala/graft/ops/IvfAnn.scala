@@ -25,6 +25,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object IvfAnn {
 
+  /** Persisted centroid frames, one per (session identity, data dir) — see
+    * the entries scaladoc.
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   /** Route each vector to its topN nearest centroids (ties to the lower
     * centroid id). ONE implementation for both assignment (topN = 1) and
     * probe routing (topN = nprobe) so tie-breaks can never diverge.
@@ -114,8 +120,14 @@ object IvfAnn {
           .filter(col("vec_id") < 100)
           .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
         // the lazy centroid plan is referenced twice (corpus assign + probe
-        // routing) — persist the 16-row result so Lloyd training runs once
-        val centroids = train(corpus, k = 16).persist()
+        // routing) — persist the 16-row result so Lloyd training runs once.
+        // Cached per (session, dir): re-invoking the query builder (specs,
+        // interleaved bench passes, long-lived drivers) must not register a
+        // fresh persisted plan each call and leak block-manager entries.
+        val centroids = centroidCache.getOrElseUpdate(
+          (System.identityHashCode(s), dir),
+          train(corpus, k = 16).persist(),
+        )
         ivfTopK(probes, corpus, centroids, nprobe = 4, k = 10)
           .orderBy("probe_id", "rn")
       },

@@ -95,9 +95,13 @@ object Multimodal {
       .withColumn("n_chunks", expr("(n_bytes + 63) div 64"))
       .withColumn(
         "smpl",
+        // n_chunks = 0 (empty doc) must give an empty sample like the
+        // oracle's range(0, 0, 4) — Spark's sequence(0, -1, 4) THROWS
         expr(
-          "transform(sequence(cast(0 as bigint), n_chunks - 1, cast(4 as bigint)), " +
-            "i -> md5(substring(payload, cast(i * 64 + 1 as int), 64)))"
+          "CASE WHEN n_chunks > 0 THEN " +
+            "transform(sequence(cast(0 as bigint), n_chunks - 1, cast(4 as bigint)), " +
+            "i -> md5(substring(payload, cast(i * 64 + 1 as int), 64))) " +
+            "ELSE array() END"
         ),
       )
       .select(

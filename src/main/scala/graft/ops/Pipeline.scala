@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -73,9 +73,19 @@ object Pipeline {
     * keeps its split when the corpus grows (the property that matters for
     * 100 TB incremental pipelines, and that sample()/rand() does not have).
     */
+  /** The one bucket formula shared by every hash-sampling query (Spark and
+    * SQL sides MUST stay bit-identical — a drifted copy silently breaks the
+    * split/stratified-sample consistency): first 16 bits of md5(doc_id),
+    * mod 100.
+    */
+  def hashBucket: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  val hashBucketSql: String =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100"
+
   private def sampleHashSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 100
+    val bucket = hashBucket
     Tables
       .documents(s, dir)
       .select(
@@ -88,10 +98,8 @@ object Pipeline {
   }
 
   private val sampleHashSplitSql =
-    "SELECT doc_id, lang, " +
-      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket, " +
-      "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 " +
-      "THEN 'train' ELSE 'test' END AS split " +
+    s"SELECT doc_id, lang, $hashBucketSql AS bucket, " +
+      s"CASE WHEN $hashBucketSql < 90 THEN 'train' ELSE 'test' END AS split " +
       "FROM documents ORDER BY doc_id"
 
   /** The typed surface: case-class Encoder scan → typed filter/map lambdas →
@@ -107,8 +115,10 @@ object Pipeline {
   private def typedDocStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ds: Dataset[Doc] = Tables.documents(s, dir).select("doc_id", "lang", "text").as[Doc]
+    // split with limit -1 keeps trailing empty tokens — matching Spark SQL
+    // split() and DuckDB string_split (Java's default split drops them)
     ds.filter(d => d.text.nonEmpty)
-      .map(d => (d.lang, d.text.split(" ").length.toLong))
+      .map(d => (d.lang, d.text.split(" ", -1).length.toLong))
       .groupByKey(_._1)
       .agg(
         count(lit(1)).as("n_docs").as[Long],
@@ -225,8 +235,7 @@ object Pipeline {
     * sample_hash_split; one groupBy exchange).
     */
   private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 100
+    val bucket = hashBucket
     Tables
       .documents(s, dir)
       .groupBy(col("lang"))
@@ -240,8 +249,8 @@ object Pipeline {
 
   private val sampleStratifiedSql =
     "SELECT lang, CAST(count(*) AS BIGINT) AS n_total, " +
-      "CAST(count(*) FILTER (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20) AS BIGINT) AS n_kept, " +
-      "round(CAST(count(*) FILTER (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20) AS DOUBLE) / count(*), 4) AS kept_frac " +
+      s"CAST(count(*) FILTER ($hashBucketSql < 20) AS BIGINT) AS n_kept, " +
+      s"round(CAST(count(*) FILTER ($hashBucketSql < 20) AS DOUBLE) / count(*), 4) AS kept_frac " +
       "FROM documents GROUP BY lang ORDER BY lang"
 
   /** Fixed-width histogram of doc lengths (the binning/feature-engineering

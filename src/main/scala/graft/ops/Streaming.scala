@@ -128,11 +128,13 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val fresh =
-          if (new java.io.File(target).exists()) {
-            val existing = s.read.parquet(target).select("event_id")
-            batch.join(existing, Seq("event_id"), "left_anti")
-          } else batch
+        // probe the target by reading it: works on any filesystem scheme
+        // (local/HDFS/object store), and treats an existing-but-fileless
+        // directory (crash between mkdir and commit) as absent
+        val fresh = scala.util
+          .Try(s.read.parquet(target).select("event_id"))
+          .map(existing => batch.join(existing, Seq("event_id"), "left_anti"))
+          .getOrElse(batch)
         fresh.dropDuplicates("event_id").write.mode("append").parquet(target)
         ()
       }

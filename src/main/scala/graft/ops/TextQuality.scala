@@ -278,6 +278,12 @@ object TextQuality {
       "round(CAST(b.top_bigram AS DOUBLE) / b.n_bigrams, 4) AS top_bigram_frac " +
       "FROM tstat t JOIN bstat b USING (doc_id) ORDER BY doc_id"
 
+  /** The one quality floor shared by the Spark builder, the oracle SQL, and
+    * CatalogSpec's reconciliation — a divergent copy would fail the hash
+    * gate with no hint why.
+    */
+  val CurationMinQuality: Double = 0.85
+
   private val curationSql =
     "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
       "d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents " +
@@ -292,7 +298,7 @@ object TextQuality {
       "+ 2 * least(10000, n_tokens * 200) AS DOUBLE) / 100000.0 AS quality, " +
       s"$predCaseSql AS pred_lang FROM b) " +
       "SELECT doc_id, n_tokens, quality, pred_lang FROM c " +
-      "WHERE quality >= 0.85 AND pred_lang = lang ORDER BY doc_id"
+      s"WHERE quality >= $CurationMinQuality AND pred_lang = lang ORDER BY doc_id"
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("text_quality", textQuality, Some(qualitySql)),
@@ -314,7 +320,7 @@ object TextQuality {
     ),
     QueryDef(
       "curation_pipeline",
-      (s, dir) => curationPipeline(Tables.documents(s, dir), minQuality = 0.85),
+      (s, dir) => curationPipeline(Tables.documents(s, dir), minQuality = CurationMinQuality),
       Some(curationSql),
     ),
     QueryDef(

@@ -109,7 +109,7 @@ class CatalogSpec extends SparkSpec {
     val q = SparkEntry.queries("text_quality")(spark, sfDir).select(col("doc_id"), col("quality").as("q2"))
     val l = SparkEntry.queries("text_langid")(spark, sfDir).filter(col("label_match"))
     val expected = q
-      .filter(col("q2") >= 0.85)
+      .filter(col("q2") >= ops.TextQuality.CurationMinQuality)
       .join(l, "doc_id")
       .select("doc_id") // no dups in the fixture corpus, so dedup drops nothing
     assert(kept.count() == expected.count())

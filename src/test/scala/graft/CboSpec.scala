@@ -76,8 +76,9 @@ class CboSpec extends SparkSpec {
 
   test("cost-based join reorder rewrites a deliberately bad join order") {
     analyzedTables
-    // written order: orders ⋈ orders2 (big ⋈ big) first, then nation (25 rows).
-    // With stats + CBO the optimizer should NOT keep the written tree verbatim.
+    // written order: orders ⋈ customer (big ⋈ big) first, then the filtered
+    // 25-row nation last. With stats + CBO the optimizer should NOT keep the
+    // written tree verbatim.
     def plan(): String = {
       val o = spark.table("cbo_orders")
       val c = spark.table("cbo_customer")

@@ -54,9 +54,14 @@ def main():
             continue
         # the driver's pandas comparator CRASHES on list-typed cells
         # (unhashable numpy.ndarray, round-2 lesson) — our repr() canon
-        # would mask that, so fail loudly instead.
-        complex_cells = sp[:1] and [c for c, v in zip(sp_cols, sp[0])
-                                    if isinstance(v, (list, tuple, dict))]
+        # would mask that, so fail loudly instead. Scan EVERY row: a NULL
+        # in row 0 of an array column would otherwise slip through.
+        complex_cols = set()
+        for row in sp:
+            for c, v in zip(sp_cols, row):
+                if isinstance(v, (list, tuple, dict)):
+                    complex_cols.add(c)
+        complex_cells = sorted(complex_cols)
         if complex_cells:
             print(f"FAIL {name}: complex-typed columns {complex_cells} — "
                   "driver checker cannot hash these; flatten with concat_ws")
