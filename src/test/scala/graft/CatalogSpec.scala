@@ -194,6 +194,18 @@ class CatalogSpec extends SparkSpec {
       .filter(col("split") =!= col("s2")).count() == 0)
   }
 
+  test("sample_hash_split buckets are stable across corpus growth (sf0.001 ⊂ sf0.01)") {
+    // the docs claim a doc keeps its split as the corpus grows — assert it:
+    // same doc_id ⇒ same bucket at both scale factors
+    val small = SparkEntry.queries("sample_hash_split")(spark, sfDir).select("doc_id", "bucket")
+    val large = SparkEntry
+      .queries("sample_hash_split")(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("bucket").as("b2"))
+    val joined = small.join(large, "doc_id")
+    assert(joined.count() == small.count(), "sf0.001 doc_ids must exist at sf0.01")
+    assert(joined.filter(col("bucket") =!= col("b2")).count() == 0)
+  }
+
   test("typed_doc_stats equals the untyped Column formulation") {
     val typed = SparkEntry.queries("typed_doc_stats")(spark, sfDir)
     val untyped = Tables
