@@ -45,6 +45,19 @@ object Streaming {
   def dedupWithinWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("etime", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming exact-dedup BY CONTENT — the streaming analog of the batch
+    * `dedup_exact_norm`: arriving docs are deduped on md5 of normalized
+    * text within the watermark horizon, so a curation pipeline can ingest
+    * continuously instead of re-scanning the corpus. State is one 32-byte
+    * digest per distinct doc inside the horizon (never the text), the same
+    * text-stays-map-side property as the batch op.
+    */
+  def dedupContentWithinWatermark(docs: DataFrame, delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("norm_md5", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withWatermark("etime", delay)
+      .dropDuplicatesWithinWatermark("norm_md5")
+
   /** Running per-user event counters across micro-batches via explicit
     * state (mapGroupsWithState) — the custom-state escape hatch when
     * windowed aggs can't express the logic. Final state ≡ batch

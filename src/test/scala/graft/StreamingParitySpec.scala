@@ -148,6 +148,31 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed.count() == evs.size)
   }
 
+  test("streaming content-dedup keeps one doc per normalized text, like dedup_exact_norm") {
+    // docs stream: same text arriving with different ids/whitespace must
+    // collapse to one survivor, matching the batch normalize+group semantics
+    import StreamingParitySpec.DocRow
+    val docs = Seq(
+      DocRow(1, ts(1), "the quick brown fox"),
+      DocRow(2, ts(2), "THE  Quick   Brown FOX"), // normalizes to the same text
+      DocRow(3, ts(3), "a different document"),
+      DocRow(4, ts(4), "the quick brown fox"), // exact repeat
+    )
+    val input = MemoryStream[DocRow](spark)
+    input.addData(docs)
+    val streamed = Streaming.runToMemory(
+      spark,
+      Streaming.dedupContentWithinWatermark(input.toDF()),
+      "content_dedup",
+      OutputMode.Append(),
+    )
+    assert(streamed.count() == 2, s"expected 2 survivors, got ${streamed.collect().mkString}")
+    val batch = docs.toDF()
+      .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("k"))
+      .agg(min("doc_id").as("doc_id"))
+    assert(batch.count() == streamed.count())
+  }
+
   test("mapGroupsWithState running count equals batch groupBy count") {
     val input = MemoryStream[Ev](spark)
     val counts = Streaming.statefulUserCount(input.toDS())
@@ -258,4 +283,9 @@ class StreamingParitySpec extends SparkSpec {
     assert(files.count() >= 2)
     assert(new java.io.File(ckpt).listFiles().nonEmpty, "checkpoint must be written")
   }
+}
+
+object StreamingParitySpec {
+  /** Top-level so Spark can derive a product Encoder (inner classes can't). */
+  final case class DocRow(doc_id: Long, etime: java.sql.Timestamp, text: String)
 }
