@@ -27,7 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // a full-catalog bench (2 passes of whole-stage-codegen classes) overflows the
+  // a full-catalog bench (3 executions/query: warm-up + 2 timed passes of
+  // whole-stage-codegen classes) overflows the
   // default 240 MB JIT code cache; once full the JIT disables and late
   // queries run interpreted (measured 3-50x slowdowns on whatever ran last).
   "-XX:ReservedCodeCacheSize=2g",

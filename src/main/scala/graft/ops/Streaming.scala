@@ -54,7 +54,7 @@ object Streaming {
     */
   def dedupContentWithinWatermark(docs: DataFrame, delay: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("norm_md5", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("norm_md5", md5(Text.normText(col("text"))))
       .withWatermark("etime", delay)
       .dropDuplicatesWithinWatermark("norm_md5")
 

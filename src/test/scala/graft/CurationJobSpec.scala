@@ -24,7 +24,11 @@ class CurationJobSpec extends SparkSpec {
     // 2. quality floor + language agreement on the survivors
     val scored = SparkEntry
       .queries("curation_pipeline")(spark, sfDir)
-      .join(reps, "doc_id") // curation's exact-dedup keeps a superset of reps
+      .join(reps, "doc_id")
+    // NOTE: not a strict superset — for sub-shingle-length exact dupes the
+    // cluster rep can be a doc that curation's md5 dedup dropped (both pick
+    // canonical survivors but by different keys); the audit below checks the
+    // JOINED set's invariants, not stage-wise retention.
     // 3. deterministic split
     val split = SparkEntry
       .queries("sample_hash_split")(spark, sfDir)

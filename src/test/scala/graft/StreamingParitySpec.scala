@@ -168,7 +168,7 @@ class StreamingParitySpec extends SparkSpec {
     )
     assert(streamed.count() == 2, s"expected 2 survivors, got ${streamed.collect().mkString}")
     val batch = docs.toDF()
-      .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("k"))
+      .groupBy(md5(graft.ops.Text.normText(col("text"))).as("k"))
       .agg(min("doc_id").as("doc_id"))
     assert(batch.count() == streamed.count())
   }
