@@ -84,6 +84,23 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("Union"), "both versions must be produced in one pass, not a self-union")
   }
 
+  test("decontaminate: eval grams broadcast, corpus side never self-joins") {
+    val p = planString("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "eval-gram set must broadcast, not sort-merge")
+  }
+
+  test("chunk_text: per-row chunking, zero exchanges beyond the declared sort") {
+    val finalPlan = plan("chunk_text") match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other                                                            => other
+    }
+    val exchanges = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, s"chunking must not shuffle beyond the final sort: $finalPlan")
+  }
+
   test("no cartesian products outside the bounded cross join") {
     SparkEntry.queries.keys.filterNot(_ == "join_cross_bounded").foreach { name =>
       val p = planString(name)
