@@ -45,22 +45,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
       Some((System.nanoTime() - t0) / 1e9)
     }
-    val results: Seq[(String, Option[Double])] = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      timeOnce(fn) // warm-up pass: JIT + codegen cache
-      val timed = (timeOnce(fn), timeOnce(fn))
-      name -> (for (a <- timed._1; b <- timed._2) yield math.min(a, b))
+    val results: Seq[(String, Option[(Double, Double)])] = SparkEntry.queries.toSeq.map {
+      case (name, fn) =>
+        timeOnce(fn) // warm-up pass: JIT + codegen cache
+        name -> (for (a <- timeOnce(fn); b <- timeOnce(fn)) yield (a, b))
     }
     val qs = results.map {
-      case (k, Some(v)) => "\"" + k + "\":" + v
-      case (k, None)    => "\"" + k + "\":null"
+      case (k, Some((a, b))) => "\"" + k + "\":" + math.min(a, b)
+      case (k, None)         => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
-    val ok = results.collect { case (_, Some(v)) => v }
+    // both warm pass times, in run order: min can mask a bimodal plan (e.g.
+    // AQE alternating) — the spread makes that visible without changing the
+    // reported estimator
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    val ps = results.collect { case (k, Some((a, b))) =>
+      "\"" + k + "\":[" + r3(a) + "," + r3(b) + "]"
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, Some((a, b))) => math.min(a, b) }
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = ok.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","pass":"min of 2 warm passes (after 1 warm-up)","n_queries":${results.size},""" +
-        s""""failures":[${failed.mkString(",")}]}"""
+        s""""passes":$ps,"failures":[${failed.mkString(",")}]}"""
     println(line)
     Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()

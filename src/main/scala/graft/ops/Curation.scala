@@ -61,16 +61,25 @@ object Curation {
     * them (anti-join) before training.
     */
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    // explode_outer + attribute filter, NOT explode: InferFiltersFromGenerate
-    // would clone the (non-codegen) 5-gram HOF into inferred `size(gs) > 0 /
-    // isnotnull(gs)` scan filters and the interpreted transform would run 3x
-    // per row — measured 13.5 s -> ~1 s at sf0.1 for this one change.
+    // Two load-bearing plan shapes here:
+    // 1. `w` is MATERIALIZED in its own projection before grams5 sees it.
+    //    Interpreted HOFs do no common-subexpression elimination, so passing
+    //    the raw `split(normText(text))` expression into the lambda re-runs
+    //    the regex+split for every element_at of every gram (5 per gram ×
+    //    ~50 grams per doc) — measured 17 s -> ~1 s at sf0.1 for this one
+    //    projection. CollapseProject keeps the split out of the lambda
+    //    because it never duplicates non-cheap aliases into multiple uses.
+    // 2. explode_outer + attribute filter, NOT explode:
+    //    InferFiltersFromGenerate would clone the (non-codegen) 5-gram HOF
+    //    into inferred `size(gs) > 0 / isnotnull(gs)` scan filters and the
+    //    interpreted transform would run 3x per row.
     val base = Tables
       .documents(s, dir)
+      .select(col("doc_id"), Pipeline.hashBucket.as("bucket"), nw.as("w"))
       .select(
         col("doc_id"),
-        Pipeline.hashBucket.as("bucket"),
-        explode_outer(array_distinct(grams5(nw))).as("g"),
+        col("bucket"),
+        explode_outer(array_distinct(grams5(col("w")))).as("g"),
       )
       .filter(col("g").isNotNull)
     val evalGrams = base.filter(col("bucket") >= 98).select("g").distinct()
@@ -190,11 +199,11 @@ object Curation {
 
   private val filterQualityQuantileSql =
     "WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents), " +
-      "b AS (SELECT doc_id, lang, " +
-      "CAST(5 * CAST(round(round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 4) * 10000, 0) AS BIGINT) " +
-      "+ 3 * (10000 - CAST(round(round(CAST(len(list_filter(w, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(w), 4) * 10000, 0) AS BIGINT)) " +
-      "+ 2 * least(10000, len(w) * 200) AS DOUBLE) / 100000.0 AS quality FROM d), " +
-      "p AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr FROM b) " +
+      "b AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens, " +
+      s"${TextQuality.alphaRatioSql} AS alpha_ratio, " +
+      s"${TextQuality.stopRatioSql} AS stop_ratio FROM d), " +
+      s"q AS (SELECT doc_id, lang, ${TextQuality.qualityFromPartsSql} AS quality FROM b), " +
+      "p AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr FROM q) " +
       "SELECT doc_id, lang, quality, round(pr, 4) AS pr FROM p WHERE pr >= 0.5 ORDER BY doc_id"
 
   val entries: Seq[QueryDef] = Seq(

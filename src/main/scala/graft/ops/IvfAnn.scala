@@ -25,11 +25,30 @@ import org.apache.spark.sql.expressions.Window
   */
 object IvfAnn {
 
-  /** Persisted centroid frames, one per (session identity, data dir) — see
-    * the entries scaladoc.
+  /** Persisted centroid frames, one per (session, data dir) — see the
+    * entries scaladoc. WEAKLY keyed on the SparkSession instance itself:
+    * identity hash codes are reusable after GC (a new session could alias a
+    * dead one's key and receive a DataFrame bound to a stopped
+    * SparkContext), and a strong key would retain every session's persisted
+    * plan for the JVM lifetime. With weak keys the entry — and with it the
+    * only strong reference to the persisted plan — is collectable as soon
+    * as the session is, and the cached blocks die with the session's
+    * context.
     */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def cachedCentroids(s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    val perDir = centroidCache.synchronized {
+      var m = centroidCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        centroidCache.put(s, m)
+      }
+      m
+    }
+    perDir.getOrElseUpdate(dir, build)
+  }
 
   /** Route each vector to its topN nearest centroids (ties to the lower
     * centroid id). ONE implementation for both assignment (topN = 1) and
@@ -124,10 +143,7 @@ object IvfAnn {
         // Cached per (session, dir): re-invoking the query builder (specs,
         // interleaved bench passes, long-lived drivers) must not register a
         // fresh persisted plan each call and leak block-manager entries.
-        val centroids = centroidCache.getOrElseUpdate(
-          (System.identityHashCode(s), dir),
-          train(corpus, k = 16).persist(),
-        )
+        val centroids = cachedCentroids(s, dir)(train(corpus, k = 16).persist())
         ivfTopK(probes, corpus, centroids, nprobe = 4, k = 10)
           .orderBy("probe_id", "rn")
       },

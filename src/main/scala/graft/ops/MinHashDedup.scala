@@ -121,17 +121,25 @@ object MinHashDedup {
     * CLUSTER a curation pipeline actually consumes (pairs alone can't say
     * "keep one of {a,b,c}" when a~b and b~c but a!~c).
     *
-    * Min-label propagation to fixpoint: each round, a node's label becomes
-    * the min of its own and its neighbors'; converges in graph-diameter
-    * rounds (near-dup components are shallow — 3-4 rounds in practice).
-    * The working set is only nodes that HAVE an edge (at 100 TB: the dup
-    * fraction of the corpus, not the corpus); singletons join back at the
-    * end with themselves as cluster. Each round is one equi-join + groupBy
-    * on 8-byte ids; `localCheckpoint` truncates the growing lineage so round
-    * k doesn't replay rounds 1..k-1 (on a cluster, `checkpoint` to durable
+    * Min-label propagation WITH pointer jumping: each round, a node's label
+    * becomes the min of its own and its neighbors' (one equi-join + groupBy
+    * on 8-byte ids), then every label is short-cut through its own current
+    * label (`cluster_id := label(cluster_id)` — a second equi-join). The
+    * jump doubles the propagation horizon per round, so convergence is
+    * O(log diameter) rounds, not O(diameter): a length-1M edit chain — the
+    * shape incremental near-dup corpora actually produce — finishes in ~20
+    * rounds where plain propagation would need 1M. The working set is only
+    * nodes that HAVE an edge (at 100 TB: the dup fraction of the corpus,
+    * not the corpus); singletons join back at the end with themselves as
+    * cluster. `localCheckpoint` truncates the growing lineage so round k
+    * doesn't replay rounds 1..k-1 (on a cluster, `checkpoint` to durable
     * storage instead). The per-round driver action is a changed-label COUNT
     * (a scalar — not a collect of data). The fixpoint is unique, so the
-    * result is deterministic no matter how rounds schedule.
+    * result is deterministic no matter how rounds schedule. If maxRounds is
+    * ever hit (diameter > 2^maxRounds — not a reachable corpus shape), the
+    * current labels are returned with a warning rather than throwing:
+    * labels are monotone toward the fixpoint, so the partial result is a
+    * valid over-segmentation (some clusters split, none merged wrongly).
     */
   def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs
@@ -150,16 +158,31 @@ object MinHashDedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster_id").as("nbr_min"))
-      val next = labels
+      val prop = labels
         .select(col("doc_id"), col("cluster_id").as("old"))
         .join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"), least(col("old"), col("nbr_min")).as("cluster_id"), col("old"))
+        .localCheckpoint()
+      // pointer jump: cluster_id := label(cluster_id). Every label IS a
+      // node id in the edge set (initial labels are self, updates are mins
+      // of such labels), so the inner join is total; label(label(v)) <=
+      // label(v) by monotonicity, so no least() is needed.
+      val next = prop
+        .join(
+          prop.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump")),
+          Seq("cluster_id"),
+        )
+        .select(col("doc_id"), col("jump").as("cluster_id"), col("old"))
         .localCheckpoint()
       changed = next.filter(col("cluster_id") =!= col("old")).count()
       labels = next.select("doc_id", "cluster_id")
       round += 1
     }
-    require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
+    if (changed != 0)
+      Console.err.println(
+        s"graft: dedup cluster labels still moving after $maxRounds rounds " +
+          s"($changed changed last round) — returning best-effort (over-segmented) labels"
+      )
     docs
       .select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")

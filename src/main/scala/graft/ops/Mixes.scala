@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Qf._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-4 training-mix & privacy verbs (SURVEY.md §2.13): temperature-
+  * weighted language mixing, PII redaction, int8 embedding quantization.
+  *
+  * Scale doctrine, per op:
+  *   - sample_temperature: the only aggregation is per-lang doc counts —
+  *     |langs| rows — and the weight normalization is a window over that
+  *     tiny frame. The corpus contributes one map-side count; nothing else
+  *     shuffles. At 100 TB the mix table is still 5 rows.
+  *   - text_pii_redact: pure per-row regex projection, zero exchanges
+  *     beyond the declared sort — embarrassingly parallel at any scale.
+  *   - embed_quantize_int8: per-row HOF over the 64-element vector, no
+  *     shuffle. At 100 TB this is the map-only pass that shrinks a vector
+  *     index 4× before it is built.
+  */
+object Mixes {
+
+  /** Temperature-weighted sampling mix (the multilingual-LLM standard:
+    * p_lang ∝ n_lang^α). α = 0.5 deliberately: sqrt is IEEE-754
+    * correctly-rounded, hence bit-identical across engines, where pow(x,
+    * 0.7) is libm-dependent. Determinism route: round(sqrt, 6) → exact
+    * DECIMAL(18,6) → exact window sum (order-free) → both operands cast to
+    * double (exact: 6-decimal values of this magnitude are < 2^53 ulps) →
+    * one division → round(4). target_docs is the rounded share of a
+    * 1000-doc budget, derived from the already-rounded weight so both
+    * engines scale the identical double.
+    */
+  private def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val tot = sum(col("s6")).over(Window.partitionBy()) // |langs| rows — tiny
+    Tables
+      .documents(s, dir)
+      .groupBy("lang")
+      .agg(nrows.as("n_docs"))
+      .withColumn("s6", round(sqrt(col("n_docs")), 6).cast(DecimalType(18, 6)))
+      .withColumn("weight", round(col("s6").cast("double") / tot.cast("double"), 4))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("weight"),
+        round(col("weight") * 1000, 0).cast("long").as("target_docs"),
+      )
+      .orderBy("lang")
+  }
+
+  private val sampleTemperatureSql =
+    "WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), " +
+      "s AS (SELECT lang, n_docs, CAST(round(sqrt(n_docs), 6) AS DECIMAL(18,6)) AS s6 FROM c) " +
+      "SELECT lang, n_docs, " +
+      "round(CAST(s6 AS DOUBLE) / CAST(sum(s6) OVER () AS DOUBLE), 4) AS weight, " +
+      "CAST(round(round(CAST(s6 AS DOUBLE) / CAST(sum(s6) OVER () AS DOUBLE), 4) * 1000, 0) AS BIGINT) AS target_docs " +
+      "FROM s ORDER BY lang"
+
+  /** PII redaction. The corpus is normalized lowercase prose with no PII by
+    * construction, so a deterministic synthesizer first plants doc_id-many
+    * (mod 3 / mod 2) emails and phone numbers per doc — the redactor is
+    * then checked on varying-density PII, not on a no-op. Patterns are
+    * deliberately within the Java-regex ∩ RE2 common subset. The md5 of the
+    * redacted text is the strong cross-engine check: one divergent
+    * replacement anywhere flips it.
+    */
+  private val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  private def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(
+      col("text"),
+      expr("repeat(concat(' u', cast(doc_id AS STRING), '@mail.com'), cast(doc_id % 3 AS INT))"),
+      expr(
+        "repeat(concat(' +1-555-', lpad(cast(doc_id % 10000 AS STRING), 4, '0')), cast(doc_id % 2 AS INT))"
+      ),
+    )
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), synth.as("t"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(
+          regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+        ).as("redacted_md5"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val textPiiRedactSql =
+    "WITH synth AS (SELECT doc_id, " +
+      "text || repeat(' u' || doc_id || '@mail.com', CAST(doc_id % 3 AS INT)) " +
+      "|| repeat(' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), CAST(doc_id % 2 AS INT)) AS t " +
+      "FROM documents) " +
+      "SELECT doc_id, " +
+      s"CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails, " +
+      s"CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones, " +
+      s"md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5 " +
+      "FROM synth ORDER BY doc_id"
+
+  /** Symmetric int8 quantization of the embedding column (what a vector
+    * index stores at corpus scale): per-vector scale = max |x|, q_i =
+    * round(x_i / scale · 127). Declared output avoids the banned array type
+    * via a position-weighted integer checksum (Σ q_i·(i+1) — exact BIGINT
+    * arithmetic, order-free) plus the saturation count; the scale at
+    * display precision. The lambda references only materialized attributes
+    * (`v`, `scale`), never a recomputed expression — see
+    * Curation.decontaminate for why that matters in interpreted HOFs.
+    */
+  private def embedQuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn(
+        "qs",
+        transform(col("v"), (x, i) => round(x / col("scale") * 127, 0).cast("long")),
+      )
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        aggregate(
+          transform(col("qs"), (q, i) => q * (i + 1).cast("long")),
+          lit(0L),
+          (a, x) => a + x,
+        ).as("q_checksum"),
+        size(filter(col("qs"), q => abs(q) === 127)).cast("long").as("n_sat"),
+      )
+      .orderBy("vec_id")
+
+  private val embedQuantizeInt8Sql =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e), " +
+      "q AS (SELECT vec_id, scale, " +
+      "list_transform(v, (x, i) -> CAST(round(x / scale * 127, 0) AS BIGINT)) AS qs FROM s) " +
+      "SELECT vec_id, round(scale, 6) AS scale, " +
+      "CAST(list_sum(list_transform(qs, (x, i) -> x * i)) AS BIGINT) AS q_checksum, " +
+      "CAST(len(list_filter(qs, x -> abs(x) = 127)) AS BIGINT) AS n_sat " +
+      "FROM q ORDER BY vec_id"
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
+    QueryDef("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
+    QueryDef("embed_quantize_int8", embedQuantizeInt8, Some(embedQuantizeInt8Sql)),
+  )
+}

@@ -219,18 +219,36 @@ object TextQuality {
 
   // ------------------------------------------------------------- catalog
 
+  /** DuckDB fragments mirroring alphaRatio / ratioIn(Stop) over columns
+    * named `text` and `w`, and the composite quality over columns named
+    * `alpha_ratio` / `stop_ratio` / `n_tokens`. EVERY oracle string that
+    * needs the quality formula (qualitySql, curationSql, Curation's
+    * quantile filter) interpolates these — a hand-inlined copy would let
+    * one constant drift and surface only as an opaque hash mismatch.
+    */
+  val alphaRatioSql: String =
+    "round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 4)"
+
+  val stopRatioSql: String = {
+    val lst = Stop.map(x => s"'$x'").mkString(",")
+    s"round(CAST(len(list_filter(w, t -> t IN ($lst))) AS DOUBLE) / len(w), 4)"
+  }
+
+  val qualityFromPartsSql: String =
+    "CAST(5 * CAST(round(alpha_ratio * 10000, 0) AS BIGINT) " +
+      "+ 3 * (10000 - CAST(round(stop_ratio * 10000, 0) AS BIGINT)) " +
+      "+ 2 * least(10000, n_tokens * 200) AS DOUBLE) / 100000.0"
+
   private val qualitySql =
     "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), " +
       "b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
       "CAST(len(w) AS BIGINT) AS n_tokens, " +
-      "round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio, " +
-      "round(CAST(len(list_filter(w, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(w), 4) AS stop_ratio, " +
+      s"$alphaRatioSql AS alpha_ratio, " +
+      s"$stopRatioSql AS stop_ratio, " +
       "round(CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w), 4) AS mean_word_len " +
       "FROM d) " +
       "SELECT doc_id, n_chars, n_tokens, alpha_ratio, stop_ratio, mean_word_len, " +
-      "CAST(5 * CAST(round(alpha_ratio * 10000, 0) AS BIGINT) " +
-      "+ 3 * (10000 - CAST(round(stop_ratio * 10000, 0) AS BIGINT)) " +
-      "+ 2 * least(10000, n_tokens * 200) AS DOUBLE) / 100000.0 AS quality " +
+      s"$qualityFromPartsSql AS quality " +
       "FROM b ORDER BY doc_id"
 
   // shared SQL fragments mirroring ratioIn/predLangCol (DuckDB dialect)
@@ -289,13 +307,11 @@ object TextQuality {
       "d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents " +
       "WHERE doc_id IN (SELECT doc_id FROM keep)), " +
       "b AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens, " +
-      "round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio, " +
-      "round(CAST(len(list_filter(w, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(w), 4) AS stop_ratio, " +
+      s"$alphaRatioSql AS alpha_ratio, " +
+      s"$stopRatioSql AS stop_ratio, " +
       s"$scoreSql FROM d), " +
       "c AS (SELECT doc_id, lang, n_tokens, " +
-      "CAST(5 * CAST(round(alpha_ratio * 10000, 0) AS BIGINT) " +
-      "+ 3 * (10000 - CAST(round(stop_ratio * 10000, 0) AS BIGINT)) " +
-      "+ 2 * least(10000, n_tokens * 200) AS DOUBLE) / 100000.0 AS quality, " +
+      s"$qualityFromPartsSql AS quality, " +
       s"$predCaseSql AS pred_lang FROM b) " +
       "SELECT doc_id, n_tokens, quality, pred_lang FROM c " +
       s"WHERE quality >= $CurationMinQuality AND pred_lang = lang ORDER BY doc_id"

@@ -62,15 +62,23 @@ object Vectors {
       .orderBy("probe_id", "rn")
   }
 
-  /** All pairs with cosine >= 0.3 inside the same `label` block (a < b). */
+  /** All pairs with cosine >= 0.3 inside the same `label` block (a < b).
+    *
+    * The threshold gates on the RAW dot, not the rounded one: the fold is
+    * bit-identical across engines (see object scaladoc), so `dot >= t`
+    * can never diverge — whereas `round(dot, 4) >= t` would additionally
+    * depend on both engines' decimal-rounding implementations agreeing at
+    * the boundary ulp. The rounded `sim` column is display precision only.
+    */
   private def simThresholdPairs(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("vb"))
     a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .withColumn("sim", round(nativeDot(col("va"), col("vb")), 4))
-      .filter(col("sim") >= 0.3)
+      .withColumn("__dot", nativeDot(col("va"), col("vb")))
+      .filter(col("__dot") >= 0.3)
+      .withColumn("sim", round(col("__dot"), 4))
       .select("label", "id_a", "id_b", "sim")
       .orderBy("label", "id_a", "id_b")
   }
@@ -84,6 +92,10 @@ object Vectors {
     * so the plan scales unchanged). The dup-id set is distinct vec_ids only
     * (8 bytes a row), then a single left join marks survivors — embeddings
     * are scored once and never shuffled as join payload afterwards.
+    *
+    * Like sim_threshold_pairs, the kept/dropped decision gates on the RAW
+    * dot — bit-identical across engines — so no rounding boundary can flip
+    * row content between Spark and the oracle.
     */
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -93,7 +105,7 @@ object Vectors {
       e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("vb"))
     val dupIds = a
       .join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .filter(round(nativeDot(col("va"), col("vb")), 4) >= 0.4)
+      .filter(nativeDot(col("va"), col("vb")) >= 0.4)
       .select(col("id_b").as("vec_id"))
       .distinct()
       .withColumn("dup", lit(true))
@@ -145,7 +157,7 @@ object Vectors {
         "SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, " +
           "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim " +
           "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
-          "WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.3 " +
+          "WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3 " +
           "ORDER BY label, id_a, id_b"
       ),
     ),
@@ -155,7 +167,7 @@ object Vectors {
       Some(
         "WITH pairs AS (SELECT b.vec_id AS dup_id " +
           "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
-          "WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4) " +
+          "WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4) " +
           "SELECT vec_id, label, vec_id NOT IN (SELECT dup_id FROM pairs) AS kept " +
           "FROM embeddings ORDER BY vec_id"
       ),
