@@ -33,10 +33,11 @@ object Profile {
     }
     time("shingleSet")(shingleSet(docs).count())
     val sh = shingleSet(docs)
-    time("signatures")(signatures(sh).count())
-    val sig = signatures(sh)
-    time("candidatePairs")(candidatePairs(sig).count())
-    val cands = candidatePairs(sig)
+    time("signatures(agg)")(signatures(sh).count())
+    time("signaturesNative")(signaturesNative(docs).count())
+    time("candidates(agg)")(candidatePairs(signatures(sh)).count())
+    time("candidates(native)")(candidatePairs(signaturesNative(docs)).count())
+    val cands = candidatePairs(signaturesNative(docs))
     time("verifyPairs")(verifyPairs(cands, sh).count())
     time("full nearDupPairs")(nearDupPairs(docs).count())
     spark.stop()

@@ -58,20 +58,27 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(
       ctx,
-      ev,
-      (a, b) => s"""
-        |int n = $a.numElements();
-        |if (n != $b.numElements()) {
-        |  ${ev.isNull} = true;
-        |} else {
-        |  double acc = 0.0;
-        |  for (int i = 0; i < n; i++) {
-        |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-        |    acc += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
-        |  }
-        |  if (!${ev.isNull}) { ${ev.value} = acc; }
-        |}
-      """.stripMargin,
+      ev, {
+        // freshName everything: the block shares a scope with sibling
+        // expressions' locals, and a bare `i`/`n` collides (janino rejects
+        // the stage → silent interpreter fallback). Same rule as MinHashSig.
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        (a, b) => s"""
+          |int $n = $a.numElements();
+          |if ($n != $b.numElements()) {
+          |  ${ev.isNull} = true;
+          |} else {
+          |  double $acc = 0.0;
+          |  for (int $i = 0; $i < $n; $i++) {
+          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+          |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+          |  }
+          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+          |}
+        """.stripMargin
+      },
     )
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =

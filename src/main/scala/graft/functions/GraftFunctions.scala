@@ -20,7 +20,17 @@ object GraftFunctions {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)),
-    )
+    ),
+    (
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      // optional second arg (nHashes) must be a foldable int; defaults to 128
+      (children: Seq[Expression]) =>
+        MinHashSig(
+          children(0),
+          children.lift(1).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(128),
+        ),
+    ),
   )
 
   def register(spark: SparkSession): Unit =

@@ -30,25 +30,39 @@ object IvfAnn {
     * identity hash codes are reusable after GC (a new session could alias a
     * dead one's key and receive a DataFrame bound to a stopped
     * SparkContext), and a strong key would retain every session's persisted
-    * plan for the JVM lifetime. With weak keys the entry — and with it the
-    * only strong reference to the persisted plan — is collectable as soon
-    * as the session is, and the cached blocks die with the session's
-    * context.
+    * plan for the JVM lifetime. The VALUE side holds the DataFrame only
+    * through a WeakReference — a strong value would reach the session back
+    * through Dataset.sparkSession and pin its own key forever (the classic
+    * WeakHashMap self-reference trap). If the wrapper Dataset is collected
+    * the entry rebuilds and re-persists: CacheManager compares CANONICALIZED
+    * plans, so the rebuilt (structurally identical) plan reuses the live
+    * cache entry instead of registering a second one. The whole
+    * lookup-or-build runs under one lock — build here is lazy plan
+    * construction plus persist() registration (no Spark job), so the
+    * coarse lock is cheap and stops a race from double-registering.
     */
   private val centroidCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    new java.util.WeakHashMap[
+      SparkSession,
+      scala.collection.mutable.HashMap[String, java.lang.ref.WeakReference[DataFrame]],
+    ]()
 
-  private def cachedCentroids(s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
-    val perDir = centroidCache.synchronized {
-      var m = centroidCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def cachedCentroids(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    centroidCache.synchronized {
+      val perDir = Option(centroidCache.get(s)).getOrElse {
+        val m =
+          scala.collection.mutable.HashMap.empty[String, java.lang.ref.WeakReference[DataFrame]]
         centroidCache.put(s, m)
+        m
       }
-      m
+      perDir.get(dir).flatMap(r => Option(r.get)) match {
+        case Some(df) => df
+        case None =>
+          val df = build
+          perDir.put(dir, new java.lang.ref.WeakReference(df))
+          df
+      }
     }
-    perDir.getOrElseUpdate(dir, build)
-  }
 
   /** Route each vector to its topN nearest centroids (ties to the lower
     * centroid id). ONE implementation for both assignment (topN = 1) and

@@ -38,37 +38,73 @@ object MinHashDedup {
     * NOTE: the family must not use raw long multiply/add — Spark 4 runs
     * ANSI mode by default and wrapping arithmetic throws on overflow.
     * xxhash64(seed, sh) is overflow-free and proven.
+    *
+    * This is the pure-built-in fallback; the pipeline default is
+    * `signaturesNative` below, which needs no exchange at all.
     */
   def signatures(shingles: DataFrame, nHashes: Int = 128): DataFrame = {
     val mins: Seq[Column] = (0 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))))
     shingles.groupBy(col("doc_id")).agg(array(mins: _*).as("sig"))
   }
 
-  /** Candidate pairs (id_a < id_b) whose signatures agree on at least one
-    * full band. The join key is a 64-bit hash of (band index, band slice) —
-    * fixed-width, shuffle-friendly; hash collisions only ever ADD candidates,
-    * which exact verification then rejects.
+  /** Map-side signatures via the native codegen kernel
+    * (graft.functions.MinHashSig): the whole signature comes from the doc's
+    * own shingle array in one projection — no Generate, no
+    * groupBy(doc_id) Exchange, no 128 janino-compiled min aggregates. Same
+    * (doc_id, sig) contract as `signatures`; the hash family differs only
+    * in seed constants, which LSH recall is invariant to (floor pinned in
+    * MinHashLshSpec).
     */
-  def candidatePairs(sigs: DataFrame, bands: Int = 32, rows: Int = 4): DataFrame = {
-    val banded = sigs
-      .select(
-        col("doc_id"),
-        posexplode(
-          expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))")
-        ).as(Seq("band", "bsig")),
-      )
-      .select(
-        col("doc_id"),
-        xxhash64(col("band"), expr("concat_ws(',', transform(bsig, x -> cast(x AS STRING)))"))
-          .as("bucket"),
-      )
-    banded
-      .select(col("doc_id").as("id_a"), col("bucket"))
-      .join(banded.select(col("doc_id").as("id_b"), col("bucket")), "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+  def signaturesNative(docs: DataFrame, nHashes: Int = 128): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    Text
+      .shingleHashArrays(docs)
+      .select(col("doc_id"), call_function("graft_minhash_sig", col("shs"), lit(nHashes)).as("sig"))
   }
+
+  /** Candidate pairs (id_a < id_b) whose signatures agree on at least one
+    * full band. The grouping key is a 64-bit hash of (band index, band
+    * slice) — fixed-width, shuffle-friendly; hash collisions only ever ADD
+    * candidates, which exact verification then rejects.
+    *
+    * Shape: ONE groupBy(bucket) + in-row pair expansion, NOT a bucket
+    * self-join. A self-join references the banded frame twice, and with the
+    * map-side native signatures there is no Exchange under it for Spark's
+    * ReuseExchange to dedupe — the whole signature pipeline would run twice
+    * (it did: that cost more than the native kernel saved). The groupBy
+    * computes the upstream exactly once and emits each bucket's pairs from
+    * its collected id set. Hotspot parity: a degenerate mega-bucket
+    * concentrates its |b|² pairs in one task either way (the self-join's
+    * shuffle lands one bucket's rows in one reduce partition too) — LSH
+    * banding is what keeps buckets small, not the join strategy.
+    */
+  def candidatePairs(sigs: DataFrame, bands: Int = 32, rows: Int = 4): DataFrame =
+    sigs
+      .select(
+        col("doc_id"),
+        // bucket = xxhash64(band, the band's `rows` signature slots) hashed
+        // as raw longs — no slice allocation, no per-band string building
+        explode(
+          expr(
+            s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b" +
+              (1 to rows).map(r => s", element_at(sig, b * $rows + $r)").mkString +
+              "))"
+          )
+        ).as("bucket"),
+      )
+      .groupBy("bucket")
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(
+        explode(
+          expr(
+            "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), " +
+              "b -> named_struct('id_a', a, 'id_b', b))))"
+          )
+        ).as("p")
+      )
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
 
   /** Exact Jaccard for given pairs only (the verification step): joins each
     * pair back to its shingle sets; cost is |candidates|, not |corpus|².
@@ -106,7 +142,7 @@ object MinHashDedup {
       rows: Int = 4,
   ): DataFrame = {
     val sh = shingleSet(docs)
-    val cands = candidatePairs(signatures(sh, nHashes), bands, rows)
+    val cands = candidatePairs(signaturesNative(docs, nHashes), bands, rows)
     verifyPairs(cands, sh)
       .withColumn("jaccard", round(col("jaccard"), 4))
       .filter(col("jaccard") >= threshold)

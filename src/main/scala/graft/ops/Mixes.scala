@@ -111,15 +111,26 @@ object Mixes {
     * (`v`, `scale`), never a recomputed expression — see
     * Curation.decontaminate for why that matters in interpreted HOFs.
     */
+  /** q_i = round(x_i / scale · 127) with the zero-vector guard: scale = 0
+    * (an all-zero vector: padding row, failed embed) must quantize to
+    * zeros — unguarded, 0/0 is NaN and Spark 4's ANSI cast to long THROWS
+    * while DuckDB yields NULLs (engine divergence). Public so the law spec
+    * can exercise the guard on a synthetic zero vector.
+    */
+  def quantizeInt8(v: org.apache.spark.sql.Column, scale: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    transform(
+      v,
+      (x, i) =>
+        when(scale === 0d, lit(0L)).otherwise(round(x / scale * 127, 0).cast("long")),
+    )
+
   private def embedQuantizeInt8(s: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
-      .withColumn(
-        "qs",
-        transform(col("v"), (x, i) => round(x / col("scale") * 127, 0).cast("long")),
-      )
+      .withColumn("qs", quantizeInt8(col("v"), col("scale")))
       .select(
         col("vec_id"),
         round(col("scale"), 6).as("scale"),
@@ -136,7 +147,7 @@ object Mixes {
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e), " +
       "q AS (SELECT vec_id, scale, " +
-      "list_transform(v, (x, i) -> CAST(round(x / scale * 127, 0) AS BIGINT)) AS qs FROM s) " +
+      "list_transform(v, (x, i) -> CASE WHEN scale = 0 THEN 0 ELSE CAST(round(x / scale * 127, 0) AS BIGINT) END) AS qs FROM s) " +
       "SELECT vec_id, round(scale, 6) AS scale, " +
       "CAST(list_sum(list_transform(qs, (x, i) -> x * i)) AS BIGINT) AS q_checksum, " +
       "CAST(len(list_filter(qs, x -> abs(x) = 127)) AS BIGINT) AS n_sat " +

@@ -74,14 +74,32 @@ object Text {
     * below the accepted FP-rounding risk; same reasoning as
     * dedup_exact_norm's md5 key).
     */
-  def shingleHashes(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val w = words(normText(col(textCol)))
+  /** Per-doc DISTINCT shingle-hash ARRAYS — the same universe as
+    * shingleHashes but kept at doc grain with NO explode: the input shape
+    * the native MinHash signature kernel (graft_minhash_sig) consumes
+    * map-side. array_distinct here ≡ the exploded path's distinct()
+    * restricted to one doc.
+    */
+  def shingleHashArrays(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .filter(size(w) >= 3)
-      .select(col("doc_id"), explode(shingles3(w)).as("sh_str"))
+      .select(col("doc_id"), words(normText(col(textCol))).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        array_distinct(transform(shingles3(col("w")), s => xxhash64(s))).as("shs"),
+      )
+
+  def shingleHashes(docs: DataFrame, textCol: String = "text"): DataFrame =
+    // `w` is materialized before shingles3 references it 5× (filter + three
+    // slices + size): an inlined expression would run the regex+split five
+    // times per row — see Curation.decontaminate for the per-ELEMENT version
+    // of the same trap.
+    docs
+      .select(col("doc_id"), words(normText(col(textCol))).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("w"))).as("sh_str"))
       .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
       .distinct()
-  }
 
   /** Near-duplicate pairs by exact 3-shingle Jaccard >= 0.8 on normalized
     * text. Plan: shingle hashes → self-equi-join (a < b) → |∩| per pair →

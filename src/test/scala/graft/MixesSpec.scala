@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the §2.13 mix/privacy/quantization verbs — the
+  * laws that hold on ANY corpus, beyond the driver's hash gate.
+  */
+class MixesSpec extends SparkSpec {
+
+  private def run(key: String) = SparkEntry.queries(key)(spark, sfDir)
+
+  test("sample_temperature: weights sum to ~1 and target_docs to ~1000; sqrt flattens the mix") {
+    val rows = run("sample_temperature").collect()
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum to $wsum")
+    val tsum = rows.map(_.getAs[Long]("target_docs")).sum
+    assert(math.abs(tsum - 1000L) <= rows.length, s"targets sum to $tsum")
+    // temperature flattening: the sampled share of the largest language is
+    // strictly below its natural share, the smallest strictly above
+    val n = rows.map(_.getAs[Long]("n_docs").toDouble)
+    val tot = n.sum
+    val big = rows.maxBy(_.getAs[Long]("n_docs"))
+    val small = rows.minBy(_.getAs[Long]("n_docs"))
+    assert(big.getAs[Double]("weight") < big.getAs[Long]("n_docs") / tot)
+    assert(small.getAs[Double]("weight") > small.getAs[Long]("n_docs") / tot)
+  }
+
+  test("text_pii_redact: counts follow the planted density and redaction is complete") {
+    val rows = run("text_pii_redact").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_emails") == id % 3, s"doc $id email count")
+      assert(r.getAs[Long]("n_phones") == id % 2, s"doc $id phone count")
+    }
+    // completeness: re-running the redactor over already-redacted text must
+    // find zero PII (the regexes cannot match their own replacement tokens)
+    val synth = expr(
+      "concat(text, repeat(concat(' u', cast(doc_id AS STRING), '@mail.com'), cast(doc_id % 3 AS INT)))"
+    )
+    val redacted = Tables
+      .documents(spark, sfDir)
+      .select(regexp_replace(synth, "[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>").as("t"))
+      .select(regexp_count(col("t"), lit("[a-z0-9]+@[a-z]+\\.[a-z]+")).as("left"))
+      .agg(sum("left"))
+      .first()
+      .getLong(0)
+    assert(redacted == 0L, s"$redacted emails survived redaction")
+  }
+
+  test("embed_quantize_int8: scale bounds, saturation, and reconstruction error law") {
+    // laws checked on the raw vectors, independent of the declared flattening
+    val e = Tables
+      .embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qs", ops.Mixes.quantizeInt8(col("v"), col("scale")))
+    val bad = e
+      .select(
+        // every quantized value within int8 symmetric range
+        size(filter(col("qs"), q => abs(q) > 127)).as("oob"),
+        // max |x - q*scale/127| <= scale/254 + eps (half a quantization step)
+        aggregate(
+          zip_with(col("v"), col("qs"), (x, q) => abs(x - q * col("scale") / 127.0)),
+          lit(0.0),
+          (a, d) => greatest(a, d),
+        ).as("maxerr"),
+        col("scale"),
+      )
+      .filter(col("oob") > 0 || col("maxerr") > col("scale") / 254.0 + 1e-12)
+      .count()
+    assert(bad == 0L, s"$bad vectors violate quantization laws")
+    // the max-|x| element always saturates, so n_sat >= 1 for nonzero vectors
+    val out = run("embed_quantize_int8")
+    assert(out.filter(col("n_sat") < 1).count() == 0L)
+  }
+
+  test("embed_quantize_int8: an all-zero vector quantizes to zeros instead of throwing (ANSI NaN cast)") {
+    import spark.implicits._
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val qs = z
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .select(ops.Mixes.quantizeInt8(col("v"), col("scale")).as("qs"))
+      .first()
+      .getSeq[Long](0)
+    assert(qs == Seq(0L, 0L, 0L))
+  }
+}

@@ -101,6 +101,23 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(exchanges.size <= 1, s"chunking must not shuffle beyond the final sort: $finalPlan")
   }
 
+  test("minhash candidate generation: ONE corpus scan, no banded self-join, native kernel") {
+    // the signature stage is map-side (no Exchange under it), so a bucket
+    // self-join would recompute the whole signature pipeline per side with
+    // NO ReuseExchange to save it (the r4 regression). The groupBy(bucket)
+    // formulation must read the corpus exactly once.
+    val docs = Tables.documents(spark, sfDir)
+    val p = ops.MinHashDedup
+      .candidatePairs(ops.MinHashDedup.signaturesNative(docs))
+      .queryExecution
+      .executedPlan
+      .toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"candidate generation re-reads the corpus (scans=$scans):\n${p.take(1200)}")
+    assert(p.contains("graft_minhash_sig"), "native signature kernel missing from the plan")
+    assert(!p.contains("Join"), "candidate generation must group, not self-join")
+  }
+
   test("no cartesian products outside the bounded cross join") {
     SparkEntry.queries.keys.filterNot(_ == "join_cross_bounded").foreach { name =>
       val p = planString(name)
