@@ -67,6 +67,30 @@ object Events {
   private def streamSession5m(s: SparkSession, dir: String): DataFrame =
     session5m(Tables.events(s, dir)).orderBy("user_id", "sess_start")
 
+  /** Event-grain sessionization by lag/cumsum gaps-and-islands (5 min gap,
+    * per user): every event labeled with its session ordinal — the form a
+    * featurization pipeline consumes (the session-GRAIN rollup is
+    * `stream_session_5m` via the session_window builtin; PropertySpec
+    * reconciles the two). One shuffle (user_id), two window passes over it.
+    * Gap tests subtract MICROSECOND longs; ties in etime break on event_id
+    * in both engines.
+    */
+  def sessionizeLag(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("etime", "event_id")
+    val pt = lag(col("etime"), 1).over(w)
+    val newS = when(
+      pt.isNull || unix_micros(col("etime")) - unix_micros(pt) >= 300000000L,
+      1L,
+    ).otherwise(0L)
+    events
+      .withColumn("ns", newS)
+      .withColumn("session_idx", sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("etime"), col("session_idx"))
+  }
+
+  private def sessionizeLagQ(s: SparkSession, dir: String): DataFrame =
+    sessionizeLag(Tables.events(s, dir)).orderBy("user_id", "event_id", "etime")
+
   /** Exactly-once by event_id. dropDuplicates keeps an arbitrary row, which
     * is nondeterministic under retries on ANY engine — the deterministic
     * dedup is group-by-key + min of the payload (same rule the streaming
@@ -211,6 +235,18 @@ object Events {
   // ------------------------------------------------------------- catalog
 
   val entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sessionize_lag",
+      sessionizeLagQ,
+      Some(
+        "WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +
+          "l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM e), " +
+          "f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS ns FROM l), " +
+          "g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f) " +
+          "SELECT user_id, event_id, t AS etime, session_idx FROM g ORDER BY user_id, event_id, etime"
+      ),
+    ),
     QueryDef(
       "join_interval",
       joinInterval,

@@ -69,6 +69,24 @@ class PropertySpec extends SparkSpec {
     )
   }
 
+  test("lag-based sessionization agrees with the session_window rollup per user") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val nLag = ops.Events
+      .sessionizeLag(ev)
+      .groupBy("user_id")
+      .agg(max("session_idx").as("n_lag"))
+    val nSw = ops.Events
+      .session5m(ev)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sw"))
+    val disagree = nLag
+      .join(nSw, Seq("user_id"), "full")
+      .filter(col("n_lag").isNull || col("n_sw").isNull || col("n_lag") =!= col("n_sw"))
+      .count()
+    assert(disagree == 0L, s"$disagree users with lag-session count != session_window count")
+  }
+
   test("splitRows is a partition: disjoint and complete for any predicate") {
     check(
       "splitrows-partition",

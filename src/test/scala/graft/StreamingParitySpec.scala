@@ -62,6 +62,29 @@ class StreamingParitySpec extends SparkSpec {
     )
   }
 
+  test("stream-static broadcast join: streaming enrichment equals batch") {
+    // the standard streaming-enrich shape: a stream joined to a static dim
+    // is STATELESS (no watermark needed on the join itself) and the static
+    // side broadcasts — per micro-batch, the same plan a batch join gets
+    val dim = Seq(("click", "engagement"), ("view", "reach")).toDF("event_type", "metric_class")
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs)
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      df.join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
+        .groupBy("metric_class")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val streamed = Streaming.runToMemory(
+      spark,
+      enrich(input.toDF()),
+      "static_join_parity",
+      OutputMode.Complete(),
+    )
+    assert(
+      streamed.orderBy("metric_class").collect().toSeq ==
+        enrich(batchDf).orderBy("metric_class").collect().toSeq
+    )
+  }
+
   test("watermark drops exactly the too-late rows") {
     val input = MemoryStream[Ev](spark)
     val agg = Streaming.tumblingWithWatermark(input.toDF(), "10 minutes")
