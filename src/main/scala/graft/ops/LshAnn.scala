@@ -29,18 +29,23 @@ object LshAnn {
     Array.fill(nTables, bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** dot(vec, plane) through the native codegen kernel: the plane enters as
+    * a FLOAT literal array (DotProduct's input contract). The float cast
+    * can flip the sign of a near-zero dot vs the double fold — harmless
+    * for BUCKETING because both join sides evaluate the identical
+    * expression, so assignment stays consistent and recall is statistically
+    * unchanged (floor re-asserted in LshSpec). 32 interpreted HOF folds per
+    * vector were the bucketize hotspot.
+    */
   private def dotLit(vec: Column, plane: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, array(plane.map(lit): _*), (x, p) => x.cast("double") * p),
-      lit(0.0),
-      (acc, v) => acc + v,
-    )
+    Vectors.nativeDot(vec, array(plane.map(p => lit(p.toFloat)): _*))
 
   /** (table, bucket) rows per vector: bucket = packed sign bits of the
     * vector against that table's hyperplanes. Output is exploded long-form so
     * the candidate join is a plain equi-join on (table, bucket).
     */
   def bucketize(vecs: DataFrame, idCol: String, vecCol: String, planes: Array[Array[Array[Double]]]): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
     val perTable: Seq[Column] = planes.zipWithIndex.map { case (table, t) =>
       val bucket = table.zipWithIndex
         .map { case (plane, j) => when(dotLit(col(vecCol), plane) >= 0, lit(1L << j)).otherwise(lit(0L)) }

@@ -145,12 +145,17 @@ object Pipeline {
     * 100 TB swap exact distincts for approx_count_distinct and the Expand
     * disappears; the declared query keeps exact for the oracle.
     */
-  private def profileColumns(s: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("doc_id", "lang", "source", "n_chars")
+  /** Shared profiler body; `approxDistinct` selects the scale path (see
+    * scaladoc above and the PropertySpec tolerance/plan assertions).
+    */
+  def profile(docs: DataFrame, cols: Seq[String], approxDistinct: Boolean): DataFrame = {
     val aggs = Seq(count(lit(1)).cast("long").as("n_rows")) ++ cols.flatMap { c =>
+      val nd =
+        if (approxDistinct) approx_count_distinct(col(c), 0.02)
+        else countDistinct(col(c))
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).cast("long").as(s"${c}_distinct"),
+        nd.cast("long").as(s"${c}_distinct"),
         min(col(c)).cast("string").as(s"${c}_min"),
         max(col(c)).cast("string").as(s"${c}_max"),
       )
@@ -165,13 +170,19 @@ object Pipeline {
         col(s"${c}_max").as("max_val"),
       )
     }
-    Tables
-      .documents(s, dir)
+    docs
       .agg(aggs.head, aggs.tail: _*)
       .select(explode(array(structs: _*)).as("p"))
       .select("p.*")
       .orderBy("col_name")
   }
+
+  private def profileColumns(s: SparkSession, dir: String): DataFrame =
+    profile(
+      Tables.documents(s, dir),
+      Seq("doc_id", "lang", "source", "n_chars"),
+      approxDistinct = false,
+    )
 
   private val profileColumnsSql =
     Seq("doc_id", "lang", "source", "n_chars")

@@ -69,6 +69,24 @@ class PropertySpec extends SparkSpec {
     )
   }
 
+  test("profiler scale path: approx distincts within 5%, and the Expand disappears from the plan") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val exact = ops.Pipeline.profile(docs, cols, approxDistinct = false)
+    val approx = ops.Pipeline.profile(docs, cols, approxDistinct = true)
+    // multi-column exact COUNT(DISTINCT) plans through Expand (input rows ×
+    // #distinct columns before the exchange) — the approx swap removes it
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val e = exact.collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    approx.collect().foreach { r =>
+      val (c, a) = (r.getString(0), r.getAs[Long]("n_distinct"))
+      val x = e(c)
+      assert(math.abs(a - x) <= math.max(2L, (0.05 * x).toLong), s"$c: approx $a vs exact $x")
+    }
+  }
+
   test("lag-based sessionization agrees with the session_window rollup per user") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sfDir)
