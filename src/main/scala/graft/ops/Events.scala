@@ -234,17 +234,31 @@ object Events {
 
   // ------------------------------------------------------------- catalog
 
+  /** ONE gaps-and-islands CTE chain (5-min gap, µs-LONG gap tests per
+    * SURVEY §1.3, (time, event_id) tie-break) shared by BOTH session
+    * oracles below — a second hand-maintained copy of the session rule
+    * would let the two drift apart and fail the PropertySpec
+    * reconciliation with no hint which copy moved. Emits `g(user_id,
+    * event_id, value, t, us, sid)`. The tie-break is semantically neutral
+    * for session ASSIGNMENT (tied timestamps have gap 0 and always share a
+    * session) but pins the lag order deterministically.
+    */
+  private val sessionCtePrefixSql =
+    "WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS t, " +
+      "epoch_ns(ts) // 1000 AS us FROM events), " +
+      "l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus FROM e), " +
+      "f AS (SELECT *, CASE WHEN pus IS NULL OR us - pus >= 300000000 THEN 1 ELSE 0 END AS ns FROM l), " +
+      "g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f) "
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef(
       "sessionize_lag",
       sessionizeLagQ,
       Some(
-        "WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +
-          "l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM e), " +
-          "f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS ns FROM l), " +
-          "g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f) " +
-          "SELECT user_id, event_id, t AS etime, session_idx FROM g ORDER BY user_id, event_id, etime"
+        sessionCtePrefixSql +
+          "SELECT user_id, event_id, t AS etime, sid AS session_idx FROM g " +
+          "ORDER BY user_id, event_id, etime"
       ),
     ),
     QueryDef(
@@ -285,11 +299,7 @@ object Events {
       "stream_session_5m",
       streamSession5m,
       Some(
-        "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events), " +
-          "l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e), " +
-          "f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s FROM l), " +
-          "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f) " +
+        sessionCtePrefixSql +
           "SELECT user_id, min(t) AS sess_start, max(t) + INTERVAL 5 MINUTE AS sess_end, " +
           "count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value " +
           "FROM g GROUP BY user_id, sid ORDER BY user_id, sess_start"

@@ -70,7 +70,6 @@ class PropertySpec extends SparkSpec {
   }
 
   test("profiler scale path: approx distincts within 5%, and the Expand disappears from the plan") {
-    import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir)
     val cols = Seq("doc_id", "lang", "source", "n_chars")
     val exact = ops.Pipeline.profile(docs, cols, approxDistinct = false)
@@ -88,7 +87,6 @@ class PropertySpec extends SparkSpec {
   }
 
   test("lag-based sessionization agrees with the session_window rollup per user") {
-    import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sfDir)
     val nLag = ops.Events
       .sessionizeLag(ev)

@@ -70,9 +70,9 @@ class StreamingParitySpec extends SparkSpec {
     val input = MemoryStream[Ev](spark)
     input.addData(evs)
     def enrich(df: org.apache.spark.sql.DataFrame) =
-      df.join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
+      df.join(broadcast(dim), "event_type")
         .groupBy("metric_class")
-        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"))
     val streamed = Streaming.runToMemory(
       spark,
       enrich(input.toDF()),
