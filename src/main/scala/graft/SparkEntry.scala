@@ -11,14 +11,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * oracle SQL (None ⇒ scalatest-only, not declared to the hash gate).
   */
 object SparkEntry {
-  private def catalog: Seq[QueryDef] =
+  /** Raw (pre-ListMap) catalog, exposed so the CatalogSpec unique-key lint
+    * can detect a duplicate name before ListMap silently last-wins it.
+    */
+  private[graft] def catalog: Seq[QueryDef] =
     ops.Relational.entries ++ ops.Sources.entries ++ ops.Scalars.entries ++
       ops.Udaf.entries ++ ops.Events.entries ++ ops.Text.entries ++
       ops.TextQuality.entries ++
       ops.SimHash.entries ++ ops.MinHashDedup.entries ++
       ops.Vectors.entries ++ ops.LshAnn.entries ++ ops.IvfAnn.entries ++
       ops.Approx.entries ++ ops.Multimodal.entries ++ ops.Pipeline.entries ++
-      ops.Curation.entries ++ ops.Mixes.entries
+      ops.Curation.entries ++ ops.Mixes.entries ++ ops.CorpusPrep.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

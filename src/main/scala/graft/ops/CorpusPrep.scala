@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 web-corpus preparation verbs (SURVEY.md §2.14): URL
+  * canonicalization dedup, Gopher-style repetition/quality rule filtering,
+  * and token-budget sequence packing — the three verbs between "crawl
+  * shards on disk" and "training mixture" that §2.10-§2.13 didn't cover.
+  *
+  * Scale doctrine, per op:
+  *   - dedup_url_norm: canonicalization is a per-row regex/replace chain
+  *     (map-only); the one shuffle groups by the canonical URL string —
+  *     bounded-length keys, text never shuffles. This is the standard
+  *     crawl-frontier dedup shape at any corpus size.
+  *   - filter_quality_rules: one explode + two-level aggregation keyed
+  *     (doc_id, token) then doc_id — the same partial-agg-friendly shape
+  *     as text_top_terms; no join back to the corpus, no per-doc O(w²)
+  *     HOF. All emitted ratios are scaled integers (cross-engine tie-safe
+  *     per the TextQuality doctrine).
+  * (Sequence packing itself already exists as Curation.pack_sequences —
+  * per-(lang, shard) streaming fill — so it is deliberately NOT duplicated
+  * here; the CatalogSpec unique-key lint now enforces that.)
+  */
+object CorpusPrep {
+
+  // ---------------------------------------------------------------- URLs
+
+  /** The corpus has no URL column, so one is synthesized deterministically
+    * from (doc_id, source) with the five classic non-canonical artifacts:
+    * scheme/host case, www prefix, default port, trailing slash, tracking
+    * query + fragment. doc_id%5 hosts × doc_id%24 paths ⇒ 120 canonical
+    * URLs over 500 docs (groups of 4-5), so the dedup is exercised, not a
+    * no-op. The synthesized query string carries ONLY tracking params by
+    * construction, so canonicalization may drop `[?#].*` wholesale.
+    */
+  private def urlSynth: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+    lit("://"),
+    when(col("doc_id") % 3 === 0, upper(concat(lit("site"), col("doc_id") % 5, lit(".example.com"))))
+      .when(col("doc_id") % 3 === 1, concat(lit("www.site"), col("doc_id") % 5, lit(".example.com")))
+      .otherwise(concat(lit("site"), col("doc_id") % 5, lit(".example.com"))),
+    when(col("doc_id") % 4 === 0, when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+      .otherwise(lit("")),
+    lit("/p/"),
+    col("doc_id") % 24,
+    when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+    when(
+      col("doc_id") % 2 === 1,
+      concat(lit("?utm_source="), col("source"), lit("&utm_medium=web")),
+    ).otherwise(lit("")),
+    when(col("doc_id") % 3 === 1, concat(lit("#sec"), col("doc_id") % 3)).otherwise(lit("")),
+  )
+
+  /** Canonicalize: lowercase scheme+authority (regex-extracted prefix, the
+    * path keeps its case), drop www., drop default ports (the synth always
+    * puts a `/` after the authority, so plain substring replace is exact),
+    * drop query+fragment, drop the trailing slash. Patterns stay in the
+    * Java-regex ∩ RE2 subset (see Mixes.textPiiRedact).
+    */
+  private def canonicalize(u: Column): Column = {
+    val authorityRe = "^[A-Za-z]+://[^/?#]+"
+    val lowered = concat(
+      lower(regexp_extract(u, authorityRe, 0)),
+      regexp_replace(u, authorityRe, ""),
+    )
+    val step1 = regexp_replace(lowered, "://www\\.", "://")
+    val step2 = regexp_replace(regexp_replace(step1, ":80/", "/"), ":443/", "/")
+    val step3 = regexp_replace(step2, "[?#].*$", "")
+    regexp_replace(step3, "/$", "")
+  }
+
+  private def dedupUrlNorm(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), urlSynth.as("url"))
+      .select(col("doc_id"), canonicalize(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("canonical_url")
+
+  private val dedupUrlNormSql =
+    "WITH synth AS (SELECT doc_id, " +
+      "(CASE WHEN doc_id%2=0 THEN 'HTTP' ELSE 'https' END) || '://' || " +
+      "(CASE WHEN doc_id%3=0 THEN upper('site' || (doc_id%5) || '.example.com') " +
+      "WHEN doc_id%3=1 THEN 'www.site' || (doc_id%5) || '.example.com' " +
+      "ELSE 'site' || (doc_id%5) || '.example.com' END) || " +
+      "(CASE WHEN doc_id%4=0 THEN (CASE WHEN doc_id%2=0 THEN ':80' ELSE ':443' END) ELSE '' END) || " +
+      "'/p/' || (doc_id%24) || " +
+      "(CASE WHEN doc_id%5=0 THEN '/' ELSE '' END) || " +
+      "(CASE WHEN doc_id%2=1 THEN '?utm_source=' || source || '&utm_medium=web' ELSE '' END) || " +
+      "(CASE WHEN doc_id%3=1 THEN '#sec' || (doc_id%3) ELSE '' END) AS url FROM documents), " +
+      "norm AS (SELECT doc_id, regexp_replace(regexp_replace(replace(replace(replace(" +
+      "lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]+')) || regexp_replace(url, '^[A-Za-z]+://[^/?#]+', ''), " +
+      "'://www.', '://'), ':80/', '/'), ':443/', '/'), '[?#].*$', ''), '/$', '') AS canonical " +
+      "FROM synth) " +
+      "SELECT canonical AS canonical_url, count(*) AS n_docs, min(doc_id) AS first_doc " +
+      "FROM norm GROUP BY 1 ORDER BY 1"
+
+  // ------------------------------------------------------- quality rules
+
+  /** Gopher/C4-style repetition rules over whitespace tokens (the same
+    * tokenization as text_token_count). All three metrics come from ONE
+    * (doc_id, token) count: n_words = Σcnt, n_distinct = #rows, top_cnt =
+    * max(cnt). Ratios are ‰ integers via integer division — exact in both
+    * engines. Thresholds (30 words min, ≥40% distinct, top word ≤12%) keep
+    * 192/500 on the sf0.01 fixture, so both branches of `keep` are
+    * populated.
+    */
+  private def filterQualityRules(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_cnt"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        expr("1000 * n_distinct div n_words").as("distinct_ratio"),
+        expr("1000 * top_cnt div n_words").as("top_word_frac"),
+      )
+      .withColumn(
+        "keep",
+        col("n_words") >= 30 && col("distinct_ratio") >= 400 && col("top_word_frac") <= 120,
+      )
+      .orderBy("doc_id")
+
+  private val filterQualityRulesSql =
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+      "cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2), " +
+      "s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct, max(c) AS top_cnt " +
+      "FROM cnt GROUP BY 1) " +
+      "SELECT doc_id, n_words, " +
+      "CAST(1000 * n_distinct // n_words AS BIGINT) AS distinct_ratio, " +
+      "CAST(1000 * top_cnt // n_words AS BIGINT) AS top_word_frac, " +
+      "(n_words >= 30 AND 1000 * n_distinct // n_words >= 400 AND 1000 * top_cnt // n_words <= 120) AS keep " +
+      "FROM s ORDER BY doc_id"
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("dedup_url_norm", dedupUrlNorm, Some(dedupUrlNormSql)),
+    QueryDef("filter_quality_rules", filterQualityRules, Some(filterQualityRulesSql)),
+  )
+}

@@ -17,6 +17,10 @@ class CatalogSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.queries.nonEmpty)
+    // a module re-declaring an existing name would silently last-win in the
+    // ListMap and shadow the original (nearly happened with pack_sequences)
+    val dups = SparkEntry.catalog.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate catalog keys: ${dups.mkString(", ")}")
   }
 
   test("entry() returns rows on sf0.001") {

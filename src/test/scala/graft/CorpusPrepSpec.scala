@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the §2.14 web-corpus prep verbs — laws that hold
+  * on ANY corpus, beyond the driver's hash gate.
+  */
+class CorpusPrepSpec extends SparkSpec {
+
+  private def run(key: String) = SparkEntry.queries(key)(spark, sfDir)
+
+  test("dedup_url_norm: partition law and canonical-form syntax") {
+    val rows = run("dedup_url_norm").collect()
+    val corpus = Tables.documents(spark, sfDir).count()
+    // every doc lands in exactly one canonical group
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus)
+    // canonical form: lowercase authority, no www, no default port, no
+    // query/fragment, no trailing slash
+    rows.foreach { r =>
+      val u = r.getAs[String]("canonical_url")
+      assert(u.startsWith("http://") || u.startsWith("https://"), u)
+      val authority = u.split("/", -1)(2)
+      assert(authority == authority.toLowerCase, s"authority case: $u")
+      assert(!authority.startsWith("www."), s"www survived: $u")
+      assert(!u.contains(":80") && !u.contains(":443"), s"default port survived: $u")
+      assert(!u.contains("?") && !u.contains("#"), s"query/fragment survived: $u")
+      assert(!u.endsWith("/"), s"trailing slash survived: $u")
+    }
+    // the synthesizer's collision period is lcm(5,24)=120 doc_ids, longer
+    // than the sf0.001 corpus — check the actually-merges law at sf0.01
+    val rows01 = SparkEntry.queries("dedup_url_norm")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows01.exists(_.getAs[Long]("n_docs") > 1), "no URL group merged anything")
+  }
+
+  test("filter_quality_rules: metric ranges, rule consistency, both branches hit") {
+    val rows = run("filter_quality_rules").collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val nw = r.getAs[Long]("n_words")
+      val dr = r.getAs[Long]("distinct_ratio")
+      val tf = r.getAs[Long]("top_word_frac")
+      assert(nw > 0)
+      assert(dr >= 0 && dr <= 1000, s"distinct_ratio out of per-mille range: $dr")
+      // the top word appears at least ceil(n_words/n_distinct) times, and a
+      // doc of all-distinct words has top_word_frac = 1000/n_words
+      assert(tf >= 1000 / nw, s"top_word_frac below floor: $tf for $nw words")
+      assert(
+        r.getAs[Boolean]("keep") == (nw >= 30 && dr >= 400 && tf <= 120),
+        s"keep flag inconsistent with its own metrics: $r",
+      )
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")), "no doc kept")
+    assert(rows.exists(!_.getAs[Boolean]("keep")), "no doc dropped")
+  }
+
+}
