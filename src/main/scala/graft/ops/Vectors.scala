@@ -115,6 +115,71 @@ object Vectors {
       .orderBy("vec_id")
   }
 
+  /** k-nearest-neighbor majority-vote classification: each probe takes the
+    * label most common among its k nearest corpus vectors (rounded-cosine
+    * rank, cand_id tiebreak — the sim_topk_cosine determinism pattern; vote
+    * ties break to the smaller label). Public so KnnSpec can prove efficacy
+    * on a discriminative synthetic fixture — the driver fixture's labels
+    * are near-random in embedding space (kNN ≈ chance there; measured
+    * 0.09-0.14 over k ∈ {5..51} vs 0.10 chance), so like text_langid the
+    * declared query proves the exact vote mechanics, and the spec proves
+    * the classifier actually classifies when structure exists.
+    *
+    * Scale shape: probes broadcast, the corpus is scored in place and never
+    * shuffles; only k rows per probe reach the vote shuffle, and the two
+    * windows partition by probe_id — bounded by the probe set, not the
+    * corpus.
+    */
+  def knnClassify(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val rankW = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+    val voteW =
+      Window.partitionBy(col("probe_id")).orderBy(col("votes").desc, col("pred_label"))
+    corpus
+      .crossJoin(broadcast(probes))
+      .withColumn("sim", round(nativeDot(col("pvec"), col("cvec")), 4))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .groupBy("probe_id", "true_label", "cand_label")
+      .agg(nrows.as("votes"))
+      .withColumnRenamed("cand_label", "pred_label")
+      .withColumn("vr", row_number().over(voteW))
+      .filter(col("vr") === 1)
+      .select(
+        col("probe_id"),
+        asLong(col("true_label")).as("true_label"),
+        asLong(col("pred_label")).as("pred_label"),
+        col("votes"),
+        (col("true_label") === col("pred_label")).as("correct"),
+      )
+      .orderBy("probe_id")
+  }
+
+  private def knnClassifyQuery(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val probes = e
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"), col("label").as("true_label"))
+    val corpus = e
+      .filter(col("vec_id") >= 100)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cvec"), col("label").as("cand_label"))
+    knnClassify(probes, corpus, k = 5)
+  }
+
+  private val knnClassifySql =
+    "WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv, label AS tl " +
+      "FROM embeddings WHERE vec_id < 100), " +
+      "c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv, label AS cl " +
+      "FROM embeddings WHERE vec_id >= 100), " +
+      "top AS (SELECT * FROM (SELECT probe_id, tl, cl, " +
+      "row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, cv), 4) DESC, cand_id) AS rn " +
+      "FROM p CROSS JOIN c) WHERE rn <= 5), " +
+      "votes AS (SELECT probe_id, tl, cl, count(*) AS votes FROM top GROUP BY 1, 2, 3) " +
+      "SELECT probe_id, CAST(tl AS BIGINT) AS true_label, CAST(cl AS BIGINT) AS pred_label, votes, " +
+      "(tl = cl) AS correct " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, cl) AS vr FROM votes) " +
+      "WHERE vr = 1 ORDER BY probe_id"
+
   /** documents ⟕ embeddings on doc_id = vec_id: the joined text+vector frame
     * every downstream embedding pipeline starts from. Left join because the
     * corpora diverge at sf0.1 (5000 docs vs 2000 vectors).
@@ -172,6 +237,7 @@ object Vectors {
           "FROM embeddings ORDER BY vec_id"
       ),
     ),
+    QueryDef("knn_classify", knnClassifyQuery, Some(knnClassifySql)),
     QueryDef(
       "embed_join_docs",
       embedJoinDocs,
