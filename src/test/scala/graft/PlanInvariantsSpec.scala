@@ -118,6 +118,21 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("Join"), "candidate generation must group, not self-join")
   }
 
+  test("knn_classify: probes broadcast, top-k pruned map-side before the shuffle") {
+    val p = planString("knn_classify")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("graft_dot"), "native DotProduct must score the candidates")
+    // WindowGroupLimit ahead of the exchange = each task forwards at most
+    // k rows per probe; losing it would shuffle the full scored cross set
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(probe_id")
+    val limitIdx    = p.indexOf("WindowGroupLimit")
+    assert(limitIdx >= 0 && exchangeIdx >= 0, p.take(1500))
+    assert(
+      p.lastIndexOf("WindowGroupLimit") > exchangeIdx,
+      "no partial WindowGroupLimit below the probe_id exchange",
+    )
+  }
+
   test("no cartesian products outside the bounded cross join") {
     SparkEntry.queries.keys.filterNot(_ == "join_cross_bounded").foreach { name =>
       val p = planString(name)
