@@ -41,7 +41,10 @@ object CorpusPrep {
     when(col("doc_id") % 3 === 0, upper(concat(lit("site"), col("doc_id") % 5, lit(".example.com"))))
       .when(col("doc_id") % 3 === 1, concat(lit("www.site"), col("doc_id") % 5, lit(".example.com")))
       .otherwise(concat(lit("site"), col("doc_id") % 5, lit(".example.com"))),
-    when(col("doc_id") % 4 === 0, when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+    // doc_id%4 ∈ {0,1} covers one even and one odd residue, so BOTH the
+    // http→:80 and https→:443 artifacts actually occur (doc_id%4==0 alone
+    // implies even ⇒ the :443 branch would be dead code)
+    when(col("doc_id") % 4 <= 1, when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
       .otherwise(lit("")),
     lit("/p/"),
     col("doc_id") % 24,
@@ -86,7 +89,7 @@ object CorpusPrep {
       "(CASE WHEN doc_id%3=0 THEN upper('site' || (doc_id%5) || '.example.com') " +
       "WHEN doc_id%3=1 THEN 'www.site' || (doc_id%5) || '.example.com' " +
       "ELSE 'site' || (doc_id%5) || '.example.com' END) || " +
-      "(CASE WHEN doc_id%4=0 THEN (CASE WHEN doc_id%2=0 THEN ':80' ELSE ':443' END) ELSE '' END) || " +
+      "(CASE WHEN doc_id%4<=1 THEN (CASE WHEN doc_id%2=0 THEN ':80' ELSE ':443' END) ELSE '' END) || " +
       "'/p/' || (doc_id%24) || " +
       "(CASE WHEN doc_id%5=0 THEN '/' ELSE '' END) || " +
       "(CASE WHEN doc_id%2=1 THEN '?utm_source=' || source || '&utm_medium=web' ELSE '' END) || " +
@@ -100,13 +103,16 @@ object CorpusPrep {
 
   // ------------------------------------------------------- quality rules
 
-  /** Gopher/C4-style repetition rules over whitespace tokens (the same
-    * tokenization as text_token_count). All three metrics come from ONE
-    * (doc_id, token) count: n_words = Σcnt, n_distinct = #rows, top_cnt =
-    * max(cnt). Ratios are ‰ integers via integer division — exact in both
-    * engines. Thresholds (30 words min, ≥40% distinct, top word ≤12%) keep
-    * 192/500 on the sf0.01 fixture, so both branches of `keep` are
-    * populated.
+  /** C4/Gopher-style hard-rule quality GATE over whitespace tokens (the
+    * same tokenization as text_token_count). This is the thresholded keep
+    * DECISION that text_repetition (which emits the raw repetition
+    * signals, §2.12) deliberately does not make: min length, vocabulary
+    * diversity, top-word repetition, and C4's 3-10-char mean word length.
+    * All four metrics come from ONE (doc_id, token) count: n_words = Σcnt,
+    * n_distinct = #rows, top_cnt = max(cnt), char total = Σ len(t)·cnt.
+    * Ratios are scaled integers via integer division — exact in both
+    * engines. Thresholds keep 192/500 on the sf0.01 fixture, so both
+    * branches of `keep` are populated.
     */
   private def filterQualityRules(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -119,28 +125,34 @@ object CorpusPrep {
         sum("c").as("n_words"),
         count(lit(1)).as("n_distinct"),
         max("c").as("top_cnt"),
+        sum(length(col("t")) * col("c")).as("n_chars"),
       )
       .select(
         col("doc_id"),
         col("n_words"),
         expr("1000 * n_distinct div n_words").as("distinct_ratio"),
         expr("1000 * top_cnt div n_words").as("top_word_frac"),
+        expr("10 * n_chars div n_words").as("mean_wlen_x10"),
       )
       .withColumn(
         "keep",
-        col("n_words") >= 30 && col("distinct_ratio") >= 400 && col("top_word_frac") <= 120,
+        col("n_words") >= 30 && col("distinct_ratio") >= 400 &&
+          col("top_word_frac") <= 120 &&
+          col("mean_wlen_x10") >= 30 && col("mean_wlen_x10") <= 100,
       )
       .orderBy("doc_id")
 
   private val filterQualityRulesSql =
     "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
       "cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2), " +
-      "s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct, max(c) AS top_cnt " +
-      "FROM cnt GROUP BY 1) " +
+      "s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct, " +
+      "max(c) AS top_cnt, CAST(sum(len(t) * c) AS BIGINT) AS n_chars FROM cnt GROUP BY 1) " +
       "SELECT doc_id, n_words, " +
       "CAST(1000 * n_distinct // n_words AS BIGINT) AS distinct_ratio, " +
       "CAST(1000 * top_cnt // n_words AS BIGINT) AS top_word_frac, " +
-      "(n_words >= 30 AND 1000 * n_distinct // n_words >= 400 AND 1000 * top_cnt // n_words <= 120) AS keep " +
+      "CAST(10 * n_chars // n_words AS BIGINT) AS mean_wlen_x10, " +
+      "(n_words >= 30 AND 1000 * n_distinct // n_words >= 400 AND 1000 * top_cnt // n_words <= 120 " +
+      "AND 10 * n_chars // n_words BETWEEN 30 AND 100) AS keep " +
       "FROM s ORDER BY doc_id"
 
   val entries: Seq[QueryDef] = Seq(

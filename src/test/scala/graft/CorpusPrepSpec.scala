@@ -26,10 +26,9 @@ class CorpusPrepSpec extends SparkSpec {
       assert(!u.contains("?") && !u.contains("#"), s"query/fragment survived: $u")
       assert(!u.endsWith("/"), s"trailing slash survived: $u")
     }
-    // the synthesizer's collision period is lcm(5,24)=120 doc_ids, longer
-    // than the sf0.001 corpus — check the actually-merges law at sf0.01
-    val rows01 = SparkEntry.queries("dedup_url_norm")(spark, "/root/testdata/sf0.01").collect()
-    assert(rows01.exists(_.getAs[Long]("n_docs") > 1), "no URL group merged anything")
+    // the synthesizer's collision period is lcm(5,24)=120 doc_ids and the
+    // fixture has 500, so dedup must actually merge here
+    assert(rows.exists(_.getAs[Long]("n_docs") > 1), "no URL group merged anything")
   }
 
   test("filter_quality_rules: metric ranges, rule consistency, both branches hit") {
@@ -44,8 +43,11 @@ class CorpusPrepSpec extends SparkSpec {
       // the top word appears at least ceil(n_words/n_distinct) times, and a
       // doc of all-distinct words has top_word_frac = 1000/n_words
       assert(tf >= 1000 / nw, s"top_word_frac below floor: $tf for $nw words")
+      val wl = r.getAs[Long]("mean_wlen_x10")
+      assert(wl > 0, s"mean word length must be positive: $wl")
       assert(
-        r.getAs[Boolean]("keep") == (nw >= 30 && dr >= 400 && tf <= 120),
+        r.getAs[Boolean]("keep") ==
+          (nw >= 30 && dr >= 400 && tf <= 120 && wl >= 30 && wl <= 100),
         s"keep flag inconsistent with its own metrics: $r",
       )
     }
