@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 web-corpus preparation verbs (SURVEY.md §2.14): URL
@@ -155,8 +156,73 @@ object CorpusPrep {
       "AND 10 * n_chars // n_words BETWEEN 30 AND 100) AS keep " +
       "FROM s ORDER BY doc_id"
 
+  // -------------------------------------------------- incremental dedup
+
+  /** Continuous-ingest dedup: a new crawl shard checked against the SEEN
+    * content-hash manifest (every prior shard's md5(normText) — 32 B/doc at
+    * any corpus size), then first-wins within the batch itself. The fixture
+    * has zero natural exact dups, so the batch is synthesized as
+    * new docs ∪ 50 replays of seen docs ∪ 10 within-batch replays — every
+    * status branch is exercised (250 unique / 50 dup_of_seen /
+    * 10 dup_in_batch at sf0.01).
+    *
+    * Scale shape: text is hashed in the map stage and DROPPED — only
+    * (batch_id, hash) ever shuffles; the manifest joins by hash (broadcast
+    * while it fits, shuffle-join on the same key when it doesn't), and the
+    * first-wins window reuses the hash partitioning the join established.
+    * This is bookmark-style incremental processing (cf. incremental_read)
+    * applied to dedup.
+    */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val seen = docs
+      .filter(col("doc_id") < 250)
+      .select(md5(Text.normText(col("text"))).as("k"))
+      .distinct()
+      .withColumn("seen_dup", lit(true))
+    val batch = docs
+      .filter(col("doc_id") >= 250)
+      .select(col("doc_id").as("batch_id"), col("text"))
+      .unionByName(
+        docs.filter(col("doc_id") < 50).select((col("doc_id") + 1000).as("batch_id"), col("text"))
+      )
+      .unionByName(
+        docs
+          .filter(col("doc_id") >= 250 && col("doc_id") < 260)
+          .select((col("doc_id") + 2000).as("batch_id"), col("text"))
+      )
+      .select(col("batch_id"), md5(Text.normText(col("text"))).as("k"))
+    val firstWins = Window.partitionBy("k").orderBy("batch_id")
+    batch
+      .join(seen, Seq("k"), "left")
+      .withColumn("rn", row_number().over(firstWins))
+      .select(
+        col("batch_id"),
+        col("k").as("content_md5"),
+        when(col("seen_dup"), lit("dup_of_seen"))
+          .when(col("rn") > 1, lit("dup_in_batch"))
+          .otherwise(lit("unique"))
+          .as("status"),
+      )
+      .orderBy("batch_id")
+  }
+
+  private val dedupIncrementalSql =
+    "WITH seen AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k " +
+      "FROM documents WHERE doc_id < 250), " +
+      "batch AS (SELECT doc_id AS batch_id, text FROM documents WHERE doc_id >= 250 " +
+      "UNION ALL SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50 " +
+      "UNION ALL SELECT doc_id + 2000, text FROM documents WHERE doc_id >= 250 AND doc_id < 260), " +
+      "h AS (SELECT batch_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k FROM batch), " +
+      "j AS (SELECT batch_id, k, (k IN (SELECT k FROM seen)) AS seen_dup, " +
+      "row_number() OVER (PARTITION BY k ORDER BY batch_id) AS rn FROM h) " +
+      "SELECT batch_id, k AS content_md5, " +
+      "CASE WHEN seen_dup THEN 'dup_of_seen' WHEN rn > 1 THEN 'dup_in_batch' ELSE 'unique' END AS status " +
+      "FROM j ORDER BY batch_id"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("dedup_url_norm", dedupUrlNorm, Some(dedupUrlNormSql)),
     QueryDef("filter_quality_rules", filterQualityRules, Some(filterQualityRulesSql)),
+    QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
   )
 }

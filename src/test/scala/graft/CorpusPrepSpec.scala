@@ -55,4 +55,24 @@ class CorpusPrepSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("keep")), "no doc dropped")
   }
 
+  test("dedup_incremental: status laws per content-hash group, all branches hit") {
+    val rows = run("dedup_incremental").collect()
+    val statuses = rows.map(_.getAs[String]("status")).toSet
+    assert(statuses == Set("unique", "dup_of_seen", "dup_in_batch"), s"missing branch: $statuses")
+    rows.groupBy(_.getAs[String]("content_md5")).foreach { case (k, grp) =>
+      val st = grp.map(_.getAs[String]("status")).toSet
+      if (st.contains("dup_of_seen"))
+        // a hash known to the manifest marks EVERY batch occurrence
+        assert(st == Set("dup_of_seen"), s"$k mixes seen and in-batch statuses: $st")
+      else {
+        // first-wins: exactly one unique, and it has the smallest batch_id
+        val uniques = grp.filter(_.getAs[String]("status") == "unique")
+        assert(uniques.length == 1, s"$k has ${uniques.length} uniques")
+        assert(
+          uniques.head.getAs[Long]("batch_id") == grp.map(_.getAs[Long]("batch_id")).min,
+          s"$k: unique is not the first occurrence",
+        )
+      }
+    }
+  }
 }
