@@ -83,6 +83,40 @@ object Sources {
   def readOrc(s: SparkSession, path: String): DataFrame =
     s.read.orc(path)
 
+  /** Schema-evolution read (Glue crawler / schema-registry equivalent):
+    * union the schemas of parquet shards written at different pipeline
+    * versions. Older shards surface the added columns as null; `reconcile`
+    * is the explicit backfill projection a job applies on top. mergeSchema
+    * reads every footer once (driver-side listing cost, not a data scan) —
+    * at 100 TB you enable it per-evolution-boundary, not on every read,
+    * which is why it is an opt-in helper and not baked into Tables.
+    */
+  def readMergedSchema(s: SparkSession, paths: Seq[String]): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** Backfill nulls introduced by schema evolution with explicit defaults:
+    * the deterministic, auditable alternative to silently-null columns.
+    */
+  def reconcile(df: DataFrame, defaults: Map[String, Any]): DataFrame =
+    defaults.foldLeft(df) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), lit(v)))
+    }
+
+  /** Range-layout write: co-locate and order rows by `rangeCol` so every
+    * output file covers a disjoint key range. Parquet then stores tight
+    * min/max stats per row group, and any reader filtering on that column
+    * skips whole files/row groups — the single cheapest scan-locality lever
+    * at 100 TB (a poor man's clustering index; Z-order generalizes it to
+    * multiple columns). `numFiles` sizes files independently of upstream
+    * partitioning.
+    */
+  def writeRangeLayout(df: DataFrame, path: String, rangeCol: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
   // ------------------------------------------------------------- catalog
 
   val entries: Seq[QueryDef] = Seq(

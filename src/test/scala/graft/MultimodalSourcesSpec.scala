@@ -87,6 +87,58 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("o_orderstatus=")))
   }
 
+  test("schema evolution: mergeSchema unions shard schemas, reconcile backfills") {
+    val v1Path = tmpDir("shard-v1")
+    val v2Path = tmpDir("shard-v2")
+    val docs = Tables.documents(spark, sfDir)
+    // v1 shard predates the lang column; v2 carries it
+    docs.filter(col("doc_id") < 100).select("doc_id", "text").write.mode("overwrite").parquet(v1Path)
+    docs.filter(col("doc_id") >= 100).select("doc_id", "text", "lang").write.mode("overwrite").parquet(v2Path)
+    val merged = Sources.readMergedSchema(spark, Seq(v1Path, v2Path))
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang"))
+    assert(merged.count() == docs.count())
+    // old-shard rows surface the evolved column as null…
+    assert(merged.filter(col("doc_id") < 100 && col("lang").isNull).count() == 100)
+    // …and reconcile backfills them with the declared default, touching
+    // nothing else
+    val fixed = Sources.reconcile(merged, Map("lang" -> "und"))
+    assert(fixed.filter(col("lang").isNull).count() == 0)
+    assert(fixed.filter(col("doc_id") < 100 && col("lang") === "und").count() == 100)
+    assert(
+      fixed.filter(col("doc_id") >= 100).select("doc_id", "lang").orderBy("doc_id").collect().toSeq ==
+        docs.filter(col("doc_id") >= 100).select("doc_id", "lang").orderBy("doc_id").collect().toSeq
+    )
+  }
+
+  test("range layout: files cover disjoint key ranges and the filter still pushes down") {
+    val path = tmpDir("range-layout")
+    val src = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity", "l_extendedprice")
+    Sources.writeRangeLayout(src, path, "l_orderkey", numFiles = 8)
+    val files = new java.io.File(path)
+      .listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath)
+    assert(files.length > 1, "range layout should produce multiple files")
+    // per-file key ranges must be pairwise disjoint — this is exactly what
+    // lets parquet row-group stats skip files for any l_orderkey predicate
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("l_orderkey"), max("l_orderkey")).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping file ranges: $aMax > $bMin")
+      case _ => ()
+    }
+    // round trip is lossless and the range predicate reaches the scan
+    val back = spark.read.parquet(path)
+    assert(back.count() == src.count())
+    val filtered = back.filter(col("l_orderkey") < 100)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("LessThan(l_orderkey"), scan.take(500))
+    assert(filtered.count() == src.filter(col("l_orderkey") < 100).count())
+  }
+
   test("ORC: round trip preserves data and pushes filters to the scan") {
     val src = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus", "o_totalprice")
     val path = tmpDir("orc-sink")
