@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -116,6 +116,59 @@ object Sources {
       .write
       .mode("overwrite")
       .parquet(path)
+
+  /** Z-order (Morton) key: interleave the top `bits` bits of two columns
+    * already normalized to [0, 2^bits). Pure bitwise Column arithmetic —
+    * stays in whole-stage codegen, no UDF. Range-partitioning on this key
+    * gives BOTH dimensions file-level locality, where sorting on one column
+    * leaves the other scattered across the full domain in every file.
+    */
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits)
+      .map { i =>
+        val aBit = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        val bBit = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        aBit.bitwiseOR(bBit)
+      }
+      .reduce(_ bitwiseOR _)
+
+  /** Z-order layout write: normalize two numeric columns to 16-bit grids
+    * (one tiny min/max agg — a scalar broadcast, not a shuffle of the data),
+    * interleave, and range-partition on the interleaved key. Each output
+    * file then covers a compact rectangle in (a, b) space, so parquet
+    * min/max stats prune files for predicates on EITHER column — the
+    * multi-dimensional generalization of writeRangeLayout.
+    */
+  def writeZOrder(df: DataFrame, path: String, colA: String, colB: String, numFiles: Int): Unit = {
+    val bits = 16
+    val grid = (1L << bits) - 1
+    val stats = df
+      .agg(
+        min(col(colA)).cast("double").as("amin"),
+        max(col(colA)).cast("double").as("amax"),
+        min(col(colB)).cast("double").as("bmin"),
+        max(col(colB)).cast("double").as("bmax"),
+      )
+      .first()
+    def scaled(c: String, lo: Double, hi: Double): Column = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(lit(grid), floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(grid.toDouble)))
+        .cast("long")
+    }
+    df.withColumn(
+      "__z",
+      zorderKey(
+        scaled(colA, stats.getDouble(0), stats.getDouble(1)),
+        scaled(colB, stats.getDouble(2), stats.getDouble(3)),
+        bits,
+      ),
+    ).repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
 
   // ------------------------------------------------------------- catalog
 

@@ -139,6 +139,48 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(filtered.count() == src.filter(col("l_orderkey") < 100).count())
   }
 
+  test("z-order layout: per-file bounding boxes compact in BOTH dims, unlike single-column sort") {
+    val src = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
+
+    def avgSpans(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length > 4, s"expected a multi-file layout, got ${files.length}")
+      val spans = files.map { f =>
+        val r = spark.read
+          .parquet(f.getAbsolutePath)
+          .agg(min("l_orderkey"), max("l_orderkey"), min("l_partkey"), max("l_partkey"))
+          .first()
+        ((r.getLong(1) - r.getLong(0)).toDouble, (r.getLong(3) - r.getLong(2)).toDouble)
+      }
+      val g = src.agg(
+        max("l_orderkey") - min("l_orderkey"),
+        max("l_partkey") - min("l_partkey"),
+      ).first()
+      (
+        spans.map(_._1).sum / spans.length / g.getLong(0),
+        spans.map(_._2).sum / spans.length / g.getLong(1),
+      )
+    }
+
+    val zPath = tmpDir("zorder")
+    Sources.writeZOrder(src, zPath, "l_orderkey", "l_partkey", numFiles = 16)
+    assert(spark.read.parquet(zPath).count() == src.count(), "z-order write must be lossless")
+    val (za, zb) = avgSpans(zPath)
+    // every file's rectangle is a fraction of the (orderkey, partkey) domain
+    // in BOTH dimensions — the property that lets min/max stats prune scans
+    // filtered on either column
+    assert(za < 0.7, s"z-order left l_orderkey spans at $za of the domain")
+    assert(zb < 0.7, s"z-order left l_partkey spans at $zb of the domain")
+
+    // contrast: a single-column range layout keeps the sorted column tight
+    // but scatters the other across ~the full domain in every file
+    val naivePath = tmpDir("naive-range")
+    Sources.writeRangeLayout(src, naivePath, "l_orderkey", numFiles = 16)
+    val (na, nb) = avgSpans(naivePath)
+    assert(na < 0.2, s"range layout should keep the sort column tight, got $na")
+    assert(nb > 0.8, s"expected the unsorted dim to scatter, got $nb")
+  }
+
   test("ORC: round trip preserves data and pushes filters to the scan") {
     val src = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus", "o_totalprice")
     val path = tmpDir("orc-sink")
