@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
+  ExpiredTimerInfo,
   GroupState,
   GroupStateTimeout,
   OutputMode,
@@ -111,6 +112,76 @@ object Streaming {
         TimeMode.None(),
         OutputMode.Update(),
         implicitly[org.apache.spark.sql.Encoder[UserTotals]],
+      )
+  }
+
+  /** Idle-session detection via EVENT-TIME TIMERS — the transformWithState
+    * capability nothing else in §2.8 exercises: per-user state plus a timer
+    * re-registered at (last event time + gap); when the WATERMARK passes an
+    * un-superseded timer, `handleExpiredTimer` fires exactly once, emits the
+    * closed session, and clears state. Watermark-driven timers make this
+    * deterministic under MemoryStream (no wall clock), and at scale the
+    * state store holds one (count, last, timer) triple per OPEN session —
+    * closed sessions leave the store, so state is bounded by concurrent
+    * activity, not history. This is the push-based complement to the
+    * pull-based sessionize_lag / session_window rollups.
+    */
+  final case class ClosedSession(user_id: Long, n_events: Long, last_ms: Long)
+
+  class IdleSessionProcessor(gapMs: Long) extends StatefulProcessor[Long, Ev, ClosedSession] {
+    @transient private var sess: ValueState[(Long, Long)] = _ // (count, lastEventMs)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long)](
+        "sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE,
+      )
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Ev],
+        timerValues: TimerValues,
+    ): Iterator[ClosedSession] = {
+      val (n0, last0) = if (sess.exists()) sess.get() else (0L, 0L)
+      var n = n0
+      var last = last0
+      rows.foreach { e => n += 1; last = math.max(last, e.etime.getTime) }
+      // supersede the previous deadline: one live timer per open session
+      if (last0 > 0L) getHandle.deleteTimer(last0 + gapMs)
+      getHandle.registerTimer(last + gapMs)
+      sess.update((n, last))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: TimerValues,
+        expired: ExpiredTimerInfo,
+    ): Iterator[ClosedSession] = {
+      val out =
+        if (sess.exists()) {
+          val (n, last) = sess.get()
+          Iterator.single(ClosedSession(user, n, last))
+        } else Iterator.empty
+      sess.clear()
+      out
+    }
+  }
+
+  /** The 5-minute gap matches stream_session_5m / sessionize_lag. */
+  val IdleGapMs: Long = 5L * 60L * 1000L
+
+  def idleSessionDetector(events: Dataset[Ev]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("etime", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new IdleSessionProcessor(IdleGapMs),
+        TimeMode.EventTime(),
+        OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[ClosedSession]],
       )
   }
 
