@@ -84,7 +84,11 @@ object CorpusPrep {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("canonical_url")
 
-  private val dedupUrlNormSql =
+  /** Shared oracle CTE: the messy-URL synthesizer + canonicalizer, used by
+    * both dedup_url_norm and filter_domain_blocklist so the two SQL copies
+    * cannot drift (the Curation shared-fragment rule).
+    */
+  private val urlNormCte =
     "WITH synth AS (SELECT doc_id, " +
       "(CASE WHEN doc_id%2=0 THEN 'HTTP' ELSE 'https' END) || '://' || " +
       "(CASE WHEN doc_id%3=0 THEN upper('site' || (doc_id%5) || '.example.com') " +
@@ -98,9 +102,47 @@ object CorpusPrep {
       "norm AS (SELECT doc_id, regexp_replace(regexp_replace(replace(replace(replace(" +
       "lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]+')) || regexp_replace(url, '^[A-Za-z]+://[^/?#]+', ''), " +
       "'://www.', '://'), ':80/', '/'), ':443/', '/'), '[?#].*$', ''), '/$', '') AS canonical " +
-      "FROM synth) " +
-      "SELECT canonical AS canonical_url, count(*) AS n_docs, min(doc_id) AS first_doc " +
+      "FROM synth)"
+
+  private val dedupUrlNormSql =
+    urlNormCte +
+      " SELECT canonical AS canonical_url, count(*) AS n_docs, min(doc_id) AS first_doc " +
       "FROM norm GROUP BY 1 ORDER BY 1"
+
+  // --------------------------------------------------- domain blocklist
+
+  /** Crawl-pipeline domain filter: drop every doc whose canonical host is
+    * on the blocklist. The blocklist is a tiny curated table — BROADCAST
+    * anti-join on the extracted host, so the corpus never shuffles and the
+    * filter cost is one map-side hash probe per row at any corpus size.
+    * Blocking site0/site3 removes 2 of the 5 synthesized hosts (~40% of
+    * docs), so both outcomes are exercised.
+    */
+  private val BlockedHosts = Seq("site0.example.com", "site3.example.com")
+
+  private def filterDomainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hosts = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), urlSynth.as("url"))
+      .select(col("doc_id"), canonicalize(col("url")).as("canonical"))
+      .select(
+        col("doc_id"),
+        regexp_extract(col("canonical"), "^[a-z]+://([^/]+)", 1).as("host"),
+      )
+    val blocklist = BlockedHosts.toDF("host")
+    hosts
+      .join(broadcast(blocklist), Seq("host"), "left_anti")
+      .select("doc_id", "host")
+      .orderBy("doc_id")
+  }
+
+  private val filterDomainBlocklistSql =
+    urlNormCte +
+      " SELECT doc_id, regexp_extract(canonical, '^[a-z]+://([^/]+)', 1) AS host FROM norm " +
+      s"WHERE regexp_extract(canonical, '^[a-z]+://([^/]+)', 1) NOT IN (${BlockedHosts
+          .map(h => s"'$h'")
+          .mkString(", ")}) ORDER BY doc_id"
 
   // ------------------------------------------------------- quality rules
 
@@ -224,5 +266,6 @@ object CorpusPrep {
     QueryDef("dedup_url_norm", dedupUrlNorm, Some(dedupUrlNormSql)),
     QueryDef("filter_quality_rules", filterQualityRules, Some(filterQualityRulesSql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    QueryDef("filter_domain_blocklist", filterDomainBlocklist, Some(filterDomainBlocklistSql)),
   )
 }

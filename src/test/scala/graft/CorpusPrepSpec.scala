@@ -55,6 +55,19 @@ class CorpusPrepSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("keep")), "no doc dropped")
   }
 
+  test("filter_domain_blocklist: survivors' hosts are clean and the filter actually drops") {
+    val rows = run("filter_domain_blocklist").collect()
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(rows.length < corpus, "blocklist must drop some docs")
+    assert(rows.nonEmpty, "blocklist must not drop everything")
+    val blocked = Set("site0.example.com", "site3.example.com")
+    rows.foreach { r =>
+      val h = r.getAs[String]("host")
+      assert(!blocked.contains(h), s"blocked host survived: $h")
+      assert(h.matches("site[0-9]\\.example\\.com"), s"malformed host: $h")
+    }
+  }
+
   test("dedup_incremental: status laws per content-hash group, all branches hit") {
     val rows = run("dedup_incremental").collect()
     val statuses = rows.map(_.getAs[String]("status")).toSet
