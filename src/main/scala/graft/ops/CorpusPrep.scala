@@ -6,9 +6,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 web-corpus preparation verbs (SURVEY.md §2.14): URL
-  * canonicalization dedup, Gopher-style repetition/quality rule filtering,
-  * and token-budget sequence packing — the three verbs between "crawl
-  * shards on disk" and "training mixture" that §2.10-§2.13 didn't cover.
+  * canonicalization dedup, C4/Gopher quality-rule gating, domain-blocklist
+  * filtering, and incremental shard-vs-manifest dedup — the verbs between
+  * "crawl shards on disk" and "training mixture" that §2.10-§2.13 didn't
+  * cover.
   *
   * Scale doctrine, per op:
   *   - dedup_url_norm: canonicalization is a per-row regex/replace chain
@@ -20,6 +21,12 @@ import org.apache.spark.sql.functions._
   *     as text_top_terms; no join back to the corpus, no per-doc O(w²)
   *     HOF. All emitted ratios are scaled integers (cross-engine tie-safe
   *     per the TextQuality doctrine).
+  *   - filter_domain_blocklist: host extraction map-side, then a BROADCAST
+  *     anti-join against the tiny curated blocklist — one hash probe per
+  *     row, the corpus never shuffles.
+  *   - dedup_incremental: text is hashed and dropped in the map stage; only
+  *     (batch_id, 32 B hash) shuffles, the seen manifest joins by hash, and
+  *     the first-wins window reuses that partitioning.
   * (Sequence packing itself already exists as Curation.pack_sequences —
   * per-(lang, shard) streaming fill — so it is deliberately NOT duplicated
   * here; the CatalogSpec unique-key lint now enforces that.)
@@ -84,12 +91,13 @@ object CorpusPrep {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("canonical_url")
 
-  /** Shared oracle CTE: the messy-URL synthesizer + canonicalizer, used by
-    * both dedup_url_norm and filter_domain_blocklist so the two SQL copies
+  /** Shared oracle CTE list (no leading WITH, so callers can append their
+    * own CTEs): the messy-URL synthesizer + canonicalizer, used by both
+    * dedup_url_norm and filter_domain_blocklist so the two SQL copies
     * cannot drift (the Curation shared-fragment rule).
     */
   private val urlNormCte =
-    "WITH synth AS (SELECT doc_id, " +
+    "synth AS (SELECT doc_id, " +
       "(CASE WHEN doc_id%2=0 THEN 'HTTP' ELSE 'https' END) || '://' || " +
       "(CASE WHEN doc_id%3=0 THEN upper('site' || (doc_id%5) || '.example.com') " +
       "WHEN doc_id%3=1 THEN 'www.site' || (doc_id%5) || '.example.com' " +
@@ -105,8 +113,8 @@ object CorpusPrep {
       "FROM synth)"
 
   private val dedupUrlNormSql =
-    urlNormCte +
-      " SELECT canonical AS canonical_url, count(*) AS n_docs, min(doc_id) AS first_doc " +
+    s"WITH $urlNormCte " +
+      "SELECT canonical AS canonical_url, count(*) AS n_docs, min(doc_id) AS first_doc " +
       "FROM norm GROUP BY 1 ORDER BY 1"
 
   // --------------------------------------------------- domain blocklist
@@ -118,7 +126,11 @@ object CorpusPrep {
     * Blocking site0/site3 removes 2 of the 5 synthesized hosts (~40% of
     * docs), so both outcomes are exercised.
     */
-  private val BlockedHosts = Seq("site0.example.com", "site3.example.com")
+  /** Exposed (not private) so CorpusPrepSpec asserts against the SAME list
+    * the op and oracle use — a stale spec literal would turn a blocklist
+    * edit into a false test failure.
+    */
+  private[graft] val BlockedHosts = Seq("site0.example.com", "site3.example.com")
 
   private def filterDomainBlocklist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -138,11 +150,10 @@ object CorpusPrep {
   }
 
   private val filterDomainBlocklistSql =
-    urlNormCte +
-      " SELECT doc_id, regexp_extract(canonical, '^[a-z]+://([^/]+)', 1) AS host FROM norm " +
-      s"WHERE regexp_extract(canonical, '^[a-z]+://([^/]+)', 1) NOT IN (${BlockedHosts
-          .map(h => s"'$h'")
-          .mkString(", ")}) ORDER BY doc_id"
+    s"WITH $urlNormCte, " +
+      "hosts AS (SELECT doc_id, regexp_extract(canonical, '^[a-z]+://([^/]+)', 1) AS host FROM norm) " +
+      "SELECT doc_id, host FROM hosts " +
+      s"WHERE host NOT IN (${BlockedHosts.map(h => s"'$h'").mkString(", ")}) ORDER BY doc_id"
 
   // ------------------------------------------------------- quality rules
 

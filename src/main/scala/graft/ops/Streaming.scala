@@ -119,12 +119,21 @@ object Streaming {
     * capability nothing else in §2.8 exercises: per-user state plus a timer
     * re-registered at (last event time + gap); when the WATERMARK passes an
     * un-superseded timer, `handleExpiredTimer` fires exactly once, emits the
-    * closed session, and clears state. Watermark-driven timers make this
-    * deterministic under MemoryStream (no wall clock), and at scale the
-    * state store holds one (count, last, timer) triple per OPEN session —
+    * closed session, and clears state. Sessions can ALSO close inside
+    * `handleInputRows`: an arriving event more than `gap` past the open
+    * session's last event closes that session immediately (and a single
+    * batch's events are walked in event-time order, splitting within-batch
+    * runs the same way) — without this, output would depend on whether the
+    * closing event beat the timer to the state store, i.e. on micro-batch
+    * boundaries rather than event time. Watermark-driven timers make the
+    * idle path deterministic under MemoryStream (no wall clock), and at
+    * scale the state store holds one (count, last) pair per OPEN session —
     * closed sessions leave the store, so state is bounded by concurrent
     * activity, not history. This is the push-based complement to the
-    * pull-based sessionize_lag / session_window rollups.
+    * pull-based sessionize_lag / session_window rollups. (Known limit,
+    * shared with every timer sessionizer: an event that arrives LATE —
+    * within the watermark horizon but older than the open session's last
+    * event — joins that session rather than retro-splitting history.)
     */
   final case class ClosedSession(user_id: Long, n_events: Long, last_ms: Long)
 
@@ -146,12 +155,23 @@ object Streaming {
       val (n0, last0) = if (sess.exists()) sess.get() else (0L, 0L)
       var n = n0
       var last = last0
-      rows.foreach { e => n += 1; last = math.max(last, e.etime.getTime) }
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      // event-time order so within-batch gaps split exactly like the batch
+      // sessionizers; a micro-batch's per-key slice is small by definition
+      rows.toSeq.sortBy(_.etime.getTime).foreach { e =>
+        val t = e.etime.getTime
+        if (last > 0L && t > last + gapMs) {
+          closed += ClosedSession(user, n, last)
+          n = 0L
+        }
+        n += 1
+        last = math.max(last, t)
+      }
       // supersede the previous deadline: one live timer per open session
       if (last0 > 0L) getHandle.deleteTimer(last0 + gapMs)
       getHandle.registerTimer(last + gapMs)
       sess.update((n, last))
-      Iterator.empty
+      closed.iterator
     }
 
     override def handleExpiredTimer(
@@ -172,10 +192,14 @@ object Streaming {
   /** The 5-minute gap matches stream_session_5m / sessionize_lag. */
   val IdleGapMs: Long = 5L * 60L * 1000L
 
-  def idleSessionDetector(events: Dataset[Ev]): Dataset[ClosedSession] = {
+  /** `delay` is the out-of-order tolerance, like every watermark op here
+    * (specs pass "0 seconds" for deterministic timer firing; production
+    * streams want slack — timers just fire `delay` later).
+    */
+  def idleSessionDetector(events: Dataset[Ev], delay: String = "10 minutes"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("etime", "0 seconds")
+      .withWatermark("etime", delay)
       .groupByKey(_.user_id)
       .transformWithState(
         new IdleSessionProcessor(IdleGapMs),

@@ -60,7 +60,7 @@ class CorpusPrepSpec extends SparkSpec {
     val corpus = Tables.documents(spark, sfDir).count()
     assert(rows.length < corpus, "blocklist must drop some docs")
     assert(rows.nonEmpty, "blocklist must not drop everything")
-    val blocked = Set("site0.example.com", "site3.example.com")
+    val blocked = ops.CorpusPrep.BlockedHosts.toSet
     rows.foreach { r =>
       val h = r.getAs[String]("host")
       assert(!blocked.contains(h), s"blocked host survived: $h")

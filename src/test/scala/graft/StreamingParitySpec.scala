@@ -267,39 +267,47 @@ class StreamingParitySpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     try {
       val input = MemoryStream[Ev](spark)
-      val q = Streaming
-        .idleSessionDetector(input.toDS())
-        .toDF()
-        .writeStream
-        .outputMode(OutputMode.Append())
-        .format("memory")
-        .queryName("idle_sessions")
-        .start()
+      q = Some(
+        Streaming
+          .idleSessionDetector(input.toDS(), delay = "0 seconds")
+          .toDF()
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .format("memory")
+          .queryName("idle_sessions")
+          .start()
+      )
       // batch 1: user 1 at minutes 5 & 7, user 2 at minute 6 — watermark
       // advances to minute 7, no timer (min 10-12) is due yet
       input.addData(Seq(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(7), 1, "view", 2.0), Ev(3, ts(6), 2, "click", 3.0)))
-      q.processAllAvailable()
+      q.get.processAllAvailable()
       assert(spark.table("idle_sessions").isEmpty, "no session may close before its gap elapses")
-      // batch 2: user 2 speaks again at minute 20 — the watermark jumps past
-      // minute 12, so user 1's idle timer fires (2 events, last at min 7);
-      // user 2's old timer was superseded by the new event, so it must NOT
-      // close with stale state
+      // batch 2: user 2 speaks again at minute 20 — 14 min past its open
+      // session's last event, so handleInputRows closes the minute-6 session
+      // IMMEDIATELY (event-time split, even though the timer never fired);
+      // the same batch's watermark advance past minute 12 fires user 1's
+      // idle timer (2 events, last at min 7)
       input.addData(Seq(Ev(4, ts(20), 2, "view", 4.0)))
-      q.processAllAvailable()
+      q.get.processAllAvailable()
       val closed1 = spark.table("idle_sessions").collect()
-      assert(closed1.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
-        s"expected exactly user 1's 2-event session: ${closed1.mkString(",")}")
-      // batch 3: push the watermark far out — user 2's rebuilt session
-      // (events at min 6 and 20) now closes with BOTH events counted
+      assert(closed1.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (2L, 1L)),
+        s"expected user 1 idle-closed and user 2 gap-split: ${closed1.mkString(",")}")
+      // batch 3: push the watermark far out — user 2's SECOND session (the
+      // single minute-20 event) idle-closes; it must not have absorbed the
+      // pre-gap history
       input.addData(Seq(Ev(5, ts(60), 1, "click", 5.0)))
-      q.processAllAvailable()
+      q.get.processAllAvailable()
       val closed2 = spark.table("idle_sessions").collect()
-      assert(closed2.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (2L, 2L)),
-        s"user 2 must close once with its full event count: ${closed2.mkString(",")}")
-      q.stop()
+      assert(
+        closed2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+          Set((1L, 2L, ts(7).getTime), (2L, 1L, ts(6).getTime), (2L, 1L, ts(20).getTime)),
+        s"user 2 must close twice, once per gap-separated session: ${closed2.mkString(",")}",
+      )
     } finally {
+      q.foreach(_.stop())
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
