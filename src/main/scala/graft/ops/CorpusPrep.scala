@@ -273,10 +273,38 @@ object CorpusPrep {
       "CASE WHEN seen_dup THEN 'dup_of_seen' WHEN rn > 1 THEN 'dup_in_batch' ELSE 'unique' END AS status " +
       "FROM j ORDER BY batch_id"
 
+  // ------------------------------------------------ term blocklist
+
+  /** Content-word blocklist filter (the toxicity/bad-word gate of a C4-ish
+    * pipeline): drop any doc whose token set intersects the blocked-term
+    * list. Unlike filter_domain_blocklist (anti-JOIN against a curated
+    * table), a term list is small enough to inline as an array LITERAL, so
+    * the whole filter is one map-side `arrays_overlap` per row — ZERO
+    * shuffles at any corpus size. If the list ever outgrows a literal
+    * (e.g. generated n-gram lists), switch to the domain-blocklist
+    * broadcast-anti-join shape. 'dup' appears in 25/500 fixture docs, so
+    * the gate drops 5% — both outcomes exercised; 'forbidden' never occurs
+    * and exercises the no-op member.
+    */
+  private[graft] val BlockedTerms = Seq("dup", "forbidden")
+
+  private def filterTermBlocklist(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .filter(!arrays_overlap(split(col("text"), " "), lit(BlockedTerms.toArray)))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  private val filterTermBlocklistSql =
+    "SELECT doc_id, lang FROM documents " +
+      s"WHERE NOT list_has_any(string_split(text, ' '), [${BlockedTerms.map(t => s"'$t'").mkString(", ")}]) " +
+      "ORDER BY doc_id"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("dedup_url_norm", dedupUrlNorm, Some(dedupUrlNormSql)),
     QueryDef("filter_quality_rules", filterQualityRules, Some(filterQualityRulesSql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("filter_domain_blocklist", filterDomainBlocklist, Some(filterDomainBlocklistSql)),
+    QueryDef("filter_term_blocklist", filterTermBlocklist, Some(filterTermBlocklistSql)),
   )
 }

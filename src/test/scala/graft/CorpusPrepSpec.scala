@@ -68,6 +68,34 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("filter_term_blocklist: survivors contain no blocked term, filter actually drops, plan shuffles nothing") {
+    val df = SparkEntry.queries("filter_term_blocklist")(spark, sfDir)
+    val rows = df.collect()
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(rows.nonEmpty && rows.length < corpus, s"${rows.length} of $corpus survived")
+    // cross-check against an independent formulation (explode + anti join)
+    val independent = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin(ops.CorpusPrep.BlockedTerms: _*))
+      .select("doc_id")
+      .distinct()
+      .count()
+    assert(rows.length == corpus - independent, "overlap filter disagrees with explode formulation")
+    // map-side only: the declared sort is the ONLY exchange in the plan
+    // (count real operators, not toString lines — AQE stage wrappers print
+    // an extra "Exchange" mention per shuffle)
+    df.count()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other                                                            => other
+    }
+    val exchanges = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.length <= 1, s"term filter must not shuffle data (found ${exchanges.length})")
+  }
+
   test("dedup_incremental: status laws per content-hash group, all branches hit") {
     val rows = run("dedup_incremental").collect()
     val statuses = rows.map(_.getAs[String]("status")).toSet
