@@ -206,13 +206,14 @@ object Events {
     * condition drives both the batch plan and a watermarked stream-stream
     * join (Spark derives the state-eviction bound from this range).
     */
-  def intervalJoin(views: DataFrame, clicks: DataFrame): DataFrame =
+  def intervalJoin(views: DataFrame, clicks: DataFrame, joinType: String = "inner"): DataFrame =
     views
       .join(
         clicks,
         col("user_id") === col("c_user") &&
           col("c_time") > col("v_time") &&
           col("c_time") <= col("v_time") + expr("INTERVAL 30 MINUTES"),
+        joinType,
       )
       .select(
         col("view_id"),

@@ -142,6 +142,60 @@ class StreamingParitySpec extends SparkSpec {
       Set((11L, 21L), (12L, 23L), (13L, 24L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched views emit nulls once the watermark closes their window") {
+    // same fixture as the inner-join test, minus click 21 — so view 11 has
+    // NO click inside its 30-min window. In a streaming left-outer join the
+    // (11, null) row may only emit after the watermark proves no match can
+    // still arrive; batch left-outer must agree on the final answer.
+    val views = Seq(Ev(11, ts(10), 1, "view", 0), Ev(12, ts(100), 1, "view", 0), Ev(13, ts(20), 2, "view", 0))
+    val clicks = Seq(
+      Ev(22, ts(45), 1, "click", 0), // 35 min after view 11 — outside its window
+      Ev(23, ts(110), 1, "click", 0),
+      Ev(24, ts(21), 2, "click", 0),
+    )
+    val vIn = MemoryStream[Ev](spark)
+    val cIn = MemoryStream[Ev](spark)
+    vIn.addData(views)
+    cIn.addData(clicks)
+    // second batch far in the future: pushes BOTH watermarks past every
+    // open window so the outer (null) rows are forced out
+    vIn.addData(Seq(Ev(19, ts(600), 9, "view", 0)))
+    cIn.addData(Seq(Ev(29, ts(600), 9, "click", 0)))
+    def vShape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id").as("view_id"), col("user_id"), col("etime").as("v_time"))
+      .withWatermark("v_time", "1 minute")
+    def cShape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("etime").as("c_time"))
+      .withWatermark("c_time", "1 minute")
+    val streamed = Streaming.runToMemory(
+      spark,
+      Events.intervalJoin(vShape(vIn.toDF()), cShape(cIn.toDF()), joinType = "left_outer"),
+      "interval_outer_parity",
+      OutputMode.Append(),
+    )
+    val batch = Events.intervalJoin(
+      vShape((views ++ Seq(Ev(19, ts(600), 9, "view", 0))).toDF()),
+      cShape((clicks ++ Seq(Ev(29, ts(600), 9, "click", 0))).toDF()),
+      joinType = "left_outer",
+    )
+    // compare on the views whose join windows the watermark has CLOSED —
+    // view 19 (the watermark pusher) still has an open window when the
+    // query stops, so streaming correctly withholds its outer row while
+    // batch (which sees the end of input) emits it
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("view_id", "click_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .filter(_._1 < 19L)
+      .toSet
+    val got = pairs(streamed)
+    val want = pairs(batch)
+    assert(got == want, s"stream-stream left outer diverged: got $got want $want")
+    // and the law itself: view 11 must appear exactly as an unmatched row
+    assert(got.contains((11L, -1L)), s"unmatched view 11 never emitted: $got")
+    assert(!got.exists(p => p._1 == 11L && p._2 != -1L), "view 11 must have no real match")
+  }
+
   test("foreachBatch upsert sink: replayed/duplicate batches cannot duplicate rows") {
     val target = tmpDir("fb-target") + "/data"
     val ckpt = tmpDir("fb-ckpt")
