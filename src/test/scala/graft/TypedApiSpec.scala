@@ -60,4 +60,50 @@ class TypedApiSpec extends SparkSpec {
     assert(back.filter(_.n_chars > 300).count() ==
       Tables.documents(spark, sfDir).filter(col("n_chars") > 300).count())
   }
+
+  test("cogroup: per-key imperative merge of two Datasets equals the join formulation") {
+    // cogroup is the typed escape hatch when a per-key merge needs BOTH
+    // sides' full iterators at once (reconciliation, ordered zips) — logic a
+    // join can't express without windows. Here the merge (order count +
+    // which orders have > 3 line items) is join-expressible on purpose, so
+    // the cogroup result can be verified against the declarative plan.
+    val orders = Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+    val items = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+    val merged = orders
+      .cogroup(items) { (key, os, ls) =>
+        val o = os.toSeq
+        if (o.isEmpty) Iterator.empty // line items without an order row
+        else {
+          val qtys = ls.map(_._2).toSeq
+          Iterator.single((key, qtys.length.toLong, qtys.length > 3))
+        }
+      }
+      .toDF("o_orderkey", "n_items", "big")
+    val joined = Tables
+      .orders(spark, sfDir)
+      .select("o_orderkey")
+      .join(
+        Tables.lineitem(spark, sfDir).groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items")),
+        col("o_orderkey") === col("l_orderkey"),
+        "left",
+      )
+      .select(
+        col("o_orderkey"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        (coalesce(col("n_items"), lit(0L)) > 3).as("big"),
+      )
+    assert(
+      merged.orderBy("o_orderkey").collect().toSeq ==
+        joined.orderBy("o_orderkey").collect().toSeq
+    )
+  }
 }
