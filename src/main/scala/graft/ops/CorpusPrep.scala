@@ -300,11 +300,130 @@ object CorpusPrep {
       s"WHERE NOT list_has_any(string_split(text, ' '), [${BlockedTerms.map(t => s"'$t'").mkString(", ")}]) " +
       "ORDER BY doc_id"
 
+  // --------------------------------------------------- line-level dedup
+
+  /** Tokens per "line" for dedup_lines. The fixture text is one flat token
+    * stream (no newlines), so lines are defined as fixed 12-token windows —
+    * the same normalization a CCNet-style pipeline applies before
+    * line-frequency dedup. Exposed so CorpusPrepSpec derives its
+    * independent reformulation from the same constant.
+    */
+  private[graft] val LineTokens = 12
+
+  /** CCNet/RefinedWeb-style LINE-level exact dedup: a line that occurs in
+    * more than one place in the corpus is kept only at its first
+    * occurrence (ordered by doc_id, then position); every doc is then
+    * re-assembled from its surviving lines. This is the boilerplate
+    * remover (headers, cookie banners, navigation) that doc-level dedup
+    * (dedup_exact_norm) cannot express.
+    *
+    * Scale shape: line text is md5-hashed INSIDE the per-doc projection
+    * (one map-side `transform` over the token array — no explode of
+    * tokens, no shuffle of text). Only (doc_id, line_no, 32 B hash) rows
+    * ever shuffle: once keyed by hash for the first-wins window, once
+    * keyed by doc_id for reassembly. The reassembly signature is the md5
+    * of the ORDERED surviving line-hash list, so the declared output stays
+    * flat (§2.0 rule 7) and never needs the text back — at 100 TB the
+    * text column is touched exactly once, in the scan.
+    */
+  private def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    // ceil(n/12) lines; slice is 1-based; the last line may be short.
+    val lineHashes = transform(
+      sequence(lit(0), floor((size(toks) - lit(1)) / lit(LineTokens)).cast("int")),
+      i => md5(array_join(slice(toks, i * LineTokens + 1, lit(LineTokens)), " ")),
+    )
+    val lines = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), posexplode(lineHashes).as(Seq("line_no", "h")))
+    val firstWins = Window.partitionBy("h").orderBy("doc_id", "line_no")
+    lines
+      .withColumn("kept", row_number().over(firstWins) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        md5(
+          concat_ws(
+            ",",
+            transform(
+              array_sort(collect_list(when(col("kept"), struct(col("line_no"), col("h"))))),
+              x => x.getField("h"),
+            ),
+          )
+        ).as("kept_sig"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val dedupLinesSql =
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, " +
+      "generate_subscripts(string_split(text, ' '), 1) AS idx FROM documents), " +
+      s"lines AS (SELECT doc_id, (idx-1)//$LineTokens AS line_no, " +
+      "md5(string_agg(tok, ' ' ORDER BY idx)) AS h FROM toks GROUP BY 1, 2), " +
+      "keep AS (SELECT doc_id, line_no, h, " +
+      "row_number() OVER (PARTITION BY h ORDER BY doc_id, line_no) = 1 AS kept FROM lines) " +
+      "SELECT doc_id, count(*) AS n_lines, " +
+      "count(*) FILTER (WHERE kept) AS n_kept, " +
+      "md5(coalesce(string_agg(h, ',' ORDER BY line_no) FILTER (WHERE kept), '')) AS kept_sig " +
+      "FROM keep GROUP BY 1 ORDER BY doc_id"
+
+  // ------------------------------------------------- vocabulary coverage
+
+  /** Top-of-vocabulary size for vocab_coverage (both engines + spec). */
+  private[graft] val VocabTopK = 24
+
+  /** Tokenizer-construction precursor: corpus token frequencies ranked with
+    * CUMULATIVE coverage in parts-per-million — the curve a BPE/unigram
+    * vocabulary builder reads to pick its vocab size ("the top V tokens
+    * cover X% of the stream"). Deterministic ties: (count DESC, token).
+    * Coverage is integer ppm (BIGINT × 1e6 div total) — exact in both
+    * engines, no float cumulative sums.
+    *
+    * Scale shape: one explode + partial-agg-friendly token count (the
+    * text_top_terms shape), then ranking/cumulating over the VOCABULARY,
+    * which is |token types|-sized — millions of rows at 100 TB, not
+    * corpus-sized — so the single-partition rank window is bounded by
+    * vocab. The grand total is an UNPARTITIONED window sum over the same
+    * vocab frame, NOT a separate aggregate of the corpus: the first
+    * formulation (1-row broadcast à la tf-idf N) planned a SECOND full
+    * scan+explode of the text column — Spark does not common-subexpression
+    * a repeated subtree across a join — which doubles the dominant cost at
+    * any real corpus size. The window form reuses the rows the rank window
+    * already holds.
+    */
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("n_occ").desc, col("token"))).cast("long"),
+      )
+      .withColumn("cum", sum("n_occ").over(Window.orderBy("rank")))
+      .withColumn("t", sum("n_occ").over(Window.partitionBy()))
+      .filter(col("rank") <= VocabTopK)
+      .select(col("rank"), col("token"), col("n_occ"), expr("cum * 1000000 div t").as("cum_ppm"))
+      .orderBy("rank")
+
+  private val vocabCoverageSql =
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "cnt AS (SELECT token, count(*) AS n_occ FROM tok GROUP BY 1), " +
+      "rk AS (SELECT token, n_occ, row_number() OVER (ORDER BY n_occ DESC, token) AS rank, " +
+      "sum(n_occ) OVER () AS t FROM cnt), " +
+      "cum AS (SELECT rank, token, n_occ, t, sum(n_occ) OVER (ORDER BY rank) AS c FROM rk) " +
+      s"SELECT rank, token, n_occ, c * 1000000 // t AS cum_ppm " +
+      s"FROM cum WHERE rank <= $VocabTopK ORDER BY rank"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("dedup_url_norm", dedupUrlNorm, Some(dedupUrlNormSql)),
     QueryDef("filter_quality_rules", filterQualityRules, Some(filterQualityRulesSql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("filter_domain_blocklist", filterDomainBlocklist, Some(filterDomainBlocklistSql)),
     QueryDef("filter_term_blocklist", filterTermBlocklist, Some(filterTermBlocklistSql)),
+    QueryDef("dedup_lines", dedupLines, Some(dedupLinesSql)),
+    QueryDef("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
   )
 }

@@ -233,6 +233,83 @@ object Events {
     intervalJoin(v, c).orderBy("view_id", "click_id")
   }
 
+  // --------------------------------------------------- binned range join
+
+  /** 2024-01-01T00:00:00Z in µs — the fixture's event epoch. */
+  private[graft] val RangeBaseUs = 1704067200000000L
+
+  /** Bin width for joinRangeBinned: 1 hour in µs. Pick the bin comparable
+    * to the TYPICAL interval length — expansion factor is
+    * ceil(len/bin)+1 rows per interval (≤ 3 here).
+    */
+  private[graft] val RangeBinUs = 3600000000L
+
+  /** Both formulations of the SAME pure range join (no equi key at all):
+    * 60 synthesized maintenance windows (12 h apart; every 4th lasts 1 s so
+    * the empty/NULL branch is real) × event timestamps.
+    *
+    * `naive = true` declares the textbook predicate `lo <= us < hi` — with
+    * no equi-conjunct Spark can only plan BroadcastNestedLoopJoin (or a
+    * cartesian), which is O(|intervals| × |events|): fine for 60 windows,
+    * fatal for the millions of intervals a real calendar/campaign/outage
+    * table has at 100 TB.
+    *
+    * `naive = false` is the scale path: explode each interval into the
+    * 1-hour bins it overlaps (`sequence(lo div W, (hi-1) div W)` — hi is
+    * exclusive), bin each event once (`us div W`), and join on bin EQUALITY
+    * with the exact range as a residual. A point's single bin can match an
+    * interval's bin list at most once, so no dedup stage is needed — the
+    * residual only trims, never multiplies. The plan becomes a hash/merge
+    * equi-join whose shuffle is linear in rows × expansion factor.
+    * PlanInvariantsSpec pins the contrast (binned plans no
+    * BroadcastNestedLoopJoin; the naive body does).
+    */
+  private[graft] def rangeBinnedBody(s: SparkSession, dir: String, naive: Boolean): DataFrame = {
+    val w = s
+      .range(60)
+      .select(
+        col("id").as("window_id"),
+        (lit(RangeBaseUs) + col("id") * lit(43200000000L)).as("lo_us"),
+        when(col("id") % 4 === 3, lit(1000000L)).otherwise(lit(5400000000L)).as("dur_us"),
+      )
+      .select(col("window_id"), col("lo_us"), (col("lo_us") + col("dur_us")).as("hi_us"))
+    val e = Tables
+      .events(s, dir)
+      .select(expr("ts div 1000").as("us"), col("value"))
+    val joined =
+      if (naive)
+        w.join(e, e("us") >= w("lo_us") && e("us") < w("hi_us"), "left")
+      else {
+        val wb = w.withColumn(
+          "bin",
+          explode(sequence(expr(s"lo_us div $RangeBinUs"), expr(s"(hi_us - 1) div $RangeBinUs"))),
+        )
+        val eb = e.withColumn("bin", expr(s"us div $RangeBinUs"))
+        wb.join(
+          eb,
+          wb("bin") === eb("bin") && eb("us") >= wb("lo_us") && eb("us") < wb("hi_us"),
+          "left",
+        )
+      }
+    joined
+      .groupBy("window_id", "lo_us")
+      .agg(count(col("us")).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+      .orderBy("window_id")
+  }
+
+  private def joinRangeBinned(s: SparkSession, dir: String): DataFrame =
+    rangeBinnedBody(s, dir, naive = false)
+
+  private val joinRangeBinnedSql =
+    "WITH w AS (SELECT CAST(t.range AS BIGINT) AS window_id, " +
+      s"$RangeBaseUs + t.range*43200000000 AS lo_us, " +
+      "CASE WHEN t.range%4=3 THEN 1000000 ELSE 5400000000 END AS dur_us FROM range(60) t), " +
+      "e AS (SELECT epoch_ns(ts) // 1000 AS us, value FROM events) " +
+      "SELECT w.window_id, w.lo_us, count(e.us) AS n_events, " +
+      "CAST(sum(CAST(e.value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value " +
+      "FROM w LEFT JOIN e ON e.us >= w.lo_us AND e.us < w.lo_us + w.dur_us " +
+      "GROUP BY 1, 2 ORDER BY 1"
+
   // ------------------------------------------------------------- catalog
 
   /** ONE gaps-and-islands CTE chain (5-min gap, µs-LONG gap tests per
@@ -364,5 +441,6 @@ object Events {
           "ORDER BY p_id"
       ),
     ),
+    QueryDef("join_range_binned", joinRangeBinned, Some(joinRangeBinnedSql)),
   )
 }

@@ -116,4 +116,56 @@ class CorpusPrepSpec extends SparkSpec {
       }
     }
   }
+
+  test("dedup_lines: kept total ≡ distinct-line count (independent rebuild), dedup fires") {
+    val out = run("dedup_lines").collect()
+    // independent line reconstruction: token explode + ordered regroup —
+    // shares only the LineTokens constant with the op, not its hashing path
+    val lines = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("idx", "tok")))
+      .groupBy(col("doc_id"), floor(col("idx") / ops.CorpusPrep.LineTokens).as("line_no"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("tok")))),
+            x => x.getField("tok"),
+          ),
+          " ",
+        ).as("line")
+      )
+    val totalLines = lines.count()
+    val distinctLines = lines.select("line").distinct().count()
+    assert(out.map(_.getAs[Long]("n_lines")).sum == totalLines, "line partition law broken")
+    // first-wins keeps every DISTINCT line exactly once corpus-wide
+    assert(out.map(_.getAs[Long]("n_kept")).sum == distinctLines, "kept ≠ distinct lines")
+    assert(out.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_lines")),
+      "no duplicate line removed — fixture no longer exercises the dedup")
+    out.foreach { r =>
+      assert(r.getAs[String]("kept_sig").matches("[0-9a-f]{32}"), "kept_sig not an md5 hex")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_lines"))
+    }
+  }
+
+  test("vocab_coverage: rank/monotonicity laws and exact ppm recompute") {
+    val out = run("vocab_coverage").collect() // ordered by rank
+    val toks = Tables
+      .documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val vocabSize = toks.select("token").distinct().count()
+    val total = toks.count()
+    assert(out.length == math.min(ops.CorpusPrep.VocabTopK.toLong, vocabSize))
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to out.length).toSeq, "ranks not contiguous")
+    val occ = out.map(_.getAs[Long]("n_occ"))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b }, "n_occ not non-increasing")
+    // exact integer recompute of the cumulative ppm curve
+    var cum = 0L
+    out.foreach { r =>
+      cum += r.getAs[Long]("n_occ")
+      assert(r.getAs[Long]("cum_ppm") == cum * 1000000L / total,
+        s"cum_ppm drifted at rank ${r.getAs[Long]("rank")}")
+    }
+    val ppm = out.map(_.getAs[Long]("cum_ppm"))
+    assert(ppm.last <= 1000000L && ppm.zip(ppm.tail).forall { case (a, b) => a < b })
+  }
 }

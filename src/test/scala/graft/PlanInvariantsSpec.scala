@@ -133,6 +133,26 @@ class PlanInvariantsSpec extends SparkSpec {
     )
   }
 
+  test("join_range_binned: equi-join on the bin, no nested loop — and ≡ the naive range join") {
+    val p = planString("join_range_binned")
+    assert(
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "binned range join degenerated to a nested loop:\n" + p.take(1500),
+    )
+    // the contrast: the textbook pure-range predicate has no equi-conjunct,
+    // so Spark can only nested-loop it — that is the O(intervals × events)
+    // plan the binning exists to avoid
+    val naive = ops.Events.rangeBinnedBody(spark, sfDir, naive = true)
+    naive.count()
+    assert(
+      naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "naive body no longer nested-loops — the contrast law lost its baseline",
+    )
+    // same answer, bit for bit
+    val binned = SparkEntry.queries("join_range_binned")(spark, sfDir)
+    assert(binned.collect().toSeq == naive.collect().toSeq, "binned ≠ naive range join")
+  }
+
   test("no cartesian products outside the bounded cross join") {
     SparkEntry.queries.keys.filterNot(_ == "join_cross_bounded").foreach { name =>
       val p = planString(name)
