@@ -29,4 +29,25 @@ abstract class SparkSpec extends AnyFunSuite {
     d.deleteOnExit()
     d.getAbsolutePath
   }
+
+  /** Total shuffle-write bytes across all stages of `action` (the measured
+    * backbone of ShuffleBudgetSpec/RuntimeFilterSpec). Listener delivery is
+    * async, so poll until the sum stabilizes.
+    */
+  protected def shuffleBytes(action: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        acc.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      var prev = -1L
+      var tries = 0
+      while (acc.get != prev && tries < 50) { prev = acc.get; Thread.sleep(100); tries += 1 }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get
+  }
 }
