@@ -326,19 +326,33 @@ object CorpusPrep {
     * flat (§2.0 rule 7) and never needs the text back — at 100 TB the
     * text column is touched exactly once, in the scan.
     */
-  private def dedupLines(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+  /** (doc_id, line_no, h) — one row per 12-token line, line text md5'd
+    * map-side. The token array is materialized as its OWN attribute before
+    * the per-line lambda references it (interpreted-HOF CSE rule, PERF.md:
+    * a lambda may reference attributes, never recomputed non-cheap
+    * expressions — the inline `split` form re-split the text once per LINE).
+    * Shared by dedup_lines (first-wins) and filter_boilerplate_lines
+    * (frequency gate); both downstream ops only ever shuffle these narrow
+    * rows, never the text.
+    */
+  private def linesFrame(s: SparkSession, dir: String): DataFrame = {
     // ceil(n/12) lines; slice is 1-based; the last line may be short.
     val lineHashes = transform(
-      sequence(lit(0), floor((size(toks) - lit(1)) / lit(LineTokens)).cast("int")),
-      i => md5(array_join(slice(toks, i * LineTokens + 1, lit(LineTokens)), " ")),
+      sequence(lit(0), floor((size(col("toks")) - lit(1)) / lit(LineTokens)).cast("int")),
+      i => md5(array_join(slice(col("toks"), i * LineTokens + 1, lit(LineTokens)), " ")),
     )
-    val lines = Tables
+    Tables
       .documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), posexplode(lineHashes).as(Seq("line_no", "h")))
-    val firstWins = Window.partitionBy("h").orderBy("doc_id", "line_no")
+  }
+
+  /** Per-doc reassembly of a (doc_id, line_no, h, kept) frame: line counts
+    * plus the md5 of the ORDERED surviving line-hash list — flat per §2.0
+    * rule 7, and the text column is never needed back.
+    */
+  private def reassemble(lines: DataFrame): DataFrame =
     lines
-      .withColumn("kept", row_number().over(firstWins) === 1)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),
@@ -354,6 +368,10 @@ object CorpusPrep {
         ).as("kept_sig"),
       )
       .orderBy("doc_id")
+
+  private def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val firstWins = Window.partitionBy("h").orderBy("doc_id", "line_no")
+    reassemble(linesFrame(s, dir).withColumn("kept", row_number().over(firstWins) === 1))
   }
 
   private val dedupLinesSql =
@@ -367,6 +385,95 @@ object CorpusPrep {
       "count(*) FILTER (WHERE kept) AS n_kept, " +
       "md5(coalesce(string_agg(h, ',' ORDER BY line_no) FILTER (WHERE kept), '')) AS kept_sig " +
       "FROM keep GROUP BY 1 ORDER BY doc_id"
+
+  // ------------------------------------------- boilerplate-line removal
+
+  /** A line occurring in at least this many DISTINCT docs is boilerplate.
+    * At sf0.01 the 12-token line universe has 2271 single-doc hashes and
+    * 96 multi-doc ones (83×2, 12×3, 1×4 docs), so the ≥2 gate removes a
+    * real minority and keeps the majority — both branches exercised.
+    */
+  private[graft] val BoilerplateDocs = 2
+
+  /** CCNet-style boilerplate-LINE removal — the frequency-gate sibling of
+    * dedup_lines: a line whose hash appears in ≥ [[BoilerplateDocs]]
+    * distinct documents (headers, cookie banners, nav chrome) is dropped
+    * from EVERY document, including its first occurrence — exactly what
+    * first-wins dedup cannot express (and vice versa: a line repeated
+    * within ONE doc survives here but is deduped there).
+    *
+    * Scale shape: same narrow (doc_id, line_no, 32 B hash) rows as
+    * dedup_lines; the distinct-doc frequency comes from a collect_set
+    * window over the SAME hash partitioning the rows already need — one
+    * exchange for the gate, one for reassembly, text never shuffles. The
+    * per-hash doc set is bounded by the corpus's duplication factor, not
+    * corpus size (and a hash hot enough to overflow a set is boilerplate
+    * by any threshold — a count-gt-K early-out would cap it).
+    */
+  private def filterBoilerplateLines(s: SparkSession, dir: String): DataFrame = {
+    val byHash = Window.partitionBy("h")
+    reassemble(
+      linesFrame(s, dir)
+        .withColumn("kept", size(collect_set(col("doc_id")).over(byHash)) < BoilerplateDocs)
+    )
+  }
+
+  private val filterBoilerplateLinesSql =
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, " +
+      "generate_subscripts(string_split(text, ' '), 1) AS idx FROM documents), " +
+      s"lines AS (SELECT doc_id, (idx-1)//$LineTokens AS line_no, " +
+      "md5(string_agg(tok, ' ' ORDER BY idx)) AS h FROM toks GROUP BY 1, 2), " +
+      "freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1), " +
+      "keep AS (SELECT l.doc_id, l.line_no, l.h, " +
+      s"f.nd < $BoilerplateDocs AS kept FROM lines l JOIN freq f USING (h)) " +
+      "SELECT doc_id, count(*) AS n_lines, " +
+      "count(*) FILTER (WHERE kept) AS n_kept, " +
+      "md5(coalesce(string_agg(h, ',' ORDER BY line_no) FILTER (WHERE kept), '')) AS kept_sig " +
+      "FROM keep GROUP BY 1 ORDER BY doc_id"
+
+  // --------------------------------------- hashed linear quality model
+
+  /** Feature-hash buckets for classify_quality (fastText convention: 2^k). */
+  private[graft] val HashBuckets = 4096L
+
+  /** fastText-style linear document classifier over hashed bag-of-words
+    * features — the model-based quality filter (pre-trained quality/toxicity
+    * scorers) that rule-based gates (filter_quality_rules) approximate. The
+    * "trained" weight vector is derived deterministically from the bucket
+    * index (w(b) = b % 1001 − 500 ∈ [−500, 500]) so the SCORING path — the
+    * part that runs over 100 TB — is real and cross-engine exact, while no
+    * training artifact needs to ship: score = Σ_tokens w(bucket(token)),
+    * all BIGINT.
+    *
+    * Scale shape: the whole classifier is ONE map-side `aggregate` HOF over
+    * each doc's own token array — no explode, no join, zero data shuffles
+    * (the only exchange is the declared-output sort). The token array is
+    * materialized as an attribute before the lambda references it
+    * (interpreted-HOF CSE rule); md5 runs once per token. A learned model
+    * would swap the arithmetic weight for a lookup into a broadcast
+    * bucket→weight map — same plan shape.
+    */
+  private def classifyQuality(s: SparkSession, dir: String): DataFrame = {
+    val w = (t: Column) =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % HashBuckets % 1001L - 500L
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + w(t)).as("score"),
+      )
+      .withColumn("label", col("score") > 0L)
+      .orderBy("doc_id")
+  }
+
+  private val classifyQualitySql =
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "sc AS (SELECT doc_id, count(*) AS n_tok, " +
+      s"sum(('0x' || substring(md5(tok), 1, 15))::BIGINT % $HashBuckets % 1001 - 500) AS score " +
+      "FROM toks GROUP BY 1) " +
+      "SELECT doc_id, n_tok, score, score > 0 AS label FROM sc ORDER BY doc_id"
 
   // ------------------------------------------------- vocabulary coverage
 
@@ -424,6 +531,12 @@ object CorpusPrep {
     QueryDef("filter_domain_blocklist", filterDomainBlocklist, Some(filterDomainBlocklistSql)),
     QueryDef("filter_term_blocklist", filterTermBlocklist, Some(filterTermBlocklistSql)),
     QueryDef("dedup_lines", dedupLines, Some(dedupLinesSql)),
+    QueryDef(
+      "filter_boilerplate_lines",
+      filterBoilerplateLines,
+      Some(filterBoilerplateLinesSql),
+    ),
+    QueryDef("classify_quality", classifyQuality, Some(classifyQualitySql)),
     QueryDef("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
   )
 }

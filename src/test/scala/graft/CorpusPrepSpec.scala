@@ -147,6 +147,75 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("filter_boilerplate_lines: frequency gate ≡ independent rebuild, removes ALL occurrences") {
+    val out = run("filter_boilerplate_lines").collect()
+    // independent reformulation on line TEXT (not the op's hash path):
+    // per-line distinct-doc frequency, then per-doc count of sub-threshold lines
+    val lines = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("idx", "tok")))
+      .groupBy(col("doc_id"), floor(col("idx") / ops.CorpusPrep.LineTokens).as("line_no"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("tok")))),
+            x => x.getField("tok"),
+          ),
+          " ",
+        ).as("line")
+      )
+    val freq = lines.groupBy("line").agg(countDistinct("doc_id").as("nd"))
+    val expected = lines
+      .join(freq, "line")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("nd") < ops.CorpusPrep.BoilerplateDocs, 1L).otherwise(0L)).as("n_kept"),
+      )
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept")))
+      .toMap
+    out.foreach { r =>
+      val (nl, nk) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_lines") == nl, s"n_lines mismatch for $r")
+      assert(r.getAs[Long]("n_kept") == nk, s"n_kept mismatch for $r")
+      assert(r.getAs[String]("kept_sig").matches("[0-9a-f]{32}"))
+    }
+    // unlike dedup_lines' first-wins, a frequent line survives NOWHERE:
+    // total kept == instances of lines that occur in exactly one distinct doc
+    val singleDocInstances = lines
+      .join(freq.filter(col("nd") < ops.CorpusPrep.BoilerplateDocs), "line")
+      .count()
+    assert(out.map(_.getAs[Long]("n_kept")).sum == singleDocInstances)
+    assert(out.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_lines")),
+      "no boilerplate line removed — fixture no longer exercises the gate")
+  }
+
+  test("classify_quality: plain-Scala score recompute, label consistency, both labels hit") {
+    val out = run("classify_quality").collect()
+    val docs = Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(out.length == docs.size)
+    def weight(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % ops.CorpusPrep.HashBuckets % 1001L - 500L
+    }
+    out.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ", -1)
+      assert(r.getAs[Long]("n_tok") == toks.length.toLong)
+      val score = toks.map(weight).sum
+      assert(r.getAs[Long]("score") == score, s"score mismatch for doc ${r.get(0)}")
+      assert(r.getAs[Boolean]("label") == (score > 0L))
+    }
+    assert(out.exists(_.getAs[Boolean]("label")), "no positive docs")
+    assert(out.exists(!_.getAs[Boolean]("label")), "no negative docs")
+  }
+
   test("vocab_coverage: rank/monotonicity laws and exact ppm recompute") {
     val out = run("vocab_coverage").collect() // ordered by rank
     val toks = Tables
