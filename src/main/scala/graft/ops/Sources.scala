@@ -170,6 +170,49 @@ object Sources {
       .parquet(path)
   }
 
+  /** Small-file compaction (the OPTIMIZE/compaction job every long-running
+    * ingest needs): re-read a directory fragmented by many tiny writes and
+    * rewrite it as ~`targetRecords`-row files. File count is derived from
+    * the actual row count (a parquet metadata read — no data scan) and the
+    * rows are ROUND-ROBIN repartitioned, so output files are size-balanced
+    * regardless of how skewed the input fragments were. maxRecordsPerFile
+    * is a per-task hard cap on top, for when upstream rebalance is
+    * imperfect. At 100 TB the small-file problem is a scan-latency and
+    * NameNode/listing killer; compaction cost is one read + one write of
+    * the fragment set, embarrassingly parallel.
+    */
+  def compactFiles(s: SparkSession, inPath: String, outPath: String, targetRecords: Long): DataFrame = {
+    val df = s.read.parquet(inPath)
+    val nFiles = math.max(1L, (df.count() + targetRecords - 1) / targetRecords).toInt
+    df.repartition(nFiles)
+      .write
+      .option("maxRecordsPerFile", targetRecords)
+      .mode("overwrite")
+      .parquet(outPath)
+    s.read.parquet(outPath)
+  }
+
+  /** Opaque-binary ingestion via Spark's `binaryFile` source — the real
+    * entry point for the multimodal path (Multimodal.scala synthesizes its
+    * media set in-plan; this reads actual files on disk into the same
+    * (path, length, content) shape, mime derived from the extension).
+    * Each file must fit in one row (spark caps at
+    * spark.sql.sources.binaryFile.maxLength = Int.MaxValue); at 100 TB the
+    * parallelism unit is the file, so shard media into many objects and
+    * let partition planning bin-pack them.
+    */
+  def readBinaryFiles(s: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    s.read
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        col("path"),
+        col("length"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("ext"),
+        col("content"),
+      )
+
   // ------------------------------------------------------------- catalog
 
   val entries: Seq[QueryDef] = Seq(

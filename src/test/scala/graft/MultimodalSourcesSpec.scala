@@ -181,6 +181,59 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(nb > 0.8, s"expected the unsorted dim to scatter, got $nb")
   }
 
+  test("compaction: fragmented directory rewrites to size-balanced files, content preserved") {
+    val src = Tables.events(spark, sfDir).select("event_id", "user_id", "event_type")
+    val fragDir = tmpDir("frag")
+    src.repartition(64).write.mode("overwrite").parquet(fragDir) // 64 tiny files
+    val fragCount = new java.io.File(fragDir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(fragCount >= 32, s"fixture not fragmented enough: $fragCount files")
+    val outDir = tmpDir("compact")
+    val n = src.count()
+    val target = 300L
+    val back = Sources.compactFiles(spark, fragDir, outDir, target)
+    val outFiles = new java.io.File(outDir).listFiles().count(_.getName.endsWith(".parquet"))
+    val expect = ((n + target - 1) / target).toInt
+    assert(outFiles == expect, s"expected $expect compacted files, got $outFiles")
+    // hard cap holds per file, and no row was lost or duplicated
+    val perFile = back
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"))
+      .collect()
+    assert(perFile.forall(_.getAs[Long]("rows") <= target), "a file exceeds maxRecordsPerFile")
+    assert(back.count() == n)
+    assert(
+      back.select("event_id").except(src.select("event_id")).isEmpty &&
+        src.select("event_id").except(back.select("event_id")).isEmpty,
+      "compaction changed the row set",
+    )
+  }
+
+  test("binaryFile source: real on-disk bytes round-trip with length and extension") {
+    val dir = tmpDir("binsrc")
+    val payloads = Map(
+      "a.jpg" -> Array.tabulate(512)(i => (i % 251).toByte),
+      "b.wav" -> Array.tabulate(1024)(i => ((i * 7) % 256 - 128).toByte),
+      "c.mp4" -> Array.tabulate(64)(i => (255 - i).toByte),
+    )
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val df = Sources.readBinaryFiles(spark, dir)
+    val rows = df.collect().map(r => r.getAs[String]("path").split("/").last -> r).toMap
+    assert(rows.keySet == payloads.keySet)
+    payloads.foreach { case (name, bytes) =>
+      val r = rows(name)
+      assert(r.getAs[Long]("length") == bytes.length.toLong)
+      assert(r.getAs[String]("ext") == name.split("\\.").last)
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("content"), bytes), s"bytes differ: $name")
+    }
+    // glob filter prunes at the listing, and the frame feeds the multimodal
+    // stats shape (mime-from-ext ≡ Multimodal's mime column convention)
+    assert(Sources.readBinaryFiles(spark, dir, "*.jpg").count() == 1)
+    val stats = df.groupBy("ext").agg(count(lit(1)).as("n"), sum("length").as("bytes")).collect()
+    assert(stats.map(_.getAs[Long]("n")).sum == 3L)
+  }
+
   test("ORC: round trip preserves data and pushes filters to the scan") {
     val src = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus", "o_totalprice")
     val path = tmpDir("orc-sink")
