@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to the real stdout/stderr instead of
+// through sbt's logger: the driver parses a JSON line from Bench's stdout
+// tail, and sbt's "[info] " prefix would make `^{...}$` line-parsers fail
+// (r1-r3 all recorded parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

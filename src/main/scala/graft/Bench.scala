@@ -91,8 +91,34 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","pass":"min of 2 warm passes (after 1 warm-up)","n_queries":${results.size},""" +
         s""""passes":$ps,"shuffle_bytes":$sb,"failures":[${failed.mkString(",")}]}"""
-    println(line)
     Files.writeString(Paths.get("bench.json"), line + "\n")
+    // The driver records only the LAST 2000 chars of stdout and parses a JSON
+    // line out of that window: the full per-query line above outgrew it every
+    // round (r1-r3 all recorded parsed:null), so it now goes to bench.json
+    // only, and the one stdout line is a compact variant sized to fit —
+    // BASELINE.md overlap keys first, then the slowest queries, as many as
+    // a 1700-char budget allows.
+    val minTimes = results.collect { case (k, Some((a, b)), _) => k -> math.min(a, b) }.toMap
+    val baselineKeys = Seq(
+      "agg_groupby_pricing", "join_multiway_star", "win_topk_per_group",
+      "stream_session_5m", "sim_topk_cosine")
+    val prio =
+      (baselineKeys ++ minTimes.toSeq.sortBy { case (k, t) => (-t, k) }.map(_._1))
+        .distinct.filter(minTimes.contains)
+    val head =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""n_queries":${results.size},"pass":"min of 2 warm passes","detail":"bench.json",""" +
+        s""""failures":[${failed.mkString(",")}],"queries":{"""
+    val budget = 1700
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + 40 // closing braces + queries_omitted suffix
+    prio.foreach { k =>
+      val entry = "\"" + k + "\":" + r3(minTimes(k))
+      if (len + entry.length + 1 <= budget) { kept += entry; len += entry.length + 1 }
+    }
+    val compact =
+      head + kept.mkString(",") + s"""},"queries_omitted":${minTimes.size - kept.size}}"""
+    println(compact)
     spark.stop()
   }
 }

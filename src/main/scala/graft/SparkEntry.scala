@@ -21,7 +21,8 @@ object SparkEntry {
       ops.SimHash.entries ++ ops.MinHashDedup.entries ++
       ops.Vectors.entries ++ ops.LshAnn.entries ++ ops.IvfAnn.entries ++
       ops.Approx.entries ++ ops.Multimodal.entries ++ ops.Pipeline.entries ++
-      ops.Curation.entries ++ ops.Mixes.entries ++ ops.CorpusPrep.entries
+      ops.Curation.entries ++ ops.Mixes.entries ++ ops.CorpusPrep.entries ++
+      ops.Analytics.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

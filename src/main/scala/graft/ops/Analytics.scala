@@ -1,0 +1,576 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Qf._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-4 analytics & warehouse-quality verbs (SURVEY.md §2.15): the
+  * product-analytics suite (funnel, cohort retention, gap-filled resample),
+  * a fully-oracled count-min sketch, Deequ-style data-quality expectations,
+  * per-label embedding centroid diagnostics, and unigram-LM surprisal
+  * scoring. Determinism per SURVEY §2.0 throughout.
+  *
+  * Scale doctrine, per op:
+  *   - agg_heavy_hitters: the SKETCH is the point — 4×512 counters total,
+  *     regardless of corpus size. Tokens collapse map-side onto (row,
+  *     bucket) before the one exchange, so 100 TB of text shuffles 2,048
+  *     rows. (The exact side exists only to verify the estimate.)
+  *   - funnel_conversion / retention_cohort: every join/agg keys on
+  *     user_id, so one hash partitioning serves all stages; per-user state
+  *     is O(1) (three stage timestamps / first-day + active-day set).
+  *   - ts_gap_fill: the grid explodes to user × hour — bounded by
+  *     span/grain, not by event count; the fill is one window pass over
+  *     each user's grid partition.
+  *   - dq_expectations: one scan per table feeding column-level aggregates;
+  *     the orphan check is the only join (orderkey-partitioned count).
+  *   - embed_centroid_dist: centroids are |labels|×64 scaled-integer sums
+  *     (exact, order-free) broadcast back; vectors score map-side.
+  *   - text_unigram_surprisal: the term-frequency model is vocabulary-
+  *     bounded; docs join it on the token key with map-side combine.
+  */
+object Analytics {
+
+  // ------------------------------------------------------------------
+  // agg_heavy_hitters — count-min sketch, estimate vs exact
+  // ------------------------------------------------------------------
+
+  /** Count-min sketch heavy hitters over document tokens. d = 4 hash rows ×
+    * w = 512 buckets; row-j bucket of a term is an md5-derived integer
+    * (cross-engine identical, same idiom as SimHash). The estimate of a
+    * term's count is the MIN over its 4 row counters — an overestimate by
+    * construction (collisions only add), which the declared output exposes
+    * as `over_err = cms_est - exact_n >= 0` for the exact top-20 terms.
+    *
+    * Unlike `agg_approx_distinct` (whose HLL sketch is engine-specific and
+    * therefore rows-only), every bit of this sketch is plain relational
+    * arithmetic, so the whole approximate path is hash-checked by the
+    * oracle.
+    */
+  private val CmsRows = 4
+  private val CmsWidth = 512
+
+  private def cmsBucket(row: Int, term: Column): Column =
+    conv(substring(md5(concat(lit(row.toString), lit("#"), term)), 1, 8), 16, 10)
+      .cast("long") % CmsWidth
+
+  private def aggHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(s, dir)
+      .select(explode(split(Text.normText(col("text")), " ")).as("term"))
+    // sketch: 4 counters per token occurrence, collapsed map-side to 2,048 rows
+    val sketch = toks
+      .select(explode(array((0 until CmsRows).map { j =>
+        struct(lit(j).as("j"), cmsBucket(j, col("term")).as("bucket"))
+      }: _*)).as("rb"))
+      .groupBy(col("rb.j").as("j"), col("rb.bucket").as("bucket"))
+      .agg(nrows.as("c"))
+    val exact = toks.groupBy("term").agg(nrows.as("exact_n"))
+    val top = exact.orderBy(col("exact_n").desc, col("term")).limit(20)
+    val probes = top.select(
+      col("term"),
+      col("exact_n"),
+      explode(array((0 until CmsRows).map { j =>
+        struct(lit(j).as("j"), cmsBucket(j, col("term")).as("bucket"))
+      }: _*)).as("rb"),
+    )
+    probes
+      .join(broadcast(sketch), col("rb.j") === col("j") && col("rb.bucket") === col("bucket"))
+      .groupBy("term", "exact_n")
+      .agg(min("c").as("cms_est"))
+      .select(
+        col("term"),
+        col("exact_n"),
+        col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("over_err"),
+      )
+      .orderBy(col("exact_n").desc, col("term"))
+  }
+
+  private val aggHeavyHittersSql = {
+    def bucket(j: Int, t: String) =
+      s"('0x' || substring(md5('$j#' || $t), 1, 8))::BIGINT % $CmsWidth"
+    val rows = (0 until CmsRows)
+    "WITH toks AS (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term FROM documents), " +
+      "rb AS (" + rows
+        .map(j => s"SELECT $j AS j, ${bucket(j, "term")} AS bucket FROM toks")
+        .mkString(" UNION ALL ") + "), " +
+      "sketch AS (SELECT j, bucket, count(*) AS c FROM rb GROUP BY 1, 2), " +
+      "exact AS (SELECT term, count(*) AS exact_n FROM toks GROUP BY 1), " +
+      "top AS (SELECT term, exact_n FROM exact ORDER BY exact_n DESC, term LIMIT 20), " +
+      "probes AS (" + rows
+        .map(j => s"SELECT term, exact_n, $j AS j, ${bucket(j, "term")} AS bucket FROM top")
+        .mkString(" UNION ALL ") + ") " +
+      "SELECT p.term, p.exact_n, min(s.c) AS cms_est, min(s.c) - p.exact_n AS over_err " +
+      "FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket " +
+      "GROUP BY p.term, p.exact_n ORDER BY p.exact_n DESC, p.term"
+  }
+
+  // ------------------------------------------------------------------
+  // funnel_conversion — ordered view → click → purchase within 1 h hops
+  // ------------------------------------------------------------------
+
+  /** Classic ordered funnel on the event stream: a user converts stage 2
+    * when their first click AFTER the first view lands within 1 hour of it,
+    * and stage 3 likewise for purchase after that click. All times compare
+    * as microsecond longs (SURVEY §1.3), so the hop windows are exact
+    * integer arithmetic in both engines. Stage populations are necessarily
+    * non-increasing (law asserted in AnalyticsSpec).
+    */
+  private val HopUs = 3600L * 1000000L
+
+  private def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val v = e
+      .filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(min("us").as("t_view"))
+    val c = e
+      .filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("t_view") && col("us") <= col("t_view") + HopUs)
+      .groupBy("user_id")
+      .agg(min("us").as("t_click"))
+    val p = e
+      .filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") > col("t_click") && col("us") <= col("t_click") + HopUs)
+      .groupBy("user_id")
+      .agg(min("us").as("t_purchase"))
+    v.agg(nrows.as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(c.agg(nrows.as("n_users")).select(lit("2_click").as("stage"), col("n_users")))
+      .unionByName(p.agg(nrows.as("n_users")).select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  private val funnelConversionSql =
+    "WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events), " +
+      "v AS (SELECT user_id, min(us) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1), " +
+      "c AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN v USING (user_id) " +
+      s"WHERE event_type = 'click' AND us > t_view AND us <= t_view + $HopUs GROUP BY 1), " +
+      "p AS (SELECT e.user_id, min(us) AS t_purchase FROM e JOIN c USING (user_id) " +
+      s"WHERE event_type = 'purchase' AND us > t_click AND us <= t_click + $HopUs GROUP BY 1) " +
+      "SELECT '1_view' AS stage, count(*) AS n_users FROM v " +
+      "UNION ALL SELECT '2_click', count(*) FROM c " +
+      "UNION ALL SELECT '3_purchase', count(*) FROM p ORDER BY stage"
+
+  // ------------------------------------------------------------------
+  // retention_cohort — first-activity cohorts × day offsets
+  // ------------------------------------------------------------------
+
+  /** Cohort retention: users grouped by their first active day; for each
+    * day offset 0..7, how many are active again. Day boundaries come from
+    * the µs-truncated event time in both engines; cohort days are emitted
+    * as 'yyyy-MM-dd' strings so the declared schema stays primitive.
+    */
+  private def retentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables
+      .events(s, dir)
+      .select(col("user_id"), to_date(col("etime")).as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort"))
+    days
+      .join(cohort, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort")).cast("long"))
+      .filter(col("offset") <= 7)
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"), col("offset"))
+      .agg(nrows.as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  private val retentionCohortSql =
+    "WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+      "cohort AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY 1) " +
+      "SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, " +
+      "CAST(date_diff('day', cohort, day) AS BIGINT) AS \"offset\", count(*) AS n_users " +
+      "FROM days JOIN cohort USING (user_id) " +
+      "WHERE date_diff('day', cohort, day) <= 7 " +
+      "GROUP BY 1, 2 ORDER BY cohort_day, \"offset\""
+
+  // ------------------------------------------------------------------
+  // ts_gap_fill — hourly resample with forward fill
+  // ------------------------------------------------------------------
+
+  /** Time-series resample: every 10th user's events downsampled to an
+    * hourly grid spanning their first..last hour, with empty hours filled
+    * forward from the last observed hour (the standard gap-fill/ffill
+    * primitive). The per-hour observation is max(value) — an exact pick of
+    * an existing double, order-free, so the fill chain is bit-identical
+    * across engines. Grid size is span-bounded (user × hours), never event-
+    * bounded.
+    */
+  private def tsGapFill(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(s, dir)
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), date_trunc("hour", col("etime")).as("hr"), col("value"))
+    val obs = e.groupBy("user_id", "hr").agg(nrows.as("n_events"), max("value").as("vmax"))
+    val grid = e
+      .groupBy("user_id")
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(
+        col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"),
+      )
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(obs, Seq("user_id", "hr"), "left")
+      .select(
+        col("user_id"),
+        col("hr"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("vmax"), ignoreNulls = true).over(w).as("v_filled"),
+      )
+      .orderBy("user_id", "hr")
+  }
+
+  private val tsGapFillSql =
+    "WITH e AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, value " +
+      "FROM events WHERE user_id % 10 = 0), " +
+      "obs AS (SELECT user_id, hr, count(*) AS n_events, max(value) AS vmax FROM e GROUP BY 1, 2), " +
+      "grid AS (SELECT user_id, unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr " +
+      "FROM e GROUP BY user_id) " +
+      "SELECT g.user_id, g.hr, coalesce(o.n_events, 0) AS n_events, " +
+      "last_value(o.vmax IGNORE NULLS) OVER " +
+      "(PARTITION BY g.user_id ORDER BY g.hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled " +
+      "FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hr = o.hr " +
+      "ORDER BY g.user_id, g.hr"
+
+  // ------------------------------------------------------------------
+  // dq_expectations — Deequ-style data-quality checks
+  // ------------------------------------------------------------------
+
+  /** Declarative data-quality expectations over the star schema, reported
+    * as (check, n_checked, n_violations) — the Deequ/Great-Expectations
+    * surface a warehouse engine is expected to run on every load. Column
+    * checks fold into per-table single-scan aggregates; the referential
+    * check is the only join (an orderkey-count).
+    */
+  private def dqExpectations(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    def viol(name: String, checked: Column, bad: Column): Column =
+      struct(lit(name).as("check"), checked.as("n_checked"), bad.as("n_violations"))
+    val liChecks = li
+      .agg(
+        viol(
+          "lineitem.quantity_in_1_50",
+          nrows,
+          count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)),
+        ).as("a"),
+        viol(
+          "lineitem.price_positive",
+          nrows,
+          count(when(col("l_extendedprice") <= 0, 1)),
+        ).as("b"),
+        viol(
+          "lineitem.shipdate_not_null",
+          nrows,
+          count(when(col("l_shipdate").isNull, 1)),
+        ).as("c"),
+      )
+      .select(explode(array(col("a"), col("b"), col("c"))).as("r"))
+    val ordChecks = ord
+      .agg(
+        viol(
+          "orders.totalprice_positive",
+          nrows,
+          count(when(col("o_totalprice") <= 0, 1)),
+        ).as("a"),
+        viol(
+          "orders.orderkey_unique",
+          nrows,
+          nrows - countDistinct(col("o_orderkey")),
+        ).as("b"),
+      )
+      .select(explode(array(col("a"), col("b"))).as("r"))
+    val orphans = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(nrows.as("bad"))
+      .crossJoin(li.agg(nrows.as("all")))
+      .select(viol("lineitem.orderkey_in_orders", col("all"), col("bad")).as("r"))
+    liChecks
+      .unionByName(ordChecks)
+      .unionByName(orphans)
+      .select(col("r.check").as("check"), col("r.n_checked"), col("r.n_violations"))
+      .orderBy("check")
+  }
+
+  private val dqExpectationsSql =
+    "SELECT * FROM (" +
+      "SELECT 'lineitem.quantity_in_1_50' AS \"check\", count(*) AS n_checked, " +
+      "count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS n_violations FROM lineitem " +
+      "UNION ALL SELECT 'lineitem.price_positive', count(*), " +
+      "count(*) FILTER (WHERE l_extendedprice <= 0) FROM lineitem " +
+      "UNION ALL SELECT 'lineitem.shipdate_not_null', count(*), " +
+      "count(*) FILTER (WHERE l_shipdate IS NULL) FROM lineitem " +
+      "UNION ALL SELECT 'orders.totalprice_positive', count(*), " +
+      "count(*) FILTER (WHERE o_totalprice <= 0) FROM orders " +
+      "UNION ALL SELECT 'orders.orderkey_unique', count(*), " +
+      "count(*) - count(DISTINCT o_orderkey) FROM orders " +
+      "UNION ALL SELECT 'lineitem.orderkey_in_orders', (SELECT count(*) FROM lineitem), " +
+      "(SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      "WHERE o.o_orderkey IS NULL)" +
+      ") ORDER BY \"check\""
+
+  // ------------------------------------------------------------------
+  // embed_centroid_dist — per-label centroid tightness diagnostics
+  // ------------------------------------------------------------------
+
+  /** Per-label embedding centroid + distance diagnostics (how tight each
+    * label's cluster is — the go/no-go report before trusting labels for
+    * blocking or classification). The centroid mean is made order-free by
+    * summing each component as a scaled integer (round(x·1e6) — exact
+    * BIGINT addition), so both engines derive the identical centroid;
+    * per-vector distance is then a fixed-order positional fold.
+    */
+  private def embedCentroidDist(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("label"), transform(col("embedding"), _.cast("double")).as("v"))
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(round(col("x") * 1e6, 0).cast("long")).as("s6"), nrows.as("n"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s6"), col("n")))).as("pm"))
+      .select(
+        col("label"),
+        expr("transform(pm, p -> (cast(p.s6 AS DOUBLE) / p.n) / 1e6)").as("c"),
+      )
+    e.join(broadcast(cent), "label")
+      .withColumn(
+        "dist",
+        round(sqrt(aggregate(zip_with(col("v"), col("c"), (x, cc) => (x - cc) * (x - cc)), lit(0.0), (a, t) => a + t)), 4),
+      )
+      .groupBy("label")
+      .agg(
+        nrows.as("n_vecs"),
+        round(davg(col("dist"), 4), 4).as("avg_dist"),
+        max(col("dist")).as("max_dist"),
+      )
+      .orderBy("label")
+  }
+
+  private val embedCentroidDistSql =
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      // DuckDB 1.0 has no WITH ORDINALITY: index via the (x, i) lambda form
+      "dims AS (SELECT label, unnest(list_transform(v, (x, i) -> " +
+      "{'pos': i, 'x6': CAST(round(x * 1e6, 0) AS BIGINT)})) AS u FROM e), " +
+      "cs AS (SELECT label, u.pos AS pos, sum(u.x6) AS s6, count(*) AS n FROM dims GROUP BY 1, 2), " +
+      "cent AS (SELECT label, list((CAST(s6 AS DOUBLE) / n) / 1e6 ORDER BY pos) AS c FROM cs GROUP BY 1), " +
+      "d AS (SELECT e.label, round(sqrt(list_sum(list_transform(v, (x, i) -> (x - c[i]) * (x - c[i])))), 4) AS dist " +
+      "FROM e JOIN cent ON e.label = cent.label) " +
+      "SELECT label, count(*) AS n_vecs, " +
+      "round(CAST(sum(CAST(dist AS DECIMAL(28,4))) AS DOUBLE) / count(dist), 4) AS avg_dist, " +
+      "max(dist) AS max_dist FROM d GROUP BY label ORDER BY label"
+
+  // ------------------------------------------------------------------
+  // text_unigram_surprisal — LM-style per-doc surprisal scoring
+  // ------------------------------------------------------------------
+
+  /** Unigram language-model surprisal per document: train token
+    * frequencies on the corpus itself, score each doc by the mean
+    * −ln p(token) of its tokens. High surprisal = off-distribution text —
+    * the model-based quality signal that complements the rule-based
+    * text_quality / filter_quality_rules gates. Per-token surprisal is
+    * rounded to 6 decimals, then the doc mean runs through exact DECIMAL
+    * summation (order-free, SURVEY §2.0 rule 2 discipline).
+    */
+  private def textUnigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(Text.normText(col("text")), " ")).as("term"))
+    val freq = toks.groupBy("term").agg(nrows.as("c"))
+    val total = freq.agg(sum("c").as("t")) // 1-row frame, enters as a broadcast
+    val scored = freq
+      .crossJoin(broadcast(total))
+      .select(
+        col("term"),
+        round(-log(col("c").cast("double") / col("t").cast("double")), 6)
+          .cast(DecimalType(18, 6))
+          .as("s6"),
+      )
+    toks
+      .join(scored, "term")
+      .groupBy("doc_id")
+      .agg(
+        nrows.as("n_tokens"),
+        round((sum(col("s6")).cast("double")) / count(lit(1)), 4).as("avg_surprisal"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val textUnigramSurprisalSql =
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term FROM documents), " +
+      "freq AS (SELECT term, count(*) AS c FROM toks GROUP BY 1), " +
+      "total AS (SELECT sum(c) AS t FROM freq), " +
+      "scored AS (SELECT term, CAST(round(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s6 " +
+      "FROM freq CROSS JOIN total) " +
+      "SELECT doc_id, count(*) AS n_tokens, " +
+      "round(CAST(sum(s6) AS DOUBLE) / count(*), 4) AS avg_surprisal " +
+      "FROM toks JOIN scored USING (term) GROUP BY doc_id ORDER BY doc_id"
+
+  // ------------------------------------------------------------------
+  // agg_quantile_binned — mergeable histogram quantiles
+  // ------------------------------------------------------------------
+
+  /** Percentiles from a fixed-width histogram sketch: prices bin at $100
+    * granularity, the (bin, count) histogram is mergeable by plain addition
+    * (partial aggregation IS the merge), and the p50/p90/p99 estimate is
+    * the lower edge of the first bin whose cumulative count reaches
+    * ceil(q·N). This is the 100 TB percentile path — `agg_percentile_exact`
+    * needs the full value multiset per group, while this sketch is
+    * |bins|-bounded no matter the corpus — and unlike `agg_approx_percentile`
+    * (engine-specific KLL/GK internals, rows-only) every step is exact
+    * integer arithmetic, so the whole approximate path hash-checks against
+    * the oracle. `err_vs_exact` (estimate − true interpolated percentile)
+    * is bounded by the bin width; AnalyticsSpec asserts it.
+    */
+  private val BinW = 100.0
+
+  private def aggQuantileBinned(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables
+      .lineitem(s, dir)
+      .groupBy(floor(col("l_extendedprice") / BinW).cast("long").as("bin"))
+      .agg(nrows.as("c"))
+    val cum = hist
+      .withColumn(
+        "cumc",
+        sum("c").over(
+          Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+      )
+      .crossJoin(broadcast(hist.agg(sum("c").as("n")))) // 1-row total
+    // the estimate side joins cum against LITERAL q rows only; the exact-
+    // percentile aggregate stays a separate 1-row frame attached at the
+    // very end via CASE. Joining cum directly against the percentile-
+    // DERIVED 3-row frame measured 4-5 s at sf0.1 (the broadcast of the
+    // ObjectHashAggregate subplan dominates, repeatably) where this shape
+    // is 0.3 s — same rows, same values.
+    val qlit = s.range(1).select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+    val est3 = cum
+      .crossJoin(broadcast(qlit))
+      .filter(col("cumc") >= ceil(col("q") * col("n")))
+      .groupBy("q")
+      .agg(min("bin").as("qbin"))
+    val exact1 = Tables
+      .lineitem(s, dir)
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("e50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("e90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("e99"),
+      )
+    est3
+      .crossJoin(broadcast(exact1))
+      .withColumn(
+        "exact_q",
+        when(col("q") === 0.5, col("e50"))
+          .when(col("q") === 0.9, col("e90"))
+          .otherwise(col("e99")),
+      )
+      .select(
+        col("q"),
+        (col("qbin") * BinW).as("est_q"),
+        col("exact_q"),
+        round(col("qbin") * BinW - col("exact_q"), 4).as("err_vs_exact"),
+      )
+      .orderBy("q")
+  }
+
+  private val aggQuantileBinnedSql =
+    "WITH hist AS (SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bin, count(*) AS c " +
+      "FROM lineitem GROUP BY 1), " +
+      "cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc, " +
+      "(SELECT sum(c) FROM hist) AS n FROM hist), " +
+      // explicit rows: DuckDB quantile_cont takes only CONSTANT percentiles,
+      // and bare 0.5 parses as DECIMAL (banned in declared output) — cast
+      "exact AS (" +
+      Seq(0.5, 0.9, 0.99)
+        .map(q =>
+          s"SELECT CAST($q AS DOUBLE) AS q, round(quantile_cont(l_extendedprice, $q), 4) AS exact_q FROM lineitem"
+        )
+        .mkString(" UNION ALL ") + ") " +
+      "SELECT e.q AS q, min(bin) * CAST(100.0 AS DOUBLE) AS est_q, e.exact_q, " +
+      "round(min(bin) * CAST(100.0 AS DOUBLE) - e.exact_q, 4) AS err_vs_exact " +
+      "FROM cum JOIN exact e ON cumc >= ceil(e.q * n) " +
+      "GROUP BY e.q, e.exact_q ORDER BY q"
+
+  // ------------------------------------------------------------------
+  // anomaly_daily_volume — z-score outliers on exact integer moments
+  // ------------------------------------------------------------------
+
+  /** Volume-anomaly detection: each (event_type, day) count z-scored
+    * against that type's daily distribution. Both moments come from EXACT
+    * integer sums (Σc and Σc² in BIGINT — counts are integers, so no float
+    * accumulation anywhere): mean = Σc/n and var = (n·Σc² − (Σc)²)/(n(n−1))
+    * are single double divisions of exact integers, deterministic in both
+    * engines where stddev_samp's internal accumulation order would not be.
+    * The anomaly flag gates on the raw z (same rationale as
+    * sim_threshold_pairs); the rounded z is display precision.
+    */
+  private def anomalyDailyVolume(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), date_format(col("etime"), "yyyy-MM-dd").as("day"))
+      .agg(nrows.as("n_events"))
+    val stats = daily
+      .groupBy("event_type")
+      .agg(
+        nrows.as("n_days"),
+        sum("n_events").as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"),
+      )
+      .withColumn("mean", col("s1").cast("double") / col("n_days"))
+      .withColumn(
+        "sd",
+        sqrt(
+          (col("n_days") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n_days") * (col("n_days") - 1))
+        ),
+      )
+      .select("event_type", "mean", "sd")
+    daily
+      .join(broadcast(stats), "event_type") // |event types| rows
+      .withColumn("z", (col("n_events") - col("mean")) / col("sd"))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("n_events"),
+        round(col("z"), 4).as("z"),
+        (abs(col("z")) >= 2.0).as("is_anomaly"),
+      )
+      .orderBy("event_type", "day")
+  }
+
+  private val anomalyDailyVolumeSql =
+    "WITH daily AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, " +
+      "count(*) AS n_events FROM events GROUP BY 1, 2), " +
+      "stats AS (SELECT event_type, count(*) AS n_days, sum(n_events) AS s1, " +
+      "sum(n_events * n_events) AS s2 FROM daily GROUP BY 1), " +
+      "z AS (SELECT d.event_type, d.day, d.n_events, " +
+      "(d.n_events - CAST(s1 AS DOUBLE) / n_days) / " +
+      "sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE) / (n_days * (n_days - 1))) AS z " +
+      "FROM daily d JOIN stats USING (event_type)) " +
+      "SELECT event_type, day, n_events, round(z, 4) AS z, abs(z) >= 2.0 AS is_anomaly " +
+      "FROM z ORDER BY event_type, day"
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("agg_heavy_hitters", aggHeavyHitters, Some(aggHeavyHittersSql)),
+    QueryDef("funnel_conversion", funnelConversion, Some(funnelConversionSql)),
+    QueryDef("retention_cohort", retentionCohort, Some(retentionCohortSql)),
+    QueryDef("ts_gap_fill", tsGapFill, Some(tsGapFillSql)),
+    QueryDef("dq_expectations", dqExpectations, Some(dqExpectationsSql)),
+    QueryDef("embed_centroid_dist", embedCentroidDist, Some(embedCentroidDistSql)),
+    QueryDef("text_unigram_surprisal", textUnigramSurprisal, Some(textUnigramSurprisalSql)),
+    QueryDef("agg_quantile_binned", aggQuantileBinned, Some(aggQuantileBinnedSql)),
+    QueryDef("anomaly_daily_volume", anomalyDailyVolume, Some(anomalyDailyVolumeSql)),
+  )
+}
