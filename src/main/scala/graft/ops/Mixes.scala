@@ -153,9 +153,61 @@ object Mixes {
       "CAST(len(list_filter(qs, x -> abs(x) = 127)) AS BIGINT) AS n_sat " +
       "FROM q ORDER BY vec_id"
 
+  // -------------------------------------------------------- sample_weighted
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis exponential
+    * clocks): per doc, u = 13-hex-digit md5 fraction (52 bits — exactly
+    * representable in a double), clock = −ln(u)/w with weight w = n_chars;
+    * the sample is the k smallest clocks, ties broken by doc_id. Seedless
+    * and replayable like sample_hash_split, but with INCLUSION PROBABILITY
+    * ∝ WEIGHT — the mix knob sample_temperature sets per language, applied
+    * at the document grain.
+    *
+    * Scale shape: orderBy+limit plans TakeOrderedAndProject — each task
+    * keeps its local k smallest clocks and only those merge, so a 100 TB
+    * corpus moves k rows per partition, no global sort. The clock set is
+    * also a mergeable bottom-k sketch: top-k(A ∪ B) = top-k(top-k(A) ∪
+    * top-k(B)) (the shard-merge law in MixesSpec), so per-shard samples
+    * union into the corpus sample without rescanning.
+    *
+    * Determinism: −ln(u) is the one transcendental; both engines' libm is
+    * ≤ 1 ulp off and the 9-decimal rounding (applied BEFORE the rank, so
+    * selection and output use the same value) is ~10^9× coarser than the
+    * disagreement — the residual boundary risk is the documented
+    * dedup_embedding class. +1 on the raw hash keeps u in (0, 1] (u = 0
+    * would give clock = ∞).
+    */
+  private val TwoTo52 = 4503599627370496.0 // 16^13
+
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val raw =
+      conv(substring(md5(concat(lit("es#"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+        .cast("long")
+    val u = (raw + lit(1L)) / lit(TwoTo52)
+    val clock = round((log(u) * -1) / greatest(col("n_chars"), lit(1)), 9)
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), clock.as("clock"))
+      .orderBy(col("clock"), col("doc_id"))
+      .limit(20)
+      .withColumn(
+        "rn",
+        asLong(row_number().over(Window.orderBy(col("clock"), col("doc_id")))),
+      )
+  }
+
+  private val sampleWeightedSql =
+    "WITH c AS (SELECT doc_id, n_chars, " +
+      "round(-ln((('0x' || substr(md5('es#' || doc_id), 1, 13))::BIGINT + 1) / 4503599627370496.0) " +
+      "/ greatest(n_chars, 1), 9) AS clock FROM documents) " +
+      "SELECT doc_id, n_chars, clock, " +
+      "CAST(row_number() OVER (ORDER BY clock, doc_id) AS BIGINT) AS rn " +
+      "FROM c ORDER BY clock, doc_id LIMIT 20"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
     QueryDef("embed_quantize_int8", embedQuantizeInt8, Some(embedQuantizeInt8Sql)),
+    QueryDef("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
   )
 }

@@ -85,4 +85,35 @@ class MixesSpec extends SparkSpec {
       .getSeq[Long](0)
     assert(qs == Seq(0L, 0L, 0L))
   }
+
+  test("sample_weighted: weight-proportional inclusion, top-k plan, shard-merge law") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = run("sample_weighted").collect()
+    assert(out.length == 20)
+    // clocks nonnegative and rn matches the (clock, doc_id) order
+    assert(out.sortBy(r => (r.getAs[Double]("clock"), r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("rn")).toSeq == (1L to 20L))
+    // efficacy: exponential clocks favor heavy docs — the sample's mean
+    // weight must exceed the corpus mean (deterministic for the fixture)
+    val corpusMean = docs.agg(avg(col("n_chars"))).first().getDouble(0)
+    val sampleMean = out.map(_.getAs[Long]("n_chars").toDouble).sum / out.length
+    assert(sampleMean > corpusMean, s"sample $sampleMean <= corpus $corpusMean")
+    // plan: orderBy+limit must fuse to TakeOrderedAndProject (per-partition
+    // bottom-k, merge of k-sized heaps — the 100 TB shape)
+    val p = SparkEntry.queries("sample_weighted")(spark, sfDir).queryExecution.executedPlan
+    assert(p.toString.contains("TakeOrderedAndProject"), p.toString.take(800))
+    // mergeability: top-k over the union == top-k of per-shard top-ks
+    val clock = {
+      val raw = conv(substring(md5(concat(lit("es#"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+        .cast("long")
+      round((log((raw + lit(1L)) / lit(4503599627370496.0)) * -1) / greatest(col("n_chars"), lit(1)), 9)
+    }
+    val clocked = docs.select(col("doc_id"), clock.as("clock"))
+    val whole = clocked.orderBy(col("clock"), col("doc_id")).limit(20).collect().map(_.getLong(0)).toSeq
+    val shardA = clocked.filter(col("doc_id") % 2 === 0).orderBy(col("clock"), col("doc_id")).limit(20)
+    val shardB = clocked.filter(col("doc_id") % 2 =!= 0).orderBy(col("clock"), col("doc_id")).limit(20)
+    val merged =
+      shardA.unionByName(shardB).orderBy(col("clock"), col("doc_id")).limit(20).collect().map(_.getLong(0)).toSeq
+    assert(merged == whole, "bottom-k sketch must merge losslessly across shards")
+  }
 }
