@@ -524,8 +524,85 @@ object CorpusPrep {
       s"SELECT rank, token, n_occ, c * 1000000 // t AS cum_ppm " +
       s"FROM cum WHERE rank <= $VocabTopK ORDER BY rank"
 
+  // ---------------------------------------------------------- html strip
+
+  /** HTML boilerplate strip — the first stage of any web-corpus pipeline
+    * (raw crawl → text). The corpus is already clean prose [DATA], so a
+    * deterministic synthesizer first wraps each doc in markup (title/body
+    * skeleton, a script block for every 3rd doc, an entity-laden paragraph
+    * for every 5th — the plant-then-detect pattern of text_pii_redact).
+    * The strip chain: remove script BLOCKS (content too), strip tags,
+    * decode entities (&lt;/&gt;/&nbsp; before &amp;, the order that keeps
+    * double-encoding honest), collapse whitespace. Pure per-row regex
+    * projection — zero exchanges beyond the declared sort; the md5 of the
+    * cleaned text is the strong cross-engine check.
+    */
+  private def textHtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(
+      lit("<html><head><title>d"),
+      col("doc_id").cast("string"),
+      lit("</title>"),
+      when(col("doc_id") % 3 === 0, lit("<script>var x = 1;</script>")).otherwise(lit("")),
+      lit("</head><body><p>"),
+      col("text"),
+      lit("</p>"),
+      when(col("doc_id") % 5 === 0, lit("<p>x &amp; y &lt;z&gt; w&nbsp;v</p>"))
+        .otherwise(lit("")),
+      lit("</body></html>"),
+    )
+    val noTags =
+      regexp_replace(regexp_replace(col("h"), "<script>.*?</script>", " "), "<[^>]*>", " ")
+    val decoded = regexp_replace(
+      regexp_replace(
+        regexp_replace(regexp_replace(col("t"), "&lt;", "<"), "&gt;", ">"),
+        "&nbsp;",
+        " ",
+      ),
+      "&amp;",
+      "&",
+    )
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), synth.as("h"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("h"), lit("<[^>]*>")).cast("long").as("n_tags"),
+        noTags.as("t"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_tags"),
+        trim(regexp_replace(decoded, "\\s+", " ")).as("clean"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_tags"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_md5"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val textHtmlStripSql =
+    "WITH synth AS (SELECT doc_id, " +
+      "'<html><head><title>d' || doc_id || '</title>' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '<script>var x = 1;</script>' ELSE '' END || " +
+      "'</head><body><p>' || text || '</p>' || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '<p>x &amp; y &lt;z&gt; w&nbsp;v</p>' ELSE '' END || " +
+      "'</body></html>' AS h FROM documents), " +
+      "stripped AS (SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(h, '<[^>]*>')) AS BIGINT) AS n_tags, " +
+      "regexp_replace(regexp_replace(h, '<script>.*?</script>', ' ', 'g'), '<[^>]*>', ' ', 'g') AS t " +
+      "FROM synth), " +
+      "cleaned AS (SELECT doc_id, n_tags, trim(regexp_replace(" +
+      "replace(replace(replace(replace(t, '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'), " +
+      "'\\s+', ' ', 'g')) AS clean FROM stripped) " +
+      "SELECT doc_id, n_tags, CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5 " +
+      "FROM cleaned ORDER BY doc_id"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("dedup_url_norm", dedupUrlNorm, Some(dedupUrlNormSql)),
+    QueryDef("text_html_strip", textHtmlStrip, Some(textHtmlStripSql)),
     QueryDef("filter_quality_rules", filterQualityRules, Some(filterQualityRulesSql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("filter_domain_blocklist", filterDomainBlocklist, Some(filterDomainBlocklistSql)),

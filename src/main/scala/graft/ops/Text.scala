@@ -129,6 +129,74 @@ object Text {
       .orderBy("id_a", "id_b")
   }
 
+  /** Asymmetric containment dedup: |A∩B| / min(|A|,|B|) ≥ 0.9 — catches a
+    * document EMBEDDED in a larger one (quotes, excerpts, truncated
+    * re-crawls), which symmetric Jaccard misses: a half-length excerpt has
+    * containment 1.0 but Jaccard ~0.5, far under the 0.8 dup bar. The
+    * corpus has no natural excerpts [DATA], so every 20th doc contributes a
+    * synthesized prefix-half excerpt (id + 1e6) — the same
+    * plant-then-detect pattern as text_pii_redact. Same shingle universe
+    * and shared-shingle join as dedup_near_jaccard: cost is Σ per-shingle
+    * pair counts, never corpus². id_sub is the smaller shingle set (the
+    * contained side; ties → smaller id since id_a < id_b).
+    */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val excerpts = docs
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), words(normText(col("text"))).as("w"))
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(
+          " ",
+          slice(col("w"), lit(1), greatest(floor(size(col("w")) / 2).cast("int"), lit(3))),
+        ).as("text"),
+      )
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
+    val sh = shingleHashes(corpus)
+    val sizes = sh.groupBy("doc_id").agg(nrows.as("n_sh"))
+    val subFirst = col("n_a") < col("n_b") || (col("n_a") === col("n_b"))
+    sh.select(col("doc_id").as("id_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(nrows.as("n_inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn(
+        "containment",
+        round(col("n_inter").cast("double") / least(col("n_a"), col("n_b")), 4),
+      )
+      .filter(col("containment") >= 0.9)
+      .select(
+        when(subFirst, col("id_a")).otherwise(col("id_b")).as("id_sub"),
+        when(subFirst, col("id_b")).otherwise(col("id_a")).as("id_super"),
+        col("n_inter"),
+        col("containment"),
+      )
+      .orderBy("id_sub", "id_super")
+  }
+
+  private val dedupContainmentSql =
+    "WITH ws0 AS (SELECT doc_id, " +
+      "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
+      "exc AS (SELECT doc_id + 1000000 AS doc_id, " +
+      "array_to_string(w[1:greatest(len(w)//2, 3)], ' ') AS text FROM ws0 WHERE doc_id % 20 = 0), " +
+      "corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM exc), " +
+      "ws AS (SELECT doc_id, " +
+      "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM corpus), " +
+      "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ws WHERE len(w) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "scored AS (SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b, " +
+      "round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) AS containment " +
+      "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b) " +
+      "SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS id_sub, " +
+      "CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS id_super, " +
+      "n_inter, containment FROM scored WHERE containment >= 0.9 ORDER BY id_sub, id_super"
+
   // ----------------------------------------------------------- text stats
 
   /** Per-language corpus stats: doc count, avg chars, avg tokens, vocabulary
@@ -242,6 +310,7 @@ object Text {
       ),
     ),
     QueryDef("dedup_near_jaccard", dedupNearJaccard, Some(nearJaccardOracleSql)),
+    QueryDef("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     QueryDef(
       "text_stats_lang",
       textStatsLang,

@@ -237,4 +237,32 @@ class CorpusPrepSpec extends SparkSpec {
     val ppm = out.map(_.getAs[Long]("cum_ppm"))
     assert(ppm.last <= 1000000L && ppm.zip(ppm.tail).forall { case (a, b) => a < b })
   }
+
+  test("text_html_strip: tag counts follow the planted markup and the clean text round-trips") {
+    val out = SparkEntry.queries("text_html_strip")(spark, sfDir).collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expected = 10L + (if (id % 3 == 0) 2L else 0L) + (if (id % 5 == 0) 2L else 0L)
+      assert(r.getAs[Long]("n_tags") == expected, s"doc $id tag count")
+    }
+    // the cleaned text must be exactly 'd{id} <collapsed text>' (+ the
+    // decoded entity paragraph for every 5th doc); script bodies never
+    // survive. Asserted via md5 equality computed from the raw corpus.
+    val expectedMd5 = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(
+          concat(
+            lit("d"),
+            col("doc_id").cast("string"),
+            lit(" "),
+            trim(regexp_replace(col("text"), "\\s+", " ")),
+            when(col("doc_id") % 5 === 0, lit(" x & y <z> w v")).otherwise(lit("")),
+          )
+        ).as("want"),
+      )
+    val got = SparkEntry.queries("text_html_strip")(spark, sfDir).select("doc_id", "clean_md5")
+    assert(got.join(expectedMd5, "doc_id").filter(col("clean_md5") =!= col("want")).count() == 0)
+  }
 }

@@ -158,6 +158,36 @@ class PropertySpec extends SparkSpec {
       "same text must produce the same MinHash signature regardless of doc_id")
   }
 
+  test("containment dedup catches excerpts that jaccard misses") {
+    val out = SparkEntry.queries("dedup_containment")(TestSession.spark, TestSession.sfDir).collect()
+    val pairs = out.map(r => (r.getAs[Long]("id_sub"), r.getAs[Long]("id_super"))).toSet
+    def shingles(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val docs = Tables
+      .documents(TestSession.spark, TestSession.sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      // every synthesized excerpt must be reported as contained in its source
+      assert(pairs.contains((id + 1000000L, id)), s"excerpt pair for doc $id missing")
+      // and jaccard genuinely misses it: prefix-half excerpt has containment
+      // 1.0 but jaccard well under the 0.8 near-dup bar
+      val w = text.toLowerCase.trim.split("\\s+").toSeq
+      val ex = w.take(math.max(w.length / 2, 3)).mkString(" ")
+      val (sDoc, sEx) = (shingles(w.mkString(" ")), shingles(ex))
+      assert(sEx.subsetOf(sDoc), s"doc $id: excerpt shingles not a subset")
+      val jac = sEx.intersect(sDoc).size.toDouble / sEx.union(sDoc).size
+      assert(jac < 0.8, s"doc $id: excerpt jaccard $jac would be caught by the dup bar anyway")
+    }
+    // containment >= jaccard for every reported pair (pure arithmetic law:
+    // dividing by min(|A|,|B|) instead of |A∪B| can only grow the ratio)
+    out.foreach { r =>
+      assert(r.getAs[Double]("containment") >= 0.9 && r.getAs[Double]("containment") <= 1.0)
+    }
+  }
+
   test("jaccard over shingle sets is symmetric and in [0, 1] (pure law)") {
     def shingles(t: String): Set[String] =
       t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
