@@ -192,6 +192,48 @@ object Analytics {
       "GROUP BY 1, 2 ORDER BY cohort_day, \"offset\""
 
   // ------------------------------------------------------------------
+  // win_cumulative_distinct — growth accounting (new vs returning users)
+  // ------------------------------------------------------------------
+
+  /** Cumulative distinct users per event type over days — the growth-
+    * accounting query (daily NEW users + running total of uniques). The
+    * naive formulation (count(DISTINCT user) over an expanding window)
+    * re-scans every prefix; this one is linear: a user counts once, on
+    * their FIRST day — per-(type, user) min(day) partial-aggregates
+    * map-side, the day rollup is |types|×|days| rows, and the running sum
+    * windows over |days|-bounded partitions. At 100 TB the only corpus-
+    * sized exchange is the (type, user) dedup, which any distinct-count
+    * pays.
+    */
+  private def winCumulativeDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(col("event_type"), col("user_id"), to_date(col("etime")).as("day"))
+      .groupBy("event_type", "user_id")
+      .agg(min("day").as("day"))
+      .groupBy("event_type", "day")
+      .agg(nrows.as("n_new"))
+      .withColumn(
+        "cum_distinct",
+        sum(col("n_new")).over(Window.partitionBy("event_type").orderBy("day")),
+      )
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_new"),
+        col("cum_distinct"),
+      )
+      .orderBy("event_type", "day")
+
+  private val winCumulativeDistinctSql =
+    "WITH f AS (SELECT event_type, user_id, min(CAST(ts AS DATE)) AS day " +
+      "FROM events GROUP BY 1, 2), " +
+      "d AS (SELECT event_type, day, count(*) AS n_new FROM f GROUP BY 1, 2) " +
+      "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_new, " +
+      "CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum_distinct " +
+      "FROM d ORDER BY event_type, day"
+
+  // ------------------------------------------------------------------
   // ts_gap_fill — hourly resample with forward fill
   // ------------------------------------------------------------------
 
@@ -566,6 +608,7 @@ object Analytics {
     QueryDef("agg_heavy_hitters", aggHeavyHitters, Some(aggHeavyHittersSql)),
     QueryDef("funnel_conversion", funnelConversion, Some(funnelConversionSql)),
     QueryDef("retention_cohort", retentionCohort, Some(retentionCohortSql)),
+    QueryDef("win_cumulative_distinct", winCumulativeDistinct, Some(winCumulativeDistinctSql)),
     QueryDef("ts_gap_fill", tsGapFill, Some(tsGapFillSql)),
     QueryDef("dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     QueryDef("embed_centroid_dist", embedCentroidDist, Some(embedCentroidDistSql)),

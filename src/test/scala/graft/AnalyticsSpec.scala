@@ -130,4 +130,24 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("m")).toMap
     assert(byDoc(2L) > byDoc(1L), "doc containing the rare token must be more surprising")
   }
+
+  test("win_cumulative_distinct: running totals reconcile with exact distinct counts") {
+    val out = SparkEntry.queries("win_cumulative_distinct")(spark, sfDir).collect()
+    // per type: n_new sums to the final cumulative value, which equals the
+    // exact distinct user count; the cumulative series is strictly increasing
+    val exact = Tables
+      .events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n"))
+      .toMap
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (et, rows) =>
+      val sorted = rows.sortBy(_.getAs[String]("day"))
+      val cums = sorted.map(_.getAs[Long]("cum_distinct"))
+      assert(cums.last == exact(et), s"$et: ${cums.last} != exact ${exact(et)}")
+      assert(sorted.map(_.getAs[Long]("n_new")).sum == exact(et))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a < b }, s"$et not strictly increasing")
+    }
+  }
 }
