@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * static plan (lineage stays bounded); an open-ended fixpoint would add
   * `localCheckpoint` truncation per round exactly like
   * MinHashDedup.clusters.
+  *
+  * The unrolled plan references the edge subplan ~10×, but AQE's runtime
+  * stage reuse collapses every duplicate: measured at sf0.01, the whole
+  * 3-iteration query runs 9 stages and reads exactly |lineitem| + |orders|
+  * input records — one scan each (pinned in GraphSpec).
   */
 object Graph {
 

@@ -53,4 +53,28 @@ class GraphSpec extends SparkSpec {
     val meanCust = cust.values.sum.toDouble / cust.size
     assert(meanSupp > meanCust, s"supplier mean $meanSupp <= customer mean $meanCust")
   }
+
+  test("graph_pagerank reads each base table exactly once despite 3 unrolled iterations") {
+    // the edge subplan is referenced ~10x across iterations; the plan string
+    // shows dozens of scans, but AQE's runtime stage reuse must collapse
+    // them to ONE lineitem + ONE orders read — the property that makes the
+    // unrolled-iteration formulation viable at 100 TB. Pinned on measured
+    // input records, not on plan text.
+    val expected =
+      Tables.lineitem(spark, sfDir).count() + Tables.orders(spark, sfDir).count()
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        acc.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      run().count()
+      var prev = -1L
+      var tries = 0
+      while (acc.get != prev && tries < 50) { prev = acc.get; Thread.sleep(100); tries += 1 }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(acc.get == expected, s"read ${acc.get} records, expected $expected (scan re-execution)")
+  }
 }
