@@ -234,6 +234,48 @@ object Analytics {
       "FROM d ORDER BY event_type, day"
 
   // ------------------------------------------------------------------
+  // win_streak_detection — longest consecutive-day activity streaks
+  // ------------------------------------------------------------------
+
+  /** Longest consecutive-day streak per user (every 5th user, to keep the
+    * declared output focused): the gaps-and-islands identity — day minus
+    * row_number() days is CONSTANT within a consecutive run — turns streak
+    * detection into a plain groupBy on (user, island). All date/integer
+    * arithmetic, no FP anywhere. One user_id shuffle; both windows and both
+    * aggregations reuse it. Day boundaries from the µs-truncated event time
+    * (§1.3) as everywhere.
+    */
+  private def winStreakDetection(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val days = Tables
+      .events(s, dir)
+      .filter(col("user_id") % 5 === 0)
+      .select(col("user_id"), to_date(col("etime")).as("day"))
+      .distinct()
+    days
+      .withColumn("island", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "island")
+      .agg(nrows.as("len"))
+      .groupBy("user_id")
+      .agg(
+        sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        nrows.as("n_streaks"),
+      )
+      .orderBy("user_id")
+  }
+
+  private val winStreakDetectionSql =
+    "WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events " +
+      "WHERE user_id % 5 = 0), " +
+      "isl AS (SELECT user_id, day, day - CAST(row_number() OVER " +
+      "(PARTITION BY user_id ORDER BY day) AS INT) AS island FROM days), " +
+      "runs AS (SELECT user_id, island, count(*) AS len FROM isl GROUP BY 1, 2) " +
+      "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, " +
+      "max(len) AS longest_streak, count(*) AS n_streaks " +
+      "FROM runs GROUP BY 1 ORDER BY user_id"
+
+  // ------------------------------------------------------------------
   // ts_gap_fill — hourly resample with forward fill
   // ------------------------------------------------------------------
 
@@ -609,6 +651,7 @@ object Analytics {
     QueryDef("funnel_conversion", funnelConversion, Some(funnelConversionSql)),
     QueryDef("retention_cohort", retentionCohort, Some(retentionCohortSql)),
     QueryDef("win_cumulative_distinct", winCumulativeDistinct, Some(winCumulativeDistinctSql)),
+    QueryDef("win_streak_detection", winStreakDetection, Some(winStreakDetectionSql)),
     QueryDef("ts_gap_fill", tsGapFill, Some(tsGapFillSql)),
     QueryDef("dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     QueryDef("embed_centroid_dist", embedCentroidDist, Some(embedCentroidDistSql)),

@@ -204,10 +204,42 @@ object Mixes {
       "CAST(row_number() OVER (ORDER BY clock, doc_id) AS BIGINT) AS rn " +
       "FROM c ORDER BY clock, doc_id LIMIT 20"
 
+  // --------------------------------------------------- sample_reservoir_group
+
+  /** Per-stratum fixed-size sample: the k = 4 docs with the smallest
+    * md5-derived priority WITHIN EACH LANGUAGE — the deterministic
+    * equivalent of a per-group reservoir. Like sample_weighted this is a
+    * mergeable bottom-k sketch, but per stratum: shard samples union and
+    * re-rank without rescanning, and re-running on a grown corpus only
+    * swaps a doc out when a smaller priority arrives (no global reshuffle
+    * of the sample). One (lang)-partitioned window; priorities are integer,
+    * no FP anywhere.
+    */
+  private def sampleReservoirGroup(s: SparkSession, dir: String): DataFrame = {
+    val prio =
+      conv(substring(md5(concat(lit("rg#"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+        .cast("long")
+    val w = Window.partitionBy("lang").orderBy(col("prio"), col("doc_id"))
+    Tables
+      .documents(s, dir)
+      .select(col("lang"), col("doc_id"), prio.as("prio"))
+      .withColumn("rn", asLong(row_number().over(w)))
+      .filter(col("rn") <= 4)
+      .orderBy("lang", "rn")
+  }
+
+  private val sampleReservoirGroupSql =
+    "WITH p AS (SELECT lang, doc_id, " +
+      "('0x' || substr(md5('rg#' || doc_id), 1, 13))::BIGINT AS prio FROM documents) " +
+      "SELECT lang, doc_id, prio, " +
+      "CAST(row_number() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS BIGINT) AS rn " +
+      "FROM p QUALIFY rn <= 4 ORDER BY lang, rn"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
     QueryDef("embed_quantize_int8", embedQuantizeInt8, Some(embedQuantizeInt8Sql)),
     QueryDef("sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
+    QueryDef("sample_reservoir_group", sampleReservoirGroup, Some(sampleReservoirGroupSql)),
   )
 }

@@ -150,4 +150,37 @@ class AnalyticsSpec extends SparkSpec {
       assert(cums.zip(cums.tail).forall { case (a, b) => a < b }, s"$et not strictly increasing")
     }
   }
+
+  test("win_streak_detection: exact match vs in-memory gaps-and-islands recompute") {
+    val got = SparkEntry
+      .queries("win_streak_detection")(spark, sfDir)
+      .collect()
+      .map(r =>
+        r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_active_days"), r.getAs[Long]("longest_streak"), r.getAs[Long]("n_streaks")))
+      )
+      .toMap
+    val days = Tables
+      .events(spark, sfDir)
+      .filter(col("user_id") % 5 === 0)
+      .select(col("user_id"), to_date(col("etime")).as("day"))
+      .distinct()
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toLocalDate))
+    val byUser = days.groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val ds = rows.map(_._2).sortBy(_.toEpochDay)
+      val streaks = scala.collection.mutable.ListBuffer[Long]()
+      var cur = 0L
+      var prev: java.time.LocalDate = null
+      ds.foreach { d =>
+        if (prev != null && prev.plusDays(1) == d) cur += 1
+        else { if (cur > 0) streaks += cur; cur = 1 }
+        prev = d
+      }
+      streaks += cur
+      assert(got(u) == ((ds.length.toLong, streaks.max, streaks.length.toLong)), s"user $u")
+    }
+  }
 }

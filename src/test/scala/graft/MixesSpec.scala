@@ -116,4 +116,43 @@ class MixesSpec extends SparkSpec {
       shardA.unionByName(shardB).orderBy(col("clock"), col("doc_id")).limit(20).collect().map(_.getLong(0)).toSeq
     assert(merged == whole, "bottom-k sketch must merge losslessly across shards")
   }
+
+  test("sample_reservoir_group: per-stratum size law and shard-merge law") {
+    val out = run("sample_reservoir_group").collect()
+    val langSizes = Tables
+      .documents(spark, sfDir)
+      .groupBy("lang")
+      .count()
+      .collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count"))
+      .toMap
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == langSizes.keySet)
+    byLang.foreach { case (l, rows) =>
+      assert(rows.length == math.min(4L, langSizes(l)), s"lang $l sample size")
+      assert(rows.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to rows.length))
+    }
+    // shard-merge: per-shard bottom-4-per-lang, unioned and re-ranked, must
+    // reproduce the whole-corpus sample exactly
+    val docs = Tables.documents(spark, sfDir)
+    val prio = conv(substring(md5(concat(lit("rg#"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("prio"), col("doc_id"))
+    def bottom4(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), col("doc_id"), prio.as("prio"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4)
+        .drop("rn")
+    val whole2 = bottom4(docs).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val merged2 = bottom4(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(bottom4(docs.filter(col("doc_id") % 2 =!= 0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(merged2 == whole2, "per-stratum bottom-k must merge losslessly across shards")
+  }
 }
