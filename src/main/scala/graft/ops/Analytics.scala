@@ -234,6 +234,44 @@ object Analytics {
       "FROM d ORDER BY event_type, day"
 
   // ------------------------------------------------------------------
+  // ts_period_over_period — day-over-day volume change
+  // ------------------------------------------------------------------
+
+  /** Day-over-day event-volume change per type: count, previous day's
+    * count, and the % change — the standard period-over-period report.
+    * Counts are exact integers, so the one ratio is a double division of
+    * identical operands on both engines; the first day's change is NULL by
+    * definition (lag over an empty frame), exercising nullable declared
+    * output. The window runs over |days|-bounded partitions keyed by
+    * event_type — the same exchange the count aggregate already made.
+    */
+  private def tsPeriodOverPeriod(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), to_date(col("etime")).as("day"))
+      .agg(nrows.as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        col("prev_n"),
+        round((col("n") - col("prev_n")).cast("double") / col("prev_n"), 4).as("pct_change"),
+      )
+      .orderBy("event_type", "day")
+  }
+
+  private val tsPeriodOverPeriodSql =
+    "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+      "FROM events GROUP BY 1, 2), " +
+      "l AS (SELECT event_type, day, n, " +
+      "lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n FROM d) " +
+      "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, prev_n, " +
+      "round(CAST(n - prev_n AS DOUBLE) / prev_n, 4) AS pct_change " +
+      "FROM l ORDER BY event_type, day"
+
+  // ------------------------------------------------------------------
   // win_streak_detection — longest consecutive-day activity streaks
   // ------------------------------------------------------------------
 
@@ -652,6 +690,7 @@ object Analytics {
     QueryDef("retention_cohort", retentionCohort, Some(retentionCohortSql)),
     QueryDef("win_cumulative_distinct", winCumulativeDistinct, Some(winCumulativeDistinctSql)),
     QueryDef("win_streak_detection", winStreakDetection, Some(winStreakDetectionSql)),
+    QueryDef("ts_period_over_period", tsPeriodOverPeriod, Some(tsPeriodOverPeriodSql)),
     QueryDef("ts_gap_fill", tsGapFill, Some(tsGapFillSql)),
     QueryDef("dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     QueryDef("embed_centroid_dist", embedCentroidDist, Some(embedCentroidDistSql)),

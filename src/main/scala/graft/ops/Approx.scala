@@ -46,13 +46,56 @@ object Approx {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
   }
 
+  /** EXACT distinct counting via bitmap words — the third point on the
+    * distinct-count design spectrum next to `agg_approx_distinct` (HLL,
+    * rows-only) and `agg_distinct_count` (Expand-based exact): when the id
+    * domain is dense integers, a bitmap is both EXACT and MERGEABLE. Each
+    * user sets bit (user_id mod 63) of word (user_id div 63); `bit_or`
+    * partial-aggregates map-side, so the exchange carries at most
+    * |domain|/63 words per group no matter the event count, and per-shard
+    * bitmaps OR together losslessly (the law ApproxSpec pins). bit_count
+    * over the words recovers the exact distinct count; bit_xor doubles as
+    * an order-free bitmap fingerprint. Unlike the HLL sketch this is plain
+    * integer arithmetic, so the whole path is oracle-checked.
+    */
+  private def aggBitmapDistinct(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        // 63-bit words: DuckDB range-checks a shift into the sign bit
+        // (1::BIGINT << 63 errors), so bit positions stay in 0..62
+        expr("user_id div 63").as("w_idx"),
+        expr("shiftleft(cast(1 as bigint), cast(user_id % 63 as int))").as("bit"),
+      )
+      .groupBy("event_type", "w_idx")
+      .agg(expr("bit_or(bit)").as("word"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(bit_count(col("word")).cast("long")).as("distinct_users"),
+        expr("bit_xor(word)").as("bitmap_xor"),
+      )
+      .orderBy("event_type")
+
+  private val aggBitmapDistinctSql =
+    "WITH b AS (SELECT event_type, user_id // 63 AS w_idx, " +
+      "(1::BIGINT << CAST(user_id % 63 AS INT)) AS bit FROM events), " +
+      "w AS (SELECT event_type, w_idx, bit_or(bit) AS word FROM b GROUP BY 1, 2) " +
+      "SELECT event_type, count(*) AS n_words, " +
+      "CAST(sum(bit_count(word)) AS BIGINT) AS distinct_users, bit_xor(word) AS bitmap_xor " +
+      "FROM w GROUP BY 1 ORDER BY event_type"
+
   /** Declared rows-only (no oracle can exist: DuckDB has no matching HLL/GK
     * implementations, and sketch values are engine-specific). Both entries
     * are deterministic — HLL register merges are max-based and therefore
     * order-independent — and ApproxSpec separately asserts tolerance vs the
     * exact answers, which the approx_distinct output also carries inline.
+    * `agg_bitmap_distinct` is the exception: exact integer arithmetic end
+    * to end, fully oracle-declared.
     */
   val entries: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef("agg_bitmap_distinct", aggBitmapDistinct, Some(aggBitmapDistinctSql)),
     graft.QueryDef(
       "agg_approx_distinct",
       (s, dir) => approxDistinctUsers(graft.Tables.events(s, dir)).orderBy("event_type"),

@@ -183,4 +183,22 @@ class AnalyticsSpec extends SparkSpec {
       assert(got(u) == ((ds.length.toLong, streaks.max, streaks.length.toLong)), s"user $u")
     }
   }
+
+  test("ts_period_over_period: lag chain is consistent and pct_change recomputes") {
+    val out = SparkEntry.queries("ts_period_over_period")(spark, sfDir).collect()
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (et, rows) =>
+      val sorted = rows.sortBy(_.getAs[String]("day"))
+      // first row has no predecessor; every later prev_n is the prior n
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("prev_n")), s"$et first prev_n")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("prev_n") == a.getAs[Long]("n"), s"$et lag chain broken")
+          val want = BigDecimal((b.getAs[Long]("n") - a.getAs[Long]("n")).toDouble / a.getAs[Long]("n"))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+          assert(math.abs(b.getAs[Double]("pct_change") - want) < 1e-9, s"$et pct recompute")
+        case _ =>
+      }
+    }
+  }
 }

@@ -48,4 +48,40 @@ class ApproxSpec extends SparkSpec {
       .orderBy("o_orderkey").collect()
     assert(salted.sameElements(plain))
   }
+
+  test("bitmap distinct is exact and bitmaps merge losslessly across shards") {
+    val events = Tables.events(spark, sfDir)
+    val exact = events
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n"))
+      .toMap
+    val got = SparkEntry
+      .queries("agg_bitmap_distinct")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("distinct_users"))
+      .toMap
+    assert(got == exact, "bitmap count must equal exact countDistinct")
+
+    // merge law: per-shard word frames OR together into the whole answer
+    def words(df: org.apache.spark.sql.DataFrame) = df
+      .select(
+        col("event_type"),
+        expr("user_id div 63").as("w_idx"),
+        expr("shiftleft(cast(1 as bigint), cast(user_id % 63 as int))").as("bit"),
+      )
+      .groupBy("event_type", "w_idx")
+      .agg(expr("bit_or(bit)").as("word"))
+    val merged = words(events.filter(col("event_id") % 2 === 0))
+      .unionByName(words(events.filter(col("event_id") % 2 =!= 0)))
+      .groupBy("event_type", "w_idx")
+      .agg(expr("bit_or(word)").as("word"))
+      .groupBy("event_type")
+      .agg(sum(bit_count(col("word")).cast("long")).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n"))
+      .toMap
+    assert(merged == exact, "sharded bitmaps must OR into the exact whole-corpus answer")
+  }
 }
