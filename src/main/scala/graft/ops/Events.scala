@@ -310,6 +310,86 @@ object Events {
       "FROM w LEFT JOIN e ON e.us >= w.lo_us AND e.us < w.lo_us + w.dur_us " +
       "GROUP BY 1, 2 ORDER BY 1"
 
+  /** Max concurrent sessions per day at MINUTE grain — the capacity-planning
+    * question ("how many users are on at once") asked of the same 5-min
+    * sessions the rest of the catalog uses. A sweep-line over session
+    * boundaries needs one global sort; the minute-grid formulation shards
+    * freely instead: each session explodes to the minutes it touches
+    * (span-bounded, the ts_gap_fill argument), the per-minute count
+    * partial-aggregates map-side, and the daily max runs over ≤1440 rows
+    * per day. A user's two sessions can never share a minute (the gap is
+    * ≥ 5 min), so count(*) per minute IS concurrent users. All integer
+    * arithmetic + date strings.
+    */
+  private def tsMaxConcurrency(s: SparkSession, dir: String): DataFrame =
+    sessionizeLag(Tables.events(s, dir))
+      .groupBy("user_id", "session_idx")
+      .agg(min("etime").as("t0"), max("etime").as("t1"))
+      .select(
+        col("user_id"),
+        explode(
+          sequence(
+            date_trunc("minute", col("t0")),
+            date_trunc("minute", col("t1")),
+            expr("interval 1 minute"),
+          )
+        ).as("minute"),
+      )
+      .groupBy("minute")
+      .agg(nrows.as("c"))
+      .groupBy(date_format(col("minute"), "yyyy-MM-dd").as("day"))
+      .agg(max(col("c")).as("max_concurrent"), nrows.as("n_active_minutes"))
+      .orderBy("day")
+
+  private val tsMaxConcurrencySql =
+    ", s AS (SELECT user_id, sid, min(t) AS t0, max(t) AS t1 FROM g GROUP BY 1, 2), " +
+      "m AS (SELECT user_id, unnest(generate_series(date_trunc('minute', t0), " +
+      "date_trunc('minute', t1), INTERVAL 1 MINUTE)) AS minute FROM s), " +
+      "c AS (SELECT minute, count(*) AS c FROM m GROUP BY 1) " +
+      "SELECT strftime(minute, '%Y-%m-%d') AS day, max(c) AS max_concurrent, " +
+      "count(*) AS n_active_minutes FROM c GROUP BY 1 ORDER BY day"
+
+  /** Last-touch marketing attribution: each purchase is credited to the
+    * user's most recent prior view/click within 7 days (ties on timestamp
+    * break on event_id, both engines), purchases with no such touch go to
+    * the 'direct' bucket. Built on the same user-keyed range-join shape as
+    * join_asof — candidates are bounded per user, never a time
+    * cross-product — then one WindowGroupLimit-prunable rank and a
+    * |channels|-row aggregate. Purchase values sum through exact DECIMAL.
+    */
+  private def attributionLastTouch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("etime")).as("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("value").as("pval"), col("us").as("pus"))
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("tid"), col("user_id"), col("event_type").as("channel"), col("us").as("tus"))
+    val w = Window.partitionBy("pid").orderBy(col("tus").desc, col("tid").desc)
+    val attributed = p
+      .join(t, Seq("user_id"))
+      .filter(col("tus") <= col("pus") && col("tus") > col("pus") - lit(7L * 86400L * 1000000L))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("pid"), col("pval"), col("channel"))
+    attributed
+      .unionByName(
+        p.as("p")
+          .join(
+            t.as("t"),
+            col("t.user_id") === col("p.user_id") &&
+              col("t.tus") <= col("p.pus") &&
+              col("t.tus") > col("p.pus") - lit(7L * 86400L * 1000000L),
+            "left_anti",
+          )
+          .select(col("pid"), col("pval"), lit("direct").as("channel"))
+      )
+      .groupBy("channel")
+      .agg(nrows.as("n_purchases"), round(dsum(col("pval"), 2), 4).as("attributed_value"))
+      .orderBy("channel")
+  }
+
   // ------------------------------------------------------------- catalog
 
   /** ONE gaps-and-islands CTE chain (5-min gap, µs-LONG gap tests per
@@ -329,7 +409,28 @@ object Events {
       "g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f) "
 
+  private val attributionLastTouchSql =
+    "WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS us FROM events), " +
+      "p AS (SELECT event_id AS pid, user_id, value AS pval, us AS pus FROM e WHERE event_type = 'purchase'), " +
+      "t AS (SELECT event_id AS tid, user_id, event_type AS channel, us AS tus FROM e " +
+      "WHERE event_type IN ('view', 'click')), " +
+      "cand AS (SELECT pid, pval, channel, row_number() OVER " +
+      "(PARTITION BY pid ORDER BY tus DESC, tid DESC) AS rn " +
+      "FROM p JOIN t USING (user_id) WHERE tus <= pus AND tus > pus - 604800000000), " +
+      "att AS (SELECT pid, pval, channel FROM cand WHERE rn = 1 " +
+      "UNION ALL SELECT pid, pval, 'direct' FROM p WHERE NOT EXISTS " +
+      "(SELECT 1 FROM t WHERE t.user_id = p.user_id AND t.tus <= p.pus AND t.tus > p.pus - 604800000000)) " +
+      "SELECT channel, count(*) AS n_purchases, " +
+      "round(CAST(sum(CAST(pval AS DECIMAL(28,2))) AS DOUBLE), 4) AS attributed_value " +
+      "FROM att GROUP BY 1 ORDER BY channel"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ts_max_concurrency",
+      tsMaxConcurrency,
+      Some(sessionCtePrefixSql + tsMaxConcurrencySql),
+    ),
+    QueryDef("attribution_last_touch", attributionLastTouch, Some(attributionLastTouchSql)),
     QueryDef(
       "sessionize_lag",
       sessionizeLagQ,

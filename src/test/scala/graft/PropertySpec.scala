@@ -158,6 +158,55 @@ class PropertySpec extends SparkSpec {
       "same text must produce the same MinHash signature regardless of doc_id")
   }
 
+  test("ts_max_concurrency: exact match vs in-memory minute-grid recompute") {
+    val sessions = Events
+      .sessionizeLag(Tables.events(spark, sfDir))
+      .groupBy("user_id", "session_idx")
+      .agg(min("etime").as("t0"), max("etime").as("t1"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("t0").getTime, r.getAs[java.sql.Timestamp]("t1").getTime))
+    val perMinute = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    sessions.foreach { case (t0, t1) =>
+      ((t0 / 60000L) to (t1 / 60000L)).foreach(m => perMinute(m) += 1)
+    }
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(java.time.ZoneOffset.UTC)
+    val expected = perMinute.toSeq
+      .groupBy { case (m, _) => fmt.format(java.time.Instant.ofEpochMilli(m * 60000L)) }
+      .map { case (day, ms) => day -> ((ms.map(_._2).max, ms.length.toLong)) }
+    val got = SparkEntry
+      .queries("ts_max_concurrency")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("day") -> ((r.getAs[Long]("max_concurrent"), r.getAs[Long]("n_active_minutes"))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("attribution_last_touch: buckets partition purchases; recompute matches exactly") {
+    val evs = Tables
+      .events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("etime")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    val purchases = evs.filter(_._3 == "purchase")
+    val touches = evs.filter(e => e._3 == "view" || e._3 == "click")
+    val window7d = 7L * 86400L * 1000000L
+    val byChannel = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    purchases.foreach { case (pid, uid, _, _, pus) =>
+      val cands = touches.filter(t => t._2 == uid && t._5 <= pus && t._5 > pus - window7d)
+      val ch = if (cands.isEmpty) "direct"
+      else cands.maxBy(t => (t._5, t._1))._3
+      byChannel(ch) += 1
+    }
+    val got = SparkEntry
+      .queries("attribution_last_touch")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Long]("n_purchases"))
+      .toMap
+    assert(got == byChannel.toMap, s"got $got want $byChannel")
+    assert(got.values.sum == purchases.length.toLong, "buckets must partition purchases")
+  }
+
   test("containment dedup catches excerpts that jaccard misses") {
     val out = SparkEntry.queries("dedup_containment")(TestSession.spark, TestSession.sfDir).collect()
     val pairs = out.map(r => (r.getAs[Long]("id_sub"), r.getAs[Long]("id_super"))).toSet
