@@ -557,6 +557,76 @@ object Analytics {
       "FROM j ORDER BY vec_id"
 
   // ------------------------------------------------------------------
+  // embed_top_component — dominant direction via power iteration
+  // ------------------------------------------------------------------
+
+  /** The corpus's dominant embedding direction (top eigenvector of the
+    * uncentered Gram matrix) by THREE power iterations — the "common
+    * direction" that anisotropy-removal pipelines subtract after the
+    * per-label centering of embed_mean_center. Numerical linear algebra as
+    * a relational plan: one iteration is two joins (dims⋈v on pos → per-doc
+    * dot; dims⋈dots on vec_id → per-dim sum), both partial-aggregable.
+    *
+    * Determinism is the PageRank discipline applied to linear algebra:
+    * components live on integer grids (x ⇒ round(x·1e6); v normalized to
+    * max |v_i| = 1000 each round by floor division), per-doc dots are
+    * BIGINT folds (≤ 64·1e6·1e3 = 6.4e10), per-dim sums route through
+    * DECIMAL(38)/HUGEINT (products ≤ 6.4e16, corpus sums overflow int64 —
+    * exact in both engines' wide types), and the one double division per
+    * round divides identical exact values. No sqrt, no norm — max-abs
+    * rescaling replaces L2 normalization precisely to avoid the
+    * transcendental. Sign is fixed by the deterministic all-positive v0.
+    *
+    * Three rounds are the declared demonstrator: this synthetic corpus is
+    * near-isotropic (λ2/λ1 ≈ 0.93), so full eigenvector ALIGNMENT needs
+    * ~50 rounds — what three rounds owe us, and what AnalyticsSpec pins,
+    * is monotone Rayleigh-quotient ascent plus bit-equality with the
+    * integer reference. A production run would unroll to a gap-dependent
+    * depth; AQE stage reuse keeps the scan count at one regardless (the
+    * graph_pagerank measurement).
+    */
+  private def embedTopComponent(s: SparkSession, dir: String): DataFrame = {
+    val dims = embedVecs(s, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), round(col("x") * 1e6, 0).cast("long").as("x6"))
+    var v = dims.select("pos").distinct().select(col("pos"), lit(1000L).as("vv"))
+    for (_ <- 1 to 3) {
+      val dots = dims
+        .join(broadcast(v), "pos")
+        .groupBy("vec_id")
+        .agg(sum(col("x6") * col("vv")).as("dot"))
+      val m = dims
+        .join(dots, "vec_id")
+        .groupBy("pos")
+        .agg(sum((col("x6") * col("dot")).cast(DecimalType(38, 0))).as("m"))
+      val sMax = m.agg(max(abs(col("m"))).as("s"))
+      v = m
+        .crossJoin(broadcast(sMax))
+        .select(
+          col("pos"),
+          floor(col("m").cast("double") / col("s").cast("double") * 1000).cast("long").as("vv"),
+        )
+    }
+    v.select(col("pos").cast("long").as("pos"), col("vv")).orderBy("pos")
+  }
+
+  private val embedTopComponentSql = {
+    def iter(prevV: String, n: Int): String =
+      s"d$n AS (SELECT vec_id, sum(x6 * vv) AS dot FROM dims JOIN $prevV USING (pos) GROUP BY 1), " +
+        s"m$n AS (SELECT pos, sum(x6 * dot) AS m FROM dims JOIN d$n USING (vec_id) GROUP BY 1), " +
+        s"s$n AS (SELECT max(abs(m)) AS s FROM m$n), " +
+        s"v$n AS (SELECT pos, CAST(floor(CAST(m AS DOUBLE) / CAST(s AS DOUBLE) * 1000) AS BIGINT) AS vv FROM m$n, s$n)"
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      // Spark's posexplode is 0-based, DuckDB lambdas 1-based: align on 0-based
+      "dims AS (SELECT vec_id, u.pos - 1 AS pos, u.x6 AS x6 FROM " +
+      "(SELECT vec_id, unnest(list_transform(v, (x, i) -> " +
+      "{'pos': i, 'x6': CAST(round(x * 1e6, 0) AS BIGINT)})) AS u FROM e) q), " +
+      "v0 AS (SELECT DISTINCT pos, 1000::BIGINT AS vv FROM dims), " +
+      iter("v0", 1) + ", " + iter("v1", 2) + ", " + iter("v2", 3) + " " +
+      "SELECT CAST(pos AS BIGINT) AS pos, vv FROM v3 ORDER BY pos"
+  }
+
+  // ------------------------------------------------------------------
   // text_unigram_surprisal — LM-style per-doc surprisal scoring
   // ------------------------------------------------------------------
 
@@ -757,6 +827,7 @@ object Analytics {
     QueryDef("dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     QueryDef("embed_centroid_dist", embedCentroidDist, Some(embedCentroidDistSql)),
     QueryDef("embed_mean_center", embedMeanCenter, Some(embedMeanCenterSql)),
+    QueryDef("embed_top_component", embedTopComponent, Some(embedTopComponentSql)),
     QueryDef("text_unigram_surprisal", textUnigramSurprisal, Some(textUnigramSurprisalSql)),
     QueryDef("agg_quantile_binned", aggQuantileBinned, Some(aggQuantileBinnedSql)),
     QueryDef("anomaly_daily_volume", anomalyDailyVolume, Some(anomalyDailyVolumeSql)),

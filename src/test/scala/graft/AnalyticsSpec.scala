@@ -210,6 +210,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(avgCent <= avgOrig, s"centered avg norm $avgCent > original $avgOrig")
   }
 
+  test("embed_top_component: bit-equal to in-memory recompute and aligned with the converged eigenvector") {
+    val vecs = Tables
+      .embeddings(spark, sfDir)
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = vecs.head.length
+    val x6 = vecs.map(_.map(x => math.round(x * 1e6)))
+
+    // exact integer recompute of the declared 3-iteration path
+    var v = Array.fill(dim)(1000L)
+    for (_ <- 1 to 3) {
+      val dots = x6.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      val m = Array.fill(dim)(BigInt(0))
+      x6.zip(dots).foreach { case (row, d) =>
+        (0 until dim).foreach(i => m(i) += BigInt(row(i)) * BigInt(d))
+      }
+      val sMax = m.map(_.abs).max
+      v = m.map(mi => math.floor(mi.toDouble / sMax.toDouble * 1000).toLong)
+    }
+    val got = SparkEntry
+      .queries("embed_top_component")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("pos") -> r.getAs[Long]("vv"))
+      .toMap
+    (0 until dim).foreach(i => assert(got(i.toLong) == v(i), s"dim $i: ${got(i.toLong)} != ${v(i)}"))
+
+    // convergence law: the Rayleigh quotient v'Gv/v'v must increase every
+    // round — power iteration's guarantee regardless of the eigengap (this
+    // synthetic corpus is near-isotropic, lambda2/lambda1 ~ 0.93, so full
+    // ALIGNMENT needs ~50 rounds; monotone ascent is what 3 rounds owe us)
+    def rayleigh(u: Array[Double]): Double = {
+      val dots = vecs.map(row => row.zip(u).map { case (a, b) => a * b }.sum)
+      dots.map(d => d * d).sum / u.map(x => x * x).sum
+    }
+    var rv = Array.fill(dim)(1000.0)
+    var lastRq = rayleigh(rv)
+    for (_ <- 1 to 3) {
+      val dots = vecs.map(row => row.zip(rv).map { case (a, b) => a * b }.sum)
+      val m = Array.fill(dim)(0.0)
+      vecs.zip(dots).foreach { case (row, d) => (0 until dim).foreach(i => m(i) += row(i) * d) }
+      val sMax = m.map(math.abs).max
+      rv = m.map(_ / sMax * 1000.0)
+      val rq = rayleigh(rv)
+      assert(rq >= lastRq - 1e-9, s"Rayleigh quotient decreased: $rq < $lastRq")
+      lastRq = rq
+    }
+    // and the declared integer iterate tracks the double iterate closely
+    val gv = (0 until dim).map(i => got(i.toLong).toDouble).toArray
+    val cos = gv.zip(rv).map { case (a, b) => a * b }.sum /
+      (math.sqrt(gv.map(x => x * x).sum) * math.sqrt(rv.map(x => x * x).sum))
+    assert(cos > 0.999, s"integer iterate drifted from double iterate: cos=$cos")
+  }
+
   test("ts_period_over_period: lag chain is consistent and pct_change recomputes") {
     val out = SparkEntry.queries("ts_period_over_period")(spark, sfDir).collect()
     out.groupBy(_.getAs[String]("event_type")).foreach { case (et, rows) =>
