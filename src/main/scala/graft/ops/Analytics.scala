@@ -192,6 +192,47 @@ object Analytics {
       "GROUP BY 1, 2 ORDER BY cohort_day, \"offset\""
 
   // ------------------------------------------------------------------
+  // agg_mode_exact — deterministic per-group mode
+  // ------------------------------------------------------------------
+
+  /** Exact mode (most frequent value) of l_linestatus per returnflag, with
+    * a DETERMINISTIC tie-break (count desc, then value asc) — built-in
+    * `mode()` leaves ties engine-defined in both Spark and DuckDB, so the
+    * portable formulation is count + rank, which also exposes the margin
+    * (mode share). Two-level agg: the (flag, status) count partial-combines
+    * map-side; the rank window runs over ≤|distinct statuses| rows per
+    * flag.
+    */
+  private def aggModeExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy(col("n").desc, col("l_linestatus"))
+    val wt = Window.partitionBy("l_returnflag")
+    Tables
+      .lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(nrows.as("n"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_total", sum(col("n")).over(wt))
+      .filter(col("rn") === 1)
+      .select(
+        col("l_returnflag"),
+        col("l_linestatus").as("mode_status"),
+        col("n").as("n_mode"),
+        col("n_total"),
+        round(col("n").cast("double") / col("n_total"), 4).as("mode_share"),
+      )
+      .orderBy("l_returnflag")
+  }
+
+  private val aggModeExactSql =
+    "WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2), " +
+      "r AS (SELECT l_returnflag, l_linestatus, n, " +
+      "row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_linestatus) AS rn, " +
+      "CAST(sum(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_total FROM c) " +
+      "SELECT l_returnflag, l_linestatus AS mode_status, n AS n_mode, n_total, " +
+      "round(CAST(n AS DOUBLE) / n_total, 4) AS mode_share " +
+      "FROM r WHERE rn = 1 ORDER BY l_returnflag"
+
+  // ------------------------------------------------------------------
   // win_cumulative_distinct — growth accounting (new vs returning users)
   // ------------------------------------------------------------------
 
@@ -828,6 +869,7 @@ object Analytics {
     QueryDef("embed_centroid_dist", embedCentroidDist, Some(embedCentroidDistSql)),
     QueryDef("embed_mean_center", embedMeanCenter, Some(embedMeanCenterSql)),
     QueryDef("embed_top_component", embedTopComponent, Some(embedTopComponentSql)),
+    QueryDef("agg_mode_exact", aggModeExact, Some(aggModeExactSql)),
     QueryDef("text_unigram_surprisal", textUnigramSurprisal, Some(textUnigramSurprisalSql)),
     QueryDef("agg_quantile_binned", aggQuantileBinned, Some(aggQuantileBinnedSql)),
     QueryDef("anomaly_daily_volume", anomalyDailyVolume, Some(anomalyDailyVolumeSql)),

@@ -264,6 +264,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(cos > 0.999, s"integer iterate drifted from double iterate: cos=$cos")
   }
 
+  test("agg_mode_exact: the reported mode really is the argmax of the group") {
+    val counts = Tables
+      .lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = counts
+      .groupBy(_._1)
+      .map { case (f, rows) =>
+        val best = rows.minBy(r => (-r._3, r._2)) // count desc, value asc
+        f -> ((best._2, best._3, rows.map(_._3).sum))
+      }
+    val got = SparkEntry.queries("agg_mode_exact")(spark, sfDir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (st, n, tot) = want(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[String]("mode_status") == st)
+      assert(r.getAs[Long]("n_mode") == n && r.getAs[Long]("n_total") == tot)
+    }
+  }
+
   test("ts_period_over_period: lag chain is consistent and pct_change recomputes") {
     val out = SparkEntry.queries("ts_period_over_period")(spark, sfDir).collect()
     out.groupBy(_.getAs[String]("event_type")).foreach { case (et, rows) =>
