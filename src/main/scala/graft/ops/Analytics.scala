@@ -192,6 +192,78 @@ object Analytics {
       "GROUP BY 1, 2 ORDER BY cohort_day, \"offset\""
 
   // ------------------------------------------------------------------
+  // win_moving_avg_centered — centered rows-frame smoothing
+  // ------------------------------------------------------------------
+
+  /** Centered 7-point moving average of daily event counts per type — the
+    * smoothing primitive, and the one window-frame shape the catalog didn't
+    * yet demonstrate (rowsBetween with both PRECEDING and FOLLOWING;
+    * running sums use unbounded-preceding, win_range_interval uses a range
+    * frame). Counts are exact integers, so the frame average is an exact
+    * integer sum divided by the frame row count — deterministic without
+    * decimal routing. Edge days simply average a narrower frame (standard
+    * centered-MA semantics).
+    */
+  private def winMovingAvgCentered(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), to_date(col("etime")).as("day"))
+      .agg(nrows.as("n"))
+      .withColumn("ma7", round(sum(col("n")).over(w).cast("double") / count(col("n")).over(w), 4))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        col("ma7"),
+      )
+      .orderBy("event_type", "day")
+  }
+
+  private val winMovingAvgCenteredSql =
+    "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+      "FROM events GROUP BY 1, 2) " +
+      "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, " +
+      "round(CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w, 4) AS ma7 " +
+      "FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day " +
+      "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) ORDER BY event_type, day"
+
+  // ------------------------------------------------------------------
+  // fn_to_json — row serialization surface
+  // ------------------------------------------------------------------
+
+  /** Struct→JSON serialization (the sink-side counterpart of fn_json's
+    * parsing): both engines emit compact `{"k":v}` text, byte-identical for
+    * string/integer fields — doubles are deliberately EXCLUDED from the
+    * struct (engines' shortest-roundtrip float printing diverges on
+    * exponent-form values; the catalog rule for serializing money is
+    * integer cents, cdc_apply's idiom). The md5 doubles the whole-text
+    * check.
+    */
+  private def fnToJson(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        to_json(
+          struct(
+            col("o_orderkey").as("k"),
+            col("o_orderstatus").as("s"),
+            col("o_orderpriority").as("p"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          )
+        ).as("js"),
+      )
+      .select(col("o_orderkey"), col("js"), md5(col("js")).as("js_md5"))
+      .orderBy("o_orderkey")
+
+  private val fnToJsonSql =
+    "WITH j AS (SELECT o_orderkey, to_json(struct_pack(k := o_orderkey, s := o_orderstatus, " +
+      "p := o_orderpriority, cents := CAST(round(o_totalprice * 100, 0) AS BIGINT))) AS js " +
+      "FROM orders) " +
+      "SELECT o_orderkey, js, md5(js) AS js_md5 FROM j ORDER BY o_orderkey"
+
+  // ------------------------------------------------------------------
   // agg_mode_exact — deterministic per-group mode
   // ------------------------------------------------------------------
 
@@ -870,6 +942,8 @@ object Analytics {
     QueryDef("embed_mean_center", embedMeanCenter, Some(embedMeanCenterSql)),
     QueryDef("embed_top_component", embedTopComponent, Some(embedTopComponentSql)),
     QueryDef("agg_mode_exact", aggModeExact, Some(aggModeExactSql)),
+    QueryDef("win_moving_avg_centered", winMovingAvgCentered, Some(winMovingAvgCenteredSql)),
+    QueryDef("fn_to_json", fnToJson, Some(fnToJsonSql)),
     QueryDef("text_unigram_surprisal", textUnigramSurprisal, Some(textUnigramSurprisalSql)),
     QueryDef("agg_quantile_binned", aggQuantileBinned, Some(aggQuantileBinnedSql)),
     QueryDef("anomaly_daily_volume", anomalyDailyVolume, Some(anomalyDailyVolumeSql)),

@@ -264,6 +264,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(cos > 0.999, s"integer iterate drifted from double iterate: cos=$cos")
   }
 
+  test("win_moving_avg_centered: frame averages recompute exactly, edges use narrower frames") {
+    val out = SparkEntry.queries("win_moving_avg_centered")(spark, sfDir).collect()
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (et, rows) =>
+      val sorted = rows.sortBy(_.getAs[String]("day"))
+      val ns = sorted.map(_.getAs[Long]("n"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val lo = math.max(0, i - 3)
+        val hi = math.min(ns.length - 1, i + 3)
+        val want = BigDecimal(ns.slice(lo, hi + 1).sum.toDouble / (hi - lo + 1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+        assert(math.abs(r.getAs[Double]("ma7") - want) < 1e-9, s"$et day ${r.getAs[String]("day")}")
+      }
+    }
+  }
+
   test("agg_mode_exact: the reported mode really is the argmax of the group") {
     val counts = Tables
       .lineitem(spark, sfDir)
