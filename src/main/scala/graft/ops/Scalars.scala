@@ -178,9 +178,60 @@ object Scalars {
       .orderBy("doc_id")
   }
 
+  /** try_cast over synthesized dirty strings — the Glue ResolveChoice "cast"
+    * policy as a DECLARED query (the scalatest GlueParity path covers the
+    * make_cols/project policies). Patterns per key-mod branch: parseable and
+    * garbage ints, real and impossible calendar dates, numeric and
+    * non-numeric doubles. One deliberate dialect exclusion: decimal-string →
+    * INT, where DuckDB TRY_CAST rounds ('3.7' → 4) but Spark is strict
+    * (NULL) — the scaladoc'd rule is to cast via DOUBLE first. Aggregated
+    * to one row of parse counts + exact sums so the declared output is
+    * O(1).
+    */
+  private def fnTryCast(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .select(
+        expr(
+          "CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN '123' WHEN 1 THEN 'x9' " +
+            "WHEN 2 THEN '' ELSE '-45' END"
+        ).as("s_int"),
+        expr(
+          "CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN '2024-02-29' " +
+            "WHEN 1 THEN '2024-13-01' ELSE '2024-06-15' END"
+        ).as("s_date"),
+        expr("CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN '3.5' ELSE 'nope' END").as("s_dbl"),
+      )
+      .select(
+        expr("try_cast(s_int AS INT)").as("i"),
+        expr("try_cast(s_date AS DATE)").as("d"),
+        expr("try_cast(s_dbl AS DOUBLE)").as("x"),
+      )
+      .agg(
+        count(col("i")).as("n_int_ok"),
+        sum(col("i")).cast("long").as("sum_int"),
+        count(col("d")).as("n_date_ok"),
+        count(col("x")).as("n_dbl_ok"),
+        dsum(col("x"), 1).as("sum_dbl"),
+        nrows.as("n_rows"),
+      )
+
+  private val fnTryCastSql =
+    "WITH dirty AS (SELECT " +
+      "CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN '123' WHEN 1 THEN 'x9' WHEN 2 THEN '' ELSE '-45' END AS s_int, " +
+      "CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN '2024-02-29' WHEN 1 THEN '2024-13-01' ELSE '2024-06-15' END AS s_date, " +
+      "CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN '3.5' ELSE 'nope' END AS s_dbl " +
+      "FROM orders), " +
+      "p AS (SELECT TRY_CAST(s_int AS INT) AS i, TRY_CAST(s_date AS DATE) AS d, " +
+      "TRY_CAST(s_dbl AS DOUBLE) AS x FROM dirty) " +
+      "SELECT count(i) AS n_int_ok, CAST(sum(i) AS BIGINT) AS sum_int, " +
+      "count(d) AS n_date_ok, count(x) AS n_dbl_ok, " +
+      "CAST(sum(CAST(x AS DECIMAL(28,1))) AS DOUBLE) AS sum_dbl, count(*) AS n_rows FROM p"
+
   // ------------------------------------------------------------- catalog
 
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("fn_try_cast", fnTryCast, Some(fnTryCastSql)),
     QueryDef(
       "fn_string",
       fnString,
