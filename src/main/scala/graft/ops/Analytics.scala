@@ -264,6 +264,62 @@ object Analytics {
       "SELECT o_orderkey, js, md5(js) AS js_md5 FROM j ORDER BY o_orderkey"
 
   // ------------------------------------------------------------------
+  // agg_corr_exact — correlation matrix from exact moments
+  // ------------------------------------------------------------------
+
+  /** Pairwise Pearson correlations of the lineitem numeric columns, from
+    * EXACT moments: built-in `corr` accumulates doubles in partial-agg
+    * order (nondeterministic across engines and even across runs), so every
+    * Σx, Σx², Σxy routes through DECIMAL (the inputs are ≤2-decimal, so
+    * scale 4 makes every product exact) and the closed-form correlation is
+    * then scalar double arithmetic on identical operands — the same
+    * exact-moment trick as anomaly_daily_volume, extended to cross moments.
+    * ONE aggregate row over one scan; the 6-pair matrix fans out from it
+    * map-side.
+    */
+  private def aggCorrExact(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val d = DecimalType(38, 4)
+    val aggs = Seq(nrows.as("n")) ++
+      cols.map(c => sum(col(c).cast(d)).as(s"s_$c")) ++
+      cols.map(c => sum((col(c) * col(c)).cast(d)).as(s"ss_$c")) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        sum((col(a) * col(b)).cast(d)).as(s"sp_${a}_$b")
+      }
+    val m = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val n = col("n").cast("double")
+      val corr = (n * col(s"sp_${a}_$b").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")) /
+        (sqrt(n * col(s"ss_$a").cast("double") - col(s"s_$a").cast("double") * col(s"s_$a").cast("double")) *
+          sqrt(n * col(s"ss_$b").cast("double") - col(s"s_$b").cast("double") * col(s"s_$b").cast("double")))
+      struct(lit(s"${a}__$b").as("pair"), round(corr, 4).as("corr"))
+    }
+    m.select(col("n"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.pair").as("pair"), col("p.corr").as("corr"), col("n"))
+      .orderBy("pair")
+  }
+
+  private val aggCorrExactSql = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val moments =
+      cols.map(c => s"sum(CAST($c AS DECIMAL(38,4))) AS s_$c") ++
+        cols.map(c => s"sum(CAST($c * $c AS DECIMAL(38,4))) AS ss_$c") ++
+        cols.combinations(2).toSeq.map { case Seq(a, b) =>
+          s"sum(CAST($a * $b AS DECIMAL(38,4))) AS sp_${a}_$b"
+        }
+    val rows = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      s"SELECT '${a}__$b' AS pair, round((CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE) - " +
+        s"CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) / " +
+        s"(sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
+        s"sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 4) AS corr, " +
+        s"n FROM m"
+    }
+    s"WITH m AS (SELECT count(*) AS n, ${moments.mkString(", ")} FROM lineitem) " +
+      rows.mkString(" UNION ALL ") + " ORDER BY pair"
+  }
+
+  // ------------------------------------------------------------------
   // agg_mode_exact — deterministic per-group mode
   // ------------------------------------------------------------------
 
@@ -944,6 +1000,7 @@ object Analytics {
     QueryDef("agg_mode_exact", aggModeExact, Some(aggModeExactSql)),
     QueryDef("win_moving_avg_centered", winMovingAvgCentered, Some(winMovingAvgCenteredSql)),
     QueryDef("fn_to_json", fnToJson, Some(fnToJsonSql)),
+    QueryDef("agg_corr_exact", aggCorrExact, Some(aggCorrExactSql)),
     QueryDef("text_unigram_surprisal", textUnigramSurprisal, Some(textUnigramSurprisalSql)),
     QueryDef("agg_quantile_binned", aggQuantileBinned, Some(aggQuantileBinnedSql)),
     QueryDef("anomaly_daily_volume", anomalyDailyVolume, Some(anomalyDailyVolumeSql)),

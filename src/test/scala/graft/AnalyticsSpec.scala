@@ -280,6 +280,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("agg_corr_exact: values bounded, and within float tolerance of built-in corr") {
+    val out = SparkEntry
+      .queries("agg_corr_exact")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Double]("corr"))
+      .toMap
+    assert(out.size == 6)
+    out.values.foreach(c => assert(c >= -1.0 && c <= 1.0))
+    // the exact-moment route must agree with Spark's (FP-ordered) corr up
+    // to the declared 4-decimal rounding — it differs only in summation
+    // order, not semantics
+    val builtin = Tables
+      .lineitem(spark, sfDir)
+      .agg(corr(col("l_quantity"), col("l_extendedprice")))
+      .first()
+      .getDouble(0)
+    assert(math.abs(out("l_quantity__l_extendedprice") - builtin) < 1e-4)
+  }
+
   test("agg_mode_exact: the reported mode really is the argmax of the group") {
     val counts = Tables
       .lineitem(spark, sfDir)
