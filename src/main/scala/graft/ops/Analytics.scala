@@ -726,6 +726,74 @@ object Analytics {
       "FROM j ORDER BY vec_id"
 
   // ------------------------------------------------------------------
+  // text_bigram_surprisal — interpolated bigram-LM scoring
+  // ------------------------------------------------------------------
+
+  /** Bigram language-model surprisal per document with unigram
+    * interpolation: score = mean −ln(0.5·p(w₂|w₁) + 0.5·p(w₂)) over the
+    * doc's bigrams — one model order up from text_unigram_surprisal, the
+    * signal that catches locally-improbable word SEQUENCES (shuffled or
+    * templated text) that unigram frequencies can't see. Both model tables
+    * are vocabulary-bounded (|bigram types| and |types|); docs join them on
+    * the bigram key with map-side combine; the corpus token total enters as
+    * a 1-row broadcast. Per-bigram surprisal rounds to 6 decimals and the
+    * doc mean runs through exact DECIMAL (§2.0 rule 2).
+    */
+  private def textBigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bgRows = docs
+      .select(col("doc_id"), split(Text.normText(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(Text.bigrams(col("w"))).as("bg"))
+    val toks = docs.select(explode(split(Text.normText(col("text")), " ")).as("term"))
+    val c1 = toks.groupBy("term").agg(nrows.as("c1"))
+    val total = c1.agg(sum(col("c1")).as("t"))
+    val c2 = bgRows.groupBy("bg").agg(nrows.as("c2"))
+    val model = c2
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(c1.select(col("term").as("w1"), col("c1").as("cw1")), "w1")
+      .join(c1.select(col("term").as("w2"), col("c1").as("cw2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(
+        col("bg"),
+        round(
+          -log(
+            lit(0.5) * col("c2").cast("double") / col("cw1").cast("double") +
+              lit(0.5) * col("cw2").cast("double") / col("t").cast("double")
+          ),
+          6,
+        ).cast(DecimalType(18, 6)).as("s6"),
+      )
+    bgRows
+      .join(model, "bg")
+      .groupBy("doc_id")
+      .agg(
+        nrows.as("n_bigrams"),
+        round(sum(col("s6")).cast("double") / count(lit(1)), 4).as("avg_surprisal2"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val textBigramSurprisalSql =
+    "WITH ws AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
+      "bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> " +
+      "{'bg': w[i] || ' ' || w[i+1], 'w1': w[i], 'w2': w[i+1]})) AS u " +
+      "FROM ws WHERE len(w) >= 2), " +
+      "bg AS (SELECT doc_id, u.bg AS bg, u.w1 AS w1, u.w2 AS w2 FROM bg0), " +
+      "tok AS (SELECT unnest(w) AS term FROM ws), " +
+      "c1 AS (SELECT term, count(*) AS c1 FROM tok GROUP BY 1), " +
+      "tt AS (SELECT sum(c1) AS t FROM c1), " +
+      // w1/w2 are constant within a bg group (bg = w1 || ' ' || w2), so min
+      // is just the deterministic way to carry them through the GROUP BY
+      "c2 AS (SELECT bg, min(w1) AS w1, min(w2) AS w2, count(*) AS c2 FROM bg GROUP BY 1), " +
+      "model AS (SELECT c2.bg, CAST(round(-ln(0.5 * CAST(c2.c2 AS DOUBLE) / a.c1 + " +
+      "0.5 * CAST(b.c1 AS DOUBLE) / t), 6) AS DECIMAL(18,6)) AS s6 " +
+      "FROM c2 JOIN c1 a ON a.term = c2.w1 JOIN c1 b ON b.term = c2.w2, tt) " +
+      "SELECT doc_id, count(*) AS n_bigrams, " +
+      "round(CAST(sum(s6) AS DOUBLE) / count(*), 4) AS avg_surprisal2 " +
+      "FROM bg JOIN model USING (bg) GROUP BY 1 ORDER BY doc_id"
+
+  // ------------------------------------------------------------------
   // embed_top_component — dominant direction via power iteration
   // ------------------------------------------------------------------
 
@@ -1001,6 +1069,7 @@ object Analytics {
     QueryDef("win_moving_avg_centered", winMovingAvgCentered, Some(winMovingAvgCenteredSql)),
     QueryDef("fn_to_json", fnToJson, Some(fnToJsonSql)),
     QueryDef("agg_corr_exact", aggCorrExact, Some(aggCorrExactSql)),
+    QueryDef("text_bigram_surprisal", textBigramSurprisal, Some(textBigramSurprisalSql)),
     QueryDef("text_unigram_surprisal", textUnigramSurprisal, Some(textUnigramSurprisalSql)),
     QueryDef("agg_quantile_binned", aggQuantileBinned, Some(aggQuantileBinnedSql)),
     QueryDef("anomaly_daily_volume", anomalyDailyVolume, Some(anomalyDailyVolumeSql)),

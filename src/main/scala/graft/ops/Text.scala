@@ -30,7 +30,7 @@ object Text {
     * shifted by one. slice() lengths are size-1 (>= 0 for any non-empty
     * split), so single-word docs yield an empty bigram list, not an error.
     */
-  private def bigrams(w: Column): Column =
+  private[ops] def bigrams(w: Column): Column =
     zip_with(
       slice(w, lit(1), size(w) - 1),
       slice(w, lit(2), size(w) - 1),
@@ -155,7 +155,7 @@ object Text {
     val corpus = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
     val sh = shingleHashes(corpus)
     val sizes = sh.groupBy("doc_id").agg(nrows.as("n_sh"))
-    val subFirst = col("n_a") < col("n_b") || (col("n_a") === col("n_b"))
+    val subFirst = col("n_a") <= col("n_b") // ties → id_a, which is the smaller id
     sh.select(col("doc_id").as("id_a"), col("sh"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh")), "sh")
       .filter(col("id_a") < col("id_b"))

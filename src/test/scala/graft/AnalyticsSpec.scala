@@ -280,6 +280,43 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("text_bigram_surprisal: bigram counts reconcile; shuffled word order raises the score") {
+    // plumbing: every doc with >= 2 words appears, with n_bigrams = |words|-1
+    val want = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), (size(split(ops.Text.normText(col("text")), " ")) - 1).cast("long").as("nb"))
+      .filter(col("nb") >= 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val got = SparkEntry
+      .queries("text_bigram_surprisal")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bigrams"))
+      .toMap
+    assert(got == want)
+
+    // signal: same token multiset, different order — unigram surprisal is
+    // blind to it, the interpolated bigram model is not (in-memory, same
+    // formulas as the declared query)
+    val natural = Seq.fill(20)(Seq("a", "b")).flatten
+    val shuffled = Seq.fill(10)(Seq("a", "a", "b", "b")).flatten
+    def score(corpus: Seq[Seq[String]], doc: Seq[String]): Double = {
+      val toks = corpus.flatten
+      val c1 = toks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val t = toks.size.toDouble
+      val bgs = corpus.flatMap(d => d.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      val c2 = bgs.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val db = doc.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+      db.map { case (w1, w2) =>
+        -math.log(0.5 * c2.getOrElse((w1, w2), 0.0) / c1(w1) + 0.5 * c1(w2) / t)
+      }.sum / db.size
+    }
+    val corpus = Seq(natural, shuffled)
+    assert(score(corpus, shuffled) > score(corpus, natural) + 0.1,
+      "shuffled order must be more surprising under the bigram model")
+  }
+
   test("agg_corr_exact: values bounded, and within float tolerance of built-in corr") {
     val out = SparkEntry
       .queries("agg_corr_exact")(spark, sfDir)
