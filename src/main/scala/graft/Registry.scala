@@ -53,4 +53,20 @@ object Qf {
     * declare ranks as long.
     */
   def asLong(c: Column): Column = c.cast("long")
+
+  /** The seedless-uniform idiom, defined once: the first 13 hex digits of
+    * md5(seed || key) as a 52-bit non-negative integer — exactly
+    * representable in a double, so `hash52(...)/Hash52Range` is an identical
+    * uniform in [0, 1) in both engines. Used for sampling priorities
+    * (sample_weighted, sample_reservoir_group) and coordinate synthesis
+    * (join_spatial_grid); DuckDB mirror: [[hash52Sql]].
+    */
+  def hash52(seed: String, key: Column): Column =
+    conv(substring(md5(concat(lit(seed), key.cast("string"))), 1, 13), 16, 10).cast("long")
+
+  def hash52Sql(seed: String, keyExpr: String): String =
+    s"('0x' || substr(md5('$seed' || $keyExpr), 1, 13))::BIGINT"
+
+  /** 16^13 = 2^52 — the denominator that turns hash52 into a uniform. */
+  val Hash52Range = 4503599627370496.0
 }

@@ -615,13 +615,6 @@ object Analytics {
   // embed_centroid_dist — per-label centroid tightness diagnostics
   // ------------------------------------------------------------------
 
-  /** Per-label embedding centroid + distance diagnostics (how tight each
-    * label's cluster is — the go/no-go report before trusting labels for
-    * blocking or classification). The centroid mean is made order-free by
-    * summing each component as a scaled integer (round(x·1e6) — exact
-    * BIGINT addition), so both engines derive the identical centroid;
-    * per-vector distance is then a fixed-order positional fold.
-    */
   /** Embeddings at (vec_id, label, double-vector) grain — shared input shape
     * of the embed_* diagnostics.
     */
@@ -630,10 +623,11 @@ object Analytics {
       .embeddings(s, dir)
       .select(col("vec_id"), col("label"), transform(col("embedding"), _.cast("double")).as("v"))
 
-  /** Per-label exact centroids (see embedCentroidDist scaladoc for the
-    * scaled-integer determinism argument) — shared by the centroid
-    * diagnostics and the mean-centering transform so the two can never
-    * disagree on what "the centroid" is.
+  /** Per-label exact centroids, shared by the centroid diagnostics and the
+    * mean-centering transform so the two can never disagree on what "the
+    * centroid" is. The mean is made order-free by summing each component as
+    * a scaled integer (round(x·1e6) — exact BIGINT addition), so both
+    * engines derive the identical centroid.
     */
   private def labelCentroids(e: DataFrame): DataFrame =
     e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -655,6 +649,11 @@ object Analytics {
       "cs AS (SELECT label, u.pos AS pos, sum(u.x6) AS s6, count(*) AS n FROM dims GROUP BY 1, 2), " +
       "cent AS (SELECT label, list((CAST(s6 AS DOUBLE) / n) / 1e6 ORDER BY pos) AS c FROM cs GROUP BY 1)"
 
+  /** Per-label centroid + distance diagnostics (how tight each label's
+    * cluster is — the go/no-go report before trusting labels for blocking
+    * or classification). Per-vector distance against the exact shared
+    * centroid is a fixed-order positional fold.
+    */
   private def embedCentroidDist(s: SparkSession, dir: String): DataFrame = {
     val e = embedVecs(s, dir)
     val cent = labelCentroids(e)

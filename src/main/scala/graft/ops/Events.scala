@@ -352,11 +352,16 @@ object Events {
   /** Last-touch marketing attribution: each purchase is credited to the
     * user's most recent prior view/click within 7 days (ties on timestamp
     * break on event_id, both engines), purchases with no such touch go to
-    * the 'direct' bucket. Built on the same user-keyed range-join shape as
-    * join_asof — candidates are bounded per user, never a time
-    * cross-product — then one WindowGroupLimit-prunable rank and a
-    * |channels|-row aggregate. Purchase values sum through exact DECIMAL.
+    * the 'direct' bucket. ONE left range join serves both buckets — the
+    * touchless purchase keeps its null row, wins rank 1 under
+    * DESC NULLS LAST (the default on both engines, pinned explicitly in the
+    * oracle), and coalesces to 'direct' — so the dominant user-keyed range
+    * join (the join_asof shape: candidates bounded per user, never a time
+    * cross-product) is paid exactly once, not twice as a join + anti-join
+    * re-probe would. Purchase values sum through exact DECIMAL.
     */
+  private val AttrWindowUs = 7L * 86400L * 1000000L
+
   private def attributionLastTouch(s: SparkSession, dir: String): DataFrame = {
     val e = Tables
       .events(s, dir)
@@ -366,25 +371,20 @@ object Events {
       .select(col("event_id").as("pid"), col("user_id"), col("value").as("pval"), col("us").as("pus"))
     val t = e.filter(col("event_type").isin("view", "click"))
       .select(col("event_id").as("tid"), col("user_id"), col("event_type").as("channel"), col("us").as("tus"))
-    val w = Window.partitionBy("pid").orderBy(col("tus").desc, col("tid").desc)
-    val attributed = p
-      .join(t, Seq("user_id"))
-      .filter(col("tus") <= col("pus") && col("tus") > col("pus") - lit(7L * 86400L * 1000000L))
+    val w = Window
+      .partitionBy("pid")
+      .orderBy(col("tus").desc_nulls_last, col("tid").desc_nulls_last)
+    p.as("p")
+      .join(
+        t.as("t"),
+        col("t.user_id") === col("p.user_id") &&
+          col("t.tus") <= col("p.pus") &&
+          col("t.tus") > col("p.pus") - lit(AttrWindowUs),
+        "left",
+      )
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("pid"), col("pval"), col("channel"))
-    attributed
-      .unionByName(
-        p.as("p")
-          .join(
-            t.as("t"),
-            col("t.user_id") === col("p.user_id") &&
-              col("t.tus") <= col("p.pus") &&
-              col("t.tus") > col("p.pus") - lit(7L * 86400L * 1000000L),
-            "left_anti",
-          )
-          .select(col("pid"), col("pval"), lit("direct").as("channel"))
-      )
+      .select(col("pid"), col("pval"), coalesce(col("channel"), lit("direct")).as("channel"))
       .groupBy("channel")
       .agg(nrows.as("n_purchases"), round(dsum(col("pval"), 2), 4).as("attributed_value"))
       .orderBy("channel")
@@ -415,11 +415,10 @@ object Events {
       "t AS (SELECT event_id AS tid, user_id, event_type AS channel, us AS tus FROM e " +
       "WHERE event_type IN ('view', 'click')), " +
       "cand AS (SELECT pid, pval, channel, row_number() OVER " +
-      "(PARTITION BY pid ORDER BY tus DESC, tid DESC) AS rn " +
-      "FROM p JOIN t USING (user_id) WHERE tus <= pus AND tus > pus - 604800000000), " +
-      "att AS (SELECT pid, pval, channel FROM cand WHERE rn = 1 " +
-      "UNION ALL SELECT pid, pval, 'direct' FROM p WHERE NOT EXISTS " +
-      "(SELECT 1 FROM t WHERE t.user_id = p.user_id AND t.tus <= p.pus AND t.tus > p.pus - 604800000000)) " +
+      "(PARTITION BY pid ORDER BY tus DESC NULLS LAST, tid DESC NULLS LAST) AS rn " +
+      "FROM p LEFT JOIN t ON t.user_id = p.user_id " +
+      "AND t.tus <= p.pus AND t.tus > p.pus - 604800000000), " +
+      "att AS (SELECT pid, pval, coalesce(channel, 'direct') AS channel FROM cand WHERE rn = 1) " +
       "SELECT channel, count(*) AS n_purchases, " +
       "round(CAST(sum(CAST(pval AS DECIMAL(28,2))) AS DOUBLE), 4) AS attributed_value " +
       "FROM att GROUP BY 1 ORDER BY channel"

@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Supplier node ids are offset into their own range so the two key
-    * spaces cannot collide (custkeys stay < 1e6 well past sf1.0).
+    * spaces cannot collide. 1e12: custkeys grow ~1.5e5 per SF unit, so a
+    * collision would need SF ≈ 6.6M — safely past any conceivable corpus —
+    * while supplier ids stay far inside BIGINT.
     */
-  private val SuppOffset = 1000000L
+  private val SuppOffset = 1000000000000L
 
   /** Cross-engine determinism: ranks live on an exact integer PICORANK grid
     * (1 pico = 1e-12 of total mass; initial mass = 1e12). The entire
@@ -91,7 +93,7 @@ object Graph {
         s"$out AS (SELECT p.node, " +
         s"(150000000000 // p.n) + ((17 * coalesce(c$out.m, 0)) // 20) AS pico, p.n " +
         s"FROM $prev p LEFT JOIN c$out ON p.node = c$out.node)"
-    "WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS sp " +
+    "WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000000 AS sp " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
       "edges AS (SELECT c AS src, sp AS dst FROM e0 UNION ALL SELECT sp, c FROM e0), " +
       "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1), " +
@@ -99,7 +101,7 @@ object Graph {
       "nn AS (SELECT count(*) AS n FROM nodes), " +
       "r0 AS (SELECT node, 1000000000000 // n AS pico, n FROM nodes, nn), " +
       iter("r0", "r1") + ", " + iter("r1", "r2") + ", " + iter("r2", "r3") + " " +
-      "SELECT node, CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type, " +
+      "SELECT node, CASE WHEN node >= 1000000000000 THEN 'supplier' ELSE 'customer' END AS node_type, " +
       "CAST(pico AS BIGINT) AS rank_pico, CAST(pico AS DOUBLE) / 1e12 AS rank " +
       "FROM r3 ORDER BY node"
   }

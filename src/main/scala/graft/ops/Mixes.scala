@@ -177,13 +177,8 @@ object Mixes {
     * dedup_embedding class. +1 on the raw hash keeps u in (0, 1] (u = 0
     * would give clock = ∞).
     */
-  private val TwoTo52 = 4503599627370496.0 // 16^13
-
   private def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
-    val raw =
-      conv(substring(md5(concat(lit("es#"), col("doc_id").cast("string"))), 1, 13), 16, 10)
-        .cast("long")
-    val u = (raw + lit(1L)) / lit(TwoTo52)
+    val u = (hash52("es#", col("doc_id")) + lit(1L)) / lit(Hash52Range)
     val clock = round((log(u) * -1) / greatest(col("n_chars"), lit(1)), 9)
     Tables
       .documents(s, dir)
@@ -198,7 +193,7 @@ object Mixes {
 
   private val sampleWeightedSql =
     "WITH c AS (SELECT doc_id, n_chars, " +
-      "round(-ln((('0x' || substr(md5('es#' || doc_id), 1, 13))::BIGINT + 1) / 4503599627370496.0) " +
+      s"round(-ln((${hash52Sql("es#", "doc_id")} + 1) / 4503599627370496.0) " +
       "/ greatest(n_chars, 1), 9) AS clock FROM documents) " +
       "SELECT doc_id, n_chars, clock, " +
       "CAST(row_number() OVER (ORDER BY clock, doc_id) AS BIGINT) AS rn " +
@@ -216,9 +211,7 @@ object Mixes {
     * no FP anywhere.
     */
   private def sampleReservoirGroup(s: SparkSession, dir: String): DataFrame = {
-    val prio =
-      conv(substring(md5(concat(lit("rg#"), col("doc_id").cast("string"))), 1, 13), 16, 10)
-        .cast("long")
+    val prio = hash52("rg#", col("doc_id"))
     val w = Window.partitionBy("lang").orderBy(col("prio"), col("doc_id"))
     Tables
       .documents(s, dir)
@@ -229,8 +222,7 @@ object Mixes {
   }
 
   private val sampleReservoirGroupSql =
-    "WITH p AS (SELECT lang, doc_id, " +
-      "('0x' || substr(md5('rg#' || doc_id), 1, 13))::BIGINT AS prio FROM documents) " +
+    s"WITH p AS (SELECT lang, doc_id, ${hash52Sql("rg#", "doc_id")} AS prio FROM documents) " +
       "SELECT lang, doc_id, prio, " +
       "CAST(row_number() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS BIGINT) AS rn " +
       "FROM p QUALIFY rn <= 4 ORDER BY lang, rn"

@@ -25,15 +25,12 @@ import org.apache.spark.sql.functions._
 object Spatial {
 
   private val Radius = 25.0
-  private val TwoTo52 = 4503599627370496.0
 
   private def coord(key: Column, seed: String): Column =
-    conv(substring(md5(concat(lit(seed), key.cast("string"))), 1, 13), 16, 10)
-      .cast("double") / lit(TwoTo52) * 1000.0
+    hash52(seed, key).cast("double") / lit(Hash52Range) * 1000.0
 
   private def coordSql(keyExpr: String, seed: String): String =
-    s"CAST(('0x' || substr(md5('$seed' || $keyExpr), 1, 13))::BIGINT AS DOUBLE) " +
-      s"/ 4503599627370496.0 * 1000.0"
+    s"CAST(${hash52Sql(seed, keyExpr)} AS DOUBLE) / 4503599627370496.0 * 1000.0"
 
   /** Per supplier: how many customers lie within radius 25, and the nearest
     * such distance (NULL when the neighborhood is empty).

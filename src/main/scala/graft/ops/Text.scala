@@ -134,7 +134,7 @@ object Text {
     * re-crawls), which symmetric Jaccard misses: a half-length excerpt has
     * containment 1.0 but Jaccard ~0.5, far under the 0.8 dup bar. The
     * corpus has no natural excerpts [DATA], so every 20th doc contributes a
-    * synthesized prefix-half excerpt (id + 1e6) — the same
+    * synthesized prefix-half excerpt (id + 1e12 — disjoint from real doc_ids at any conceivable corpus size) — the same
     * plant-then-detect pattern as text_pii_redact. Same shingle universe
     * and shared-shingle join as dedup_near_jaccard: cost is Σ per-shingle
     * pair counts, never corpus². id_sub is the smaller shingle set (the
@@ -146,7 +146,7 @@ object Text {
       .filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), words(normText(col("text"))).as("w"))
       .select(
-        (col("doc_id") + 1000000L).as("doc_id"),
+        (col("doc_id") + 1000000000000L).as("doc_id"),
         concat_ws(
           " ",
           slice(col("w"), lit(1), greatest(floor(size(col("w")) / 2).cast("int"), lit(3))),
@@ -180,7 +180,7 @@ object Text {
   private val dedupContainmentSql =
     "WITH ws0 AS (SELECT doc_id, " +
       "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
-      "exc AS (SELECT doc_id + 1000000 AS doc_id, " +
+      "exc AS (SELECT doc_id + 1000000000000 AS doc_id, " +
       "array_to_string(w[1:greatest(len(w)//2, 3)], ' ') AS text FROM ws0 WHERE doc_id % 20 = 0), " +
       "corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM exc), " +
       "ws AS (SELECT doc_id, " +

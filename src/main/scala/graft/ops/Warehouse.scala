@@ -31,12 +31,19 @@ import org.apache.spark.sql.functions._
   */
 object Warehouse {
 
+  /** Offset for synthesized fresh keys (CDC inserts, diff adds). 1e15 keeps
+    * the synthetic key space disjoint from real ones far past any gated
+    * scale (o_orderkey grows ~6e6·SF, so collision would need SF ≈ 1.7e8;
+    * doc_ids grow even slower) while staying well inside BIGINT.
+    */
+  private[graft] val SynthKeyOffset = 1000000000000000L
+
   // ------------------------------------------------------------ cdc_apply
 
   /** Deterministic change log synthesized from `orders` (the corpus has no
     * CDC feed [DATA]): version 0 = the snapshot itself; version 1 updates
     * every key ≡ 0 (mod 7) (price +100); version 2 deletes every key ≡ 0
-    * (mod 13) and inserts a fresh key (+10_000_000) for every key ≡ 0
+    * (mod 13) and inserts a fresh key (+SynthKeyOffset) for every key ≡ 0
     * (mod 97). A key can appear in several versions (7·13 overlaps) — the
     * point of the exercise.
     */
@@ -73,7 +80,7 @@ object Warehouse {
     val ins = o
       .filter(col("o_orderkey") % 97 === 0)
       .select(
-        (col("o_orderkey") + 10000000L).as("k"),
+        (col("o_orderkey") + SynthKeyOffset).as("k"),
         lit(2L).as("version"),
         lit("I").as("op"),
         (floor(round(col("o_totalprice") * 100, 0) / 2) / 100.0).as("price"),
@@ -89,7 +96,7 @@ object Warehouse {
       "FROM orders WHERE o_orderkey % 7 = 0 " +
       "UNION ALL SELECT o_orderkey, 2, 'D', o_totalprice, o_orderstatus " +
       "FROM orders WHERE o_orderkey % 13 = 0 " +
-      "UNION ALL SELECT o_orderkey + 10000000, 2, 'I', " +
+      "UNION ALL SELECT o_orderkey + 1000000000000000, 2, 'I', " +
       "(CAST(round(o_totalprice * 100, 0) AS BIGINT) // 2) / 100.0, 'N' " +
       "FROM orders WHERE o_orderkey % 97 = 0"
 
@@ -154,7 +161,7 @@ object Warehouse {
   /** Version-to-version drift audit of the document corpus (the wide table —
     * exactly where signature diffing pays). v_new synthesized from
     * documents: doc_ids ≡ 0 (mod 11) dropped, a revision marker appended for
-    * doc_ids ≡ 0 (mod 5), fresh doc_ids (+20_000_000) for doc_ids ≡ 0
+    * doc_ids ≡ 0 (mod 5), fresh doc_ids (+SynthKeyOffset) for doc_ids ≡ 0
     * (mod 31). Both sides reduce to (key, signature) map-side, so the ~1 KB
     * text column never reaches the full-outer join's exchange; the report is
     * one row per status, so the declared output is O(1).
@@ -170,8 +177,8 @@ object Warehouse {
       .unionByName(
         d.filter(col("doc_id") % 31 === 0)
           .select(
-            (col("doc_id") + 20000000L).as("k"),
-            rowSig(col("doc_id") + 20000000L, col("text")).as("sig_new"),
+            (col("doc_id") + SynthKeyOffset).as("k"),
+            rowSig(col("doc_id") + SynthKeyOffset, col("text")).as("sig_new"),
           )
       )
     vOld
@@ -195,8 +202,8 @@ object Warehouse {
     "WITH v_old AS (SELECT doc_id AS k, " + sigOld + " AS sig_old FROM documents), " +
       "v_new AS (SELECT doc_id AS k, " + sigNewKept + " AS sig_new FROM documents " +
       "WHERE doc_id % 11 <> 0 " +
-      "UNION ALL SELECT doc_id + 20000000 AS k, " +
-      sigSql("doc_id + 20000000", "text") + " AS sig_new " +
+      "UNION ALL SELECT doc_id + 1000000000000000 AS k, " +
+      sigSql("doc_id + 1000000000000000", "text") + " AS sig_new " +
       "FROM documents WHERE doc_id % 31 = 0) " +
       "SELECT CASE WHEN sig_old IS NULL THEN 'added' WHEN sig_new IS NULL THEN 'removed' " +
       "WHEN sig_old <> sig_new THEN 'changed' ELSE 'unchanged' END AS status, " +

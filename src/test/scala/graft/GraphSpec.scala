@@ -15,7 +15,7 @@ class GraphSpec extends SparkSpec {
     val e0 = Tables
       .lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("sp"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000000L).as("sp"))
       .distinct()
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -48,7 +48,7 @@ class GraphSpec extends SparkSpec {
 
     // degree monotonicity: suppliers aggregate orders from many customers,
     // so mean supplier rank must exceed mean customer rank
-    val (supp, cust) = got.partition(_._1 >= 1000000L)
+    val (supp, cust) = got.partition(_._1 >= 1000000000000L)
     val meanSupp = supp.values.sum.toDouble / supp.size
     val meanCust = cust.values.sum.toDouble / cust.size
     assert(meanSupp > meanCust, s"supplier mean $meanSupp <= customer mean $meanCust")

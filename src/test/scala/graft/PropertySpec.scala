@@ -220,7 +220,7 @@ class PropertySpec extends SparkSpec {
     assert(docs.nonEmpty)
     docs.foreach { case (id, text) =>
       // every synthesized excerpt must be reported as contained in its source
-      assert(pairs.contains((id + 1000000L, id)), s"excerpt pair for doc $id missing")
+      assert(pairs.contains((id + 1000000000000L, id)), s"excerpt pair for doc $id missing")
       // and jaccard genuinely misses it: prefix-half excerpt has containment
       // 1.0 but jaccard well under the 0.8 near-dup bar
       val w = text.toLowerCase.trim.split("\\s+").toSeq

@@ -20,10 +20,10 @@ class WarehouseSpec extends SparkSpec {
       // cardinality: snapshot − deletes + inserts (inserted keys are fresh)
       assert(out.count() == nOrders - nDel + nIns)
       // no deleted key survives
-      assert(out.filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") < 10000000L).count() == 0)
+      assert(out.filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") < ops.Warehouse.SynthKeyOffset).count() == 0)
       // every surviving %7 key carries the v1 update (price = orig + 100)
       val upd = out
-        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") < 10000000L)
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") < ops.Warehouse.SynthKeyOffset)
         .join(orders, "o_orderkey")
       assert(upd.count() > 0, "fixture must exercise the update branch")
       assert(upd.filter(col("last_version") =!= 1L || col("last_op") =!= "U").count() == 0)
@@ -31,8 +31,8 @@ class WarehouseSpec extends SparkSpec {
         upd.filter(abs(col("price") - round(col("o_totalprice") + 100d, 2)) > 1e-9).count() == 0
       )
       // inserted keys all present with the fresh-status marker
-      assert(out.filter(col("o_orderkey") >= 10000000L).count() == nIns)
-      assert(out.filter(col("o_orderkey") >= 10000000L && col("o_orderstatus") =!= "N").count() == 0)
+      assert(out.filter(col("o_orderkey") >= ops.Warehouse.SynthKeyOffset).count() == nIns)
+      assert(out.filter(col("o_orderkey") >= ops.Warehouse.SynthKeyOffset && col("o_orderstatus") =!= "N").count() == 0)
     } finally { out.unpersist(); orders.unpersist() }
   }
 
@@ -50,8 +50,8 @@ class WarehouseSpec extends SparkSpec {
     assert(rows("changed").getAs[Long]("n") == nChanged)
     assert(rows("unchanged").getAs[Long]("n") == nDocs - nRemoved - nChanged)
     // added keys live in the synthesized key range
-    assert(rows("added").getAs[Long]("min_key") >= 20000000L)
-    assert(rows("removed").getAs[Long]("max_key") < 20000000L)
+    assert(rows("added").getAs[Long]("min_key") >= ops.Warehouse.SynthKeyOffset)
+    assert(rows("removed").getAs[Long]("max_key") < ops.Warehouse.SynthKeyOffset)
   }
 
   test("snapshot_diff shuffles signatures, not text: no exchange carries the text column") {
