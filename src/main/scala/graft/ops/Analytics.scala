@@ -320,6 +320,83 @@ object Analytics {
   }
 
   // ------------------------------------------------------------------
+  // agg_skew_kurtosis — higher moments, exact-sum route
+  // ------------------------------------------------------------------
+
+  /** Population skewness and excess kurtosis of l_extendedprice per
+    * returnflag — the two distribution-shape aggregates of the PySpark
+    * surface (F.skewness / F.kurtosis) not yet covered by agg_stats, via
+    * the exact-moment route (anomaly_daily_volume / agg_corr_exact
+    * pattern): per-row powers are fixed-association double products
+    * (deterministic), the four raw sums S1..S4 are exact DECIMAL, and the
+    * central-moment closed forms are then scalar double arithmetic on
+    * identical operands. Built-in skewness()/kurtosis() accumulate doubles
+    * in partial-agg order and cannot hash-match across engines.
+    */
+  private def aggSkewKurtosis(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_extendedprice")
+    val d = DecimalType(38, 8)
+    Tables
+      .lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        nrows.as("n"),
+        sum(x.cast(d)).cast("double").as("s1"),
+        sum((x * x).cast(d)).cast("double").as("s2"),
+        sum((x * x * x).cast(d)).cast("double").as("s3"),
+        sum((x * x * x * x).cast(d)).cast("double").as("s4"),
+      )
+      .select(col("l_returnflag"), col("n"), col("s1"), col("s2"), col("s3"), col("s4"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mu", col("s1") / col("nd"))
+      .withColumn("r2", col("s2") / col("nd"))
+      .withColumn("r3", col("s3") / col("nd"))
+      .withColumn("r4", col("s4") / col("nd"))
+      // the operand ASSOCIATION below is mirrored token-for-token in the
+      // oracle: both engines left-associate, so each central moment is the
+      // identical double, not just mathematically equal
+      .withColumn("m2", col("r2") - col("mu") * col("mu"))
+      .withColumn(
+        "m3",
+        col("r3") - lit(3.0) * col("mu") * col("r2") +
+          lit(2.0) * col("mu") * col("mu") * col("mu"),
+      )
+      .withColumn(
+        "m4",
+        col("r4") - lit(4.0) * col("mu") * col("r3") +
+          lit(6.0) * col("mu") * col("mu") * col("r2") -
+          lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"),
+      )
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        round(col("mu"), 4).as("mean"),
+        // m2·sqrt(m2) = m2^1.5 without pow (libm-dependent; sqrt is
+        // correctly-rounded everywhere — the sample_temperature rule)
+        round(col("m3") / (col("m2") * sqrt(col("m2"))), 4).as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 4).as("kurtosis"),
+      )
+      .orderBy("l_returnflag")
+  }
+
+  private val aggSkewKurtosisSql =
+    "WITH m AS (SELECT l_returnflag, count(*) AS n, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s1, " +
+      "CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s2, " +
+      "CAST(sum(CAST(l_extendedprice * l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s3, " +
+      "CAST(sum(CAST(l_extendedprice * l_extendedprice * l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s4 " +
+      "FROM lineitem GROUP BY 1), " +
+      "c AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd, s1, s2, s3, s4 FROM m), " +
+      "r AS (SELECT l_returnflag, n, s1 / nd AS mu, s2 / nd AS r2, s3 / nd AS r3, s4 / nd AS r4 FROM c), " +
+      "f AS (SELECT l_returnflag, n, mu, r2 - mu * mu AS m2, " +
+      "r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3, " +
+      "r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu AS m4 FROM r) " +
+      "SELECT l_returnflag, n, round(mu, 4) AS mean, " +
+      "round(m3 / (m2 * sqrt(m2)), 4) AS skewness, " +
+      "round(m4 / (m2 * m2) - 3.0, 4) AS kurtosis " +
+      "FROM f ORDER BY l_returnflag"
+
+  // ------------------------------------------------------------------
   // agg_mode_exact — deterministic per-group mode
   // ------------------------------------------------------------------
 
@@ -1069,6 +1146,7 @@ object Analytics {
     QueryDef("fn_to_json", fnToJson, Some(fnToJsonSql)),
     QueryDef("agg_corr_exact", aggCorrExact, Some(aggCorrExactSql)),
     QueryDef("text_bigram_surprisal", textBigramSurprisal, Some(textBigramSurprisalSql)),
+    QueryDef("agg_skew_kurtosis", aggSkewKurtosis, Some(aggSkewKurtosisSql)),
     QueryDef("text_unigram_surprisal", textUnigramSurprisal, Some(textUnigramSurprisalSql)),
     QueryDef("agg_quantile_binned", aggQuantileBinned, Some(aggQuantileBinnedSql)),
     QueryDef("anomaly_daily_volume", anomalyDailyVolume, Some(anomalyDailyVolumeSql)),

@@ -336,6 +336,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out("l_quantity__l_extendedprice") - builtin) < 1e-4)
   }
 
+  test("agg_skew_kurtosis: exact-moment route agrees with the built-in aggregates") {
+    val got = SparkEntry
+      .queries("agg_skew_kurtosis")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Double]("skewness"), r.getAs[Double]("kurtosis"))))
+      .toMap
+    val builtin = Tables
+      .lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(skewness(col("l_extendedprice")).as("s"), kurtosis(col("l_extendedprice")).as("k"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") -> ((r.getAs[Double]("s"), r.getAs[Double]("k"))))
+      .toMap
+    assert(got.keySet == builtin.keySet)
+    got.foreach { case (f, (sk, ku)) =>
+      // raw-moment cancellation costs a few digits; 4-decimal output plus
+      // 1e-3 slack comfortably brackets it at these magnitudes
+      assert(math.abs(sk - builtin(f)._1) < 1e-3, s"$f skewness $sk vs ${builtin(f)._1}")
+      assert(math.abs(ku - builtin(f)._2) < 1e-3, s"$f kurtosis $ku vs ${builtin(f)._2}")
+    }
+  }
+
   test("agg_mode_exact: the reported mode really is the argmax of the group") {
     val counts = Tables
       .lineitem(spark, sfDir)
