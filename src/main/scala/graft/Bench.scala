@@ -87,10 +87,19 @@ object Bench {
     val ok = results.collect { case (_, Some((a, b)), _) => math.min(a, b) }
     val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
     val total = ok.sum
+    // Self-annotating throttle evidence (r4 VERDICT #4): a >3× spread between
+    // the two warm passes of the SAME plan is the signature of this host's
+    // multi-minute throttle windows, not a plan property — naming the
+    // affected queries in the record lets a reader discount their min/total
+    // without cross-referencing PERF.md.
+    val throttled = results.collect {
+      case (k, Some((a, b)), _) if math.max(a, b) / math.min(a, b) > 3.0 => "\"" + k + "\""
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","pass":"min of 2 warm passes (after 1 warm-up)","n_queries":${results.size},""" +
-        s""""passes":$ps,"shuffle_bytes":$sb,"failures":[${failed.mkString(",")}]}"""
+        s""""passes":$ps,"shuffle_bytes":$sb,"throttled":[${throttled.mkString(",")}],""" +
+        s""""failures":[${failed.mkString(",")}]}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     // The driver records only the LAST 2000 chars of stdout and parses a JSON
     // line out of that window: the full per-query line above outgrew it every
@@ -108,6 +117,7 @@ object Bench {
     val head =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""n_queries":${results.size},"pass":"min of 2 warm passes","detail":"bench.json",""" +
+        s""""throttled":[${throttled.mkString(",")}],""" +
         s""""failures":[${failed.mkString(",")}],"queries":{"""
     val budget = 1700
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -40,6 +40,14 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // Can return NULL on length mismatch / null element REGARDLESS of child
+  // nullability — deriving nullability from children (the BinaryExpression
+  // default) both lies to UnsafeProjection (latent wrong-answer if the null
+  // bit is elided) and makes the generated `isNull = true` assignment a
+  // non-lvalue when inputs are non-nullable (janino CompileException →
+  // silent interpreter fallback, losing the kernel speedup).
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -43,6 +43,13 @@ case class MinHashSig(child: Expression, nHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
+  // Returns NULL on an empty shingle array regardless of child nullability —
+  // the UnaryExpression default (nullable = child.nullable) would make the
+  // generated `isNull = true` assignment a non-lvalue over non-nullable
+  // inputs (janino CompileException → silent interpreter fallback) and lie
+  // to UnsafeProjection. Same rule as DotProduct.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()

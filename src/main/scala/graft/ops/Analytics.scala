@@ -93,7 +93,7 @@ object Analytics {
     def bucket(j: Int, t: String) =
       s"('0x' || substring(md5('$j#' || $t), 1, 8))::BIGINT % $CmsWidth"
     val rows = (0 until CmsRows)
-    "WITH toks AS (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term FROM documents), " +
+    "WITH toks AS (SELECT unnest(string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')) AS term FROM documents), " +
       "rb AS (" + rows
         .map(j => s"SELECT $j AS j, ${bucket(j, "term")} AS bucket FROM toks")
         .mkString(" UNION ALL ") + "), " +
@@ -238,7 +238,10 @@ object Analytics {
     * struct (engines' shortest-roundtrip float printing diverges on
     * exponent-form values; the catalog rule for serializing money is
     * integer cents, cdc_apply's idiom). The md5 doubles the whole-text
-    * check.
+    * check. NULL rule (sibling of the doubles rule): Spark's to_json OMITS
+    * null struct fields while DuckDB emits `"key":null`, so every field is
+    * coalesce()d on BOTH engines — byte-identity must not depend on the
+    * orders columns happening to be non-null.
     */
   private def fnToJson(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -248,9 +251,9 @@ object Analytics {
         to_json(
           struct(
             col("o_orderkey").as("k"),
-            col("o_orderstatus").as("s"),
-            col("o_orderpriority").as("p"),
-            round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+            coalesce(col("o_orderstatus"), lit("")).as("s"),
+            coalesce(col("o_orderpriority"), lit("")).as("p"),
+            coalesce(round(col("o_totalprice") * 100, 0).cast("long"), lit(0L)).as("cents"),
           )
         ).as("js"),
       )
@@ -258,8 +261,10 @@ object Analytics {
       .orderBy("o_orderkey")
 
   private val fnToJsonSql =
-    "WITH j AS (SELECT o_orderkey, to_json(struct_pack(k := o_orderkey, s := o_orderstatus, " +
-      "p := o_orderpriority, cents := CAST(round(o_totalprice * 100, 0) AS BIGINT))) AS js " +
+    "WITH j AS (SELECT o_orderkey, to_json(struct_pack(k := o_orderkey, " +
+      "s := coalesce(o_orderstatus, ''), " +
+      "p := coalesce(o_orderpriority, ''), " +
+      "cents := coalesce(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0))) AS js " +
       "FROM orders) " +
       "SELECT o_orderkey, js, md5(js) AS js_md5 FROM j ORDER BY o_orderkey"
 
@@ -335,6 +340,13 @@ object Analytics {
     */
   private def aggSkewKurtosis(s: SparkSession, dir: String): DataFrame = {
     val x = col("l_extendedprice")
+    // OVERFLOW BOUND (SynthKeyOffset convention): x^4 of l_extendedprice is
+    // ~1e20/row, and DECIMAL(38,8) leaves 30 integer digits, so the exact S4
+    // sum overflows to NULL at ~1e10 rows per group (TPC-H SF ≈ 1.5e3 —
+    // beyond the 100 TB target for THIS column, but not generic). The scale
+    // path if a wider column ever needs this: per-partition partial sums of
+    // x^4/1e8 at scale 0 (shifting the headroom 8 digits), or Welford-style
+    // mergeable central moments at the cost of cross-engine hash equality.
     val d = DecimalType(38, 8)
     Tables
       .lineitem(s, dir)
@@ -851,7 +863,7 @@ object Analytics {
   }
 
   private val textBigramSurprisalSql =
-    "WITH ws AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
+    "WITH ws AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS w FROM documents), " +
       "bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> " +
       "{'bg': w[i] || ' ' || w[i+1], 'w1': w[i], 'w2': w[i+1]})) AS u " +
       "FROM ws WHERE len(w) >= 2), " +
@@ -976,7 +988,7 @@ object Analytics {
   }
 
   private val textUnigramSurprisalSql =
-    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term FROM documents), " +
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')) AS term FROM documents), " +
       "freq AS (SELECT term, count(*) AS c FROM toks GROUP BY 1), " +
       "total AS (SELECT sum(c) AS t FROM freq), " +
       "scored AS (SELECT term, CAST(round(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s6 " +
@@ -1009,6 +1021,9 @@ object Analytics {
       .groupBy(floor(col("l_extendedprice") / BinW).cast("long").as("bin"))
       .agg(nrows.as("c"))
     val cum = hist
+      // BOUNDEDNESS: this unpartitioned cumsum runs over the binned
+      // HISTOGRAM (price_range / BinW ≈ 1e3 rows), not lineitem — the
+      // bench-tail "No Partition Defined" WindowExec warning is deliberate.
       .withColumn(
         "cumc",
         sum("c").over(

@@ -261,12 +261,12 @@ object CorpusPrep {
   }
 
   private val dedupIncrementalSql =
-    "WITH seen AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k " +
+    "WITH seen AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS k " +
       "FROM documents WHERE doc_id < 250), " +
       "batch AS (SELECT doc_id AS batch_id, text FROM documents WHERE doc_id >= 250 " +
       "UNION ALL SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50 " +
       "UNION ALL SELECT doc_id + 2000, text FROM documents WHERE doc_id >= 250 AND doc_id < 260), " +
-      "h AS (SELECT batch_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k FROM batch), " +
+      "h AS (SELECT batch_id, md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS k FROM batch), " +
       "j AS (SELECT batch_id, k, (k IN (SELECT k FROM seen)) AS seen_dup, " +
       "row_number() OVER (PARTITION BY k ORDER BY batch_id) AS rn FROM h) " +
       "SELECT batch_id, k AS content_md5, " +
@@ -471,7 +471,7 @@ object CorpusPrep {
   private val classifyQualitySql =
     "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
       "sc AS (SELECT doc_id, count(*) AS n_tok, " +
-      s"sum(('0x' || substring(md5(tok), 1, 15))::BIGINT % $HashBuckets % 1001 - 500) AS score " +
+      s"CAST(sum(('0x' || substring(md5(tok), 1, 15))::BIGINT % $HashBuckets % 1001 - 500) AS BIGINT) AS score " +
       "FROM toks GROUP BY 1) " +
       "SELECT doc_id, n_tok, score, score > 0 AS label FROM sc ORDER BY doc_id"
 
@@ -505,6 +505,10 @@ object CorpusPrep {
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n_occ"))
+      // BOUNDEDNESS: these unpartitioned windows run AFTER groupBy(token),
+      // so the frame is |vocab| rows (distinct tokens — ~1e6-1e8 on a real
+      // corpus, a single-task sort), never |corpus| rows. The bench-tail
+      // "No Partition Defined" WindowExec warning at this site is deliberate.
       .withColumn(
         "rank",
         row_number().over(Window.orderBy(col("n_occ").desc, col("token"))).cast("long"),
@@ -521,7 +525,7 @@ object CorpusPrep {
       "rk AS (SELECT token, n_occ, row_number() OVER (ORDER BY n_occ DESC, token) AS rank, " +
       "sum(n_occ) OVER () AS t FROM cnt), " +
       "cum AS (SELECT rank, token, n_occ, t, sum(n_occ) OVER (ORDER BY rank) AS c FROM rk) " +
-      s"SELECT rank, token, n_occ, c * 1000000 // t AS cum_ppm " +
+      s"SELECT rank, token, n_occ, CAST(c * 1000000 // t AS BIGINT) AS cum_ppm " +
       s"FROM cum WHERE rank <= $VocabTopK ORDER BY rank"
 
   // ---------------------------------------------------------- html strip
@@ -596,7 +600,7 @@ object CorpusPrep {
       "FROM synth), " +
       "cleaned AS (SELECT doc_id, n_tags, trim(regexp_replace(" +
       "replace(replace(replace(replace(t, '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'), " +
-      "'\\s+', ' ', 'g')) AS clean FROM stripped) " +
+      "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS clean FROM stripped) " +
       "SELECT doc_id, n_tags, CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5 " +
       "FROM cleaned ORDER BY doc_id"
 

@@ -95,7 +95,7 @@ object Curation {
   private val decontaminateSql = {
     val bucket = Pipeline.hashBucketSql
     "WITH ws AS (SELECT doc_id, " + bucket + " AS bucket, " +
-      "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
+      "string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS w FROM documents), " +
       "grams AS (SELECT DISTINCT doc_id, bucket, " +
       "unnest(list_transform(range(1, len(w) - 3), " +
       "i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS g " +
@@ -132,7 +132,7 @@ object Curation {
 
   private val chunkTextSql =
     "WITH ws AS (SELECT doc_id, " +
-      "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
+      "string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS w FROM documents), " +
       "st AS (SELECT doc_id, w, len(w) AS n, " +
       "unnest(range(0, 1 + CASE WHEN len(w) > 32 THEN (len(w) - 9) // 24 ELSE 0 END)) AS c " +
       "FROM ws WHERE len(w) > 0) " +

@@ -241,7 +241,7 @@ object MinHashDedup {
     */
   private val clustersOracleSql: String =
     "WITH RECURSIVE " +
-      "ws AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
+      "ws AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS w FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ws WHERE len(w) >= 3), " +
       "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), " +

@@ -189,6 +189,9 @@ object Mixes {
         "rn",
         asLong(row_number().over(Window.orderBy(col("clock"), col("doc_id")))),
       )
+      // pin the DECLARED row order explicitly — without this the output
+      // order merely coincides with the single-partition window sort above
+      .orderBy("clock", "doc_id")
   }
 
   private val sampleWeightedSql =

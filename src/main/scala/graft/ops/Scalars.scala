@@ -337,7 +337,7 @@ object Scalars {
       "fn_udf_scala",
       fnUdfScala,
       Some(
-        "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm " +
+        "SELECT doc_id, lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS norm " +
           "FROM documents ORDER BY doc_id"
       ),
     ),

@@ -83,7 +83,7 @@ object SimHash {
       dedupSimhash,
       Some(
         "WITH toks AS (SELECT doc_id, " +
-          "unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok FROM documents), " +
+          "unnest(string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')) AS tok FROM documents), " +
           "h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks), " +
           "bits AS (SELECT doc_id, i, CASE WHEN sum(2 * ((h >> i) & 1) - 1) >= 0 " +
           "THEN 1::BIGINT ELSE 0::BIGINT END AS b " +

@@ -20,7 +20,10 @@ object Text {
 
   /** Normalized text: lowercase, trim, collapse whitespace runs. This is the
     * canonical form for exact dedup; mirrored in DuckDB as
-    * `lower(trim(regexp_replace(text, '\s+', ' ', 'g')))`.
+    * `lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')))`.
+    * The oracle side spells out Java's `\s` class explicitly because RE2's
+    * `\s` EXCLUDES `\x0B` (vertical tab) — a single `\x0B` in any document
+    * would otherwise diverge every downstream md5 (r4 ADVICE).
     */
   def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 
@@ -101,19 +104,51 @@ object Text {
       .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
       .distinct()
 
+  /** Shingle stream pruned to shingles appearing in >= 2 docs before the
+    * pair self-join: a doc-frequency-1 shingle can never produce a pair, and
+    * on natural text df=1 is the LONG TAIL of the shingle distribution
+    * (hapax shingles dominate distinct counts). Implemented as a count
+    * window over the join key itself — ONE exchange hash-partitioned by
+    * `sh`, whose partitioning the self-join reuses (both join inputs are
+    * this same subtree, already hash(sh)-partitioned, so at SMJ scale the
+    * prune adds ZERO exchanges and removes df=1 rows from the pair
+    * explosion). Per-doc SIZES must still count ALL shingles — callers
+    * compute sizes from the unpruned stream.
+    *
+    * Measured A/B at sf0.1 (Scratch harness, 3 passes, r5): unpruned
+    * 1.80 s / 3.1 MB shuffle; window prune 1.57 s / 21.4 MB; groupBy+
+    * semi-join prune 2.25 s / 6.9 MB. Two fixture artifacts explain the
+    * byte INCREASE here: (a) the synthetic corpus's tiny vocab makes
+    * df=1 only 207 of 260,388 shingle rows (0.08%), so there is nothing
+    * to prune, and (b) at this size AQE plans the self-join as a
+    * BROADCAST join with no sh-exchange at all, so the window's exchange
+    * is additional rather than reused — and its xxhash64 payload doesn't
+    * LZ4 like the text-token exchanges do. Both invert at natural-text
+    * scale: hapax shingles dominate and the join is SMJ, where this
+    * exchange is the join's own. A shuffle-BYTE reduction (vs compute
+    * reduction) would additionally need map-side pruning — a bloom filter
+    * of df>=2 keys applied before the exchange — which is the documented
+    * extension if the pair stage's input ever dominates at 100 TB.
+    */
+  private def pairableShingles(sh: DataFrame): DataFrame =
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") >= 2)
+      .drop("df")
+
   /** Near-duplicate pairs by exact 3-shingle Jaccard >= 0.8 on normalized
-    * text. Plan: shingle hashes → self-equi-join (a < b) → |∩| per pair →
-    * |∪| = |A|+|B|−|∩| → ratio. Only docs sharing a shingle ever pair up —
-    * no all-pairs blowup. Jaccard is a ratio of exact ints (deterministic);
-    * round(4) declared.
+    * text. Plan: shingle hashes → df>=2 prune → self-equi-join (a < b) →
+    * |∩| per pair → |∪| = |A|+|B|−|∩| → ratio. Only docs sharing a shingle
+    * ever pair up — no all-pairs blowup. Jaccard is a ratio of exact ints
+    * (deterministic); round(4) declared.
     */
   private def dedupNearJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sh = shingleHashes(docs)
     val sizes = sh.groupBy("doc_id").agg(nrows.as("n_sh"))
-    val inter = sh
+    val pairable = pairableShingles(sh)
+    val inter = pairable
       .select(col("doc_id").as("id_a"), col("sh"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh")), "sh")
+      .join(pairable.select(col("doc_id").as("id_b"), col("sh")), "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(nrows.as("n_inter"))
@@ -155,9 +190,11 @@ object Text {
     val corpus = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
     val sh = shingleHashes(corpus)
     val sizes = sh.groupBy("doc_id").agg(nrows.as("n_sh"))
+    val pairable = pairableShingles(sh) // sizes above still count ALL shingles
     val subFirst = col("n_a") <= col("n_b") // ties → id_a, which is the smaller id
-    sh.select(col("doc_id").as("id_a"), col("sh"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh")), "sh")
+    pairable
+      .select(col("doc_id").as("id_a"), col("sh"))
+      .join(pairable.select(col("doc_id").as("id_b"), col("sh")), "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(nrows.as("n_inter"))
@@ -179,12 +216,12 @@ object Text {
 
   private val dedupContainmentSql =
     "WITH ws0 AS (SELECT doc_id, " +
-      "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
+      "string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS w FROM documents), " +
       "exc AS (SELECT doc_id + 1000000000000 AS doc_id, " +
       "array_to_string(w[1:greatest(len(w)//2, 3)], ' ') AS text FROM ws0 WHERE doc_id % 20 = 0), " +
       "corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM exc), " +
       "ws AS (SELECT doc_id, " +
-      "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM corpus), " +
+      "string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS w FROM corpus), " +
       "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ws WHERE len(w) >= 3), " +
       "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), " +
@@ -287,7 +324,7 @@ object Text {
     */
   val nearJaccardOracleSql: String =
     "WITH ws AS (SELECT doc_id, " +
-      "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w FROM documents), " +
+      "string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS w FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ws WHERE len(w) >= 3), " +
       "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), " +
@@ -304,7 +341,7 @@ object Text {
       "dedup_exact_norm",
       dedupExactNorm,
       Some(
-        "SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_md5, " +
+        "SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS norm_md5, " +
           "min(doc_id) AS keep_id, count(*) AS n_copies " +
           "FROM documents GROUP BY 1 ORDER BY keep_id"
       ),

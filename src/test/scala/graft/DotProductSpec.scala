@@ -54,6 +54,40 @@ class DotProductSpec extends SparkSpec {
     assert(expr.eval(null) == 11.0)
   }
 
+  test("generated code compiles over NON-nullable inputs (nullable must not derive from children)") {
+    // Both kernels can return NULL regardless of child nullability (length
+    // mismatch / empty array). Pre-fix they inherited nullable=false from
+    // non-nullable children, so codegen emitted `false = true;` — janino
+    // CompileException → silent interpreter fallback (observed 4× in the r4
+    // test log via KnnSpec's non-nullable array frames). GenerateUnsafeProjection
+    // compiles directly with NO fallback path, so a regression throws here.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val fat = ArrayType(FloatType, containsNull = false)
+    val dot = DotProduct(
+      BoundReference(0, fat, nullable = false),
+      BoundReference(1, fat, nullable = false),
+    )
+    assert(dot.nullable, "DotProduct can return NULL; nullable must be true")
+    val dotProj = GenerateUnsafeProjection.generate(Seq(dot))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1.0f, 2.0f)),
+      ArrayData.toArrayData(Array(3.0f, 4.0f)),
+    )
+    assert(dotProj(row).getDouble(0) == 11.0)
+
+    import graft.functions.MinHashSig
+    val lat = ArrayType(LongType, containsNull = false)
+    val sig = MinHashSig(BoundReference(0, lat, nullable = false), 4)
+    assert(sig.nullable, "MinHashSig can return NULL (empty array); nullable must be true")
+    val sigProj = GenerateUnsafeProjection.generate(Seq(sig))
+    val sigRow = InternalRow(ArrayData.toArrayData(Array(7L, 9L)))
+    assert(sigProj(sigRow).getArray(0).numElements() == 4)
+  }
+
   test("null semantics match the HOF fold: length mismatch and null elements give NULL") {
     GraftFunctions.register(spark)
     val df = Seq(

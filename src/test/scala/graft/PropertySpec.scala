@@ -169,7 +169,11 @@ class PropertySpec extends SparkSpec {
     sessions.foreach { case (t0, t1) =>
       ((t0 / 60000L) to (t1 / 60000L)).foreach(m => perMinute(m) += 1)
     }
-    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(java.time.ZoneOffset.UTC)
+    // Day bucketing must follow the SESSION timezone (the query's date_trunc /
+    // date_format do) — hardcoding UTC would silently miscount days if the
+    // harness ever unpinned spark.sql.session.timeZone (r4 ADVICE).
+    val sessionZone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(sessionZone)
     val expected = perMinute.toSeq
       .groupBy { case (m, _) => fmt.format(java.time.Instant.ofEpochMilli(m * 60000L)) }
       .map { case (day, ms) => day -> ((ms.map(_._2).max, ms.length.toLong)) }

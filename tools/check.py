@@ -1,35 +1,66 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's correctness gate (dev loop only).
 
-Usage: python3 tools/check.py <verify_outdir> <sf_dir>
+Usage: python3 tools/check.py <verify_outdir> <sf_dir> [key_substr]
 
 Reads each Spark result parquet written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB against the raw test tables, and
-compares: columns sorted by name, rows sorted by all columns, exact value
-equality (with a tiny float tolerance report so we can see *how* far off a
-mismatch is).
+compares the two the way the DRIVER does: both sides materialized through
+pandas `fetchdf()` (so DuckDB HUGEINT -> float64 and other dtype coercions
+are VISIBLE, not masked), columns sorted by name, dtypes compared per
+column, rows sorted, exact value equality. Round-4 lesson: a fetchall()
+mirror passed two queries the driver failed because DuckDB sum(BIGINT)
+returns HUGEINT which pandas fetches as float64 while Spark's parquet is
+int64 — the dtype gate below fails on exactly that.
 """
 import sys, json, glob, math
+import numpy as np
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm_cell(v):
+    # pandas hands back numpy scalars; unwrap to python for stable repr
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)  # full precision repr — bit-level compare for doubles
     return repr(v)
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
+def canon(df):
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    rows.sort()
+    return cols, rows
+
+# Oracle result types that pandas fetchdf() coerces to a dtype Spark will
+# never emit — hash-mismatch guaranteed even when every VALUE is identical.
+# HUGEINT/UHUGEINT -> float64 (the r4 classify_quality/vocab_coverage bug);
+# DECIMAL -> object/float64 (the r1 lesson, SURVEY §2.0 rule 6); unsigned
+# ints have no Spark counterpart.
+BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UTINYINT",
+                    "USMALLINT", "UINTEGER", "UBIGINT")
+
+def lint_oracle_types(con, name, sql):
+    """Static type lint: DESCRIBE binds the oracle's output schema without
+    executing it, so a sum(BIGINT)->HUGEINT slip fails FAST with the column
+    named, before any comparison runs (r4 VERDICT #6)."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:
+        return [f"describe error: {e}"]
+    return [f"{col}: {typ} — cast the oracle expression "
+            f"(e.g. CAST(... AS BIGINT/DOUBLE))"
+            for col, typ, *_ in desc
+            if any(t in typ.upper() for t in BAD_ORACLE_TYPES)]
 
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
+    key_filter = sys.argv[3] if len(sys.argv) > 3 else None
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
@@ -37,42 +68,55 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if key_filter and key_filter not in name:
+            continue
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        lint = lint_oracle_types(con, name, sql)
+        if lint:
+            print(f"FAIL {name}: oracle type lint: " + "; ".join(lint))
+            n_fail += 1
+            continue
         try:
-            sp = con.execute(
-                "SELECT * FROM read_parquet(?)", [files]).fetchall()
-            sp_cols = [d[0] for d in con.description]
-            du = con.execute(sql).fetchall()
-            du_cols = [d[0] for d in con.description]
+            sp_df = con.execute(
+                "SELECT * FROM read_parquet(?)", [files]).fetchdf()
+            du_df = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
         # the driver's pandas comparator CRASHES on list-typed cells
-        # (unhashable numpy.ndarray, round-2 lesson) — our repr() canon
-        # would mask that, so fail loudly instead. Scan EVERY row: a NULL
-        # in row 0 of an array column would otherwise slip through.
-        complex_cols = set()
-        for row in sp:
-            for c, v in zip(sp_cols, row):
-                if isinstance(v, (list, tuple, dict)):
-                    complex_cols.add(c)
-        complex_cells = sorted(complex_cols)
-        if complex_cells:
-            print(f"FAIL {name}: complex-typed columns {complex_cells} — "
+        # (unhashable numpy.ndarray, round-2 lesson) — fail loudly instead.
+        complex_cols = sorted(
+            c for c in sp_df.columns
+            if any(isinstance(v, (list, tuple, dict, np.ndarray))
+                   for v in sp_df[c]))
+        if complex_cols:
+            print(f"FAIL {name}: complex-typed columns {complex_cols} — "
                   "driver checker cannot hash these; flatten with concat_ws")
             n_fail += 1
             continue
-        sc, sr = canon(sp, sp_cols)
-        dc, dr = canon(du, du_cols)
+        sc, dc = sorted(sp_df.columns), sorted(du_df.columns)
         if sc != dc:
             print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
             n_fail += 1
             continue
+        # dtype gate — the driver hashes value BYTES per dtype, so an int64
+        # Spark column vs a float64 oracle column hash-mismatches even when
+        # every value is numerically identical (HUGEINT lesson).
+        dt_bad = [(c, str(sp_df[c].dtype), str(du_df[c].dtype))
+                  for c in sc if sp_df[c].dtype != du_df[c].dtype]
+        if dt_bad:
+            print(f"FAIL {name}: dtypes differ (spark vs oracle): " +
+                  ", ".join(f"{c}: {a} vs {b}" for c, a, b in dt_bad) +
+                  "  — cast the oracle expression (e.g. CAST(sum(..) AS BIGINT))")
+            n_fail += 1
+            continue
+        _, sr = canon(sp_df)
+        _, dr = canon(du_df)
         if len(sr) != len(dr):
             print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
             n_fail += 1
