@@ -129,6 +129,13 @@ object Text {
     * reduction) would additionally need map-side pruning — a bloom filter
     * of df>=2 keys applied before the exchange — which is the documented
     * extension if the pair stage's input ever dominates at 100 TB.
+    *
+    * The window's exchange plays a second, load-bearing role: it is the
+    * MATERIALIZATION POINT AQE stage reuse dedups across the self-join's
+    * two references. The callers' shingle subtree is pure map-side
+    * (shingleHashArrays), so without a shuffle stage here each join side
+    * would re-shingle the whole corpus — measured 3.2-3.7 s vs 1.9-2.1 s
+    * at sf0.1 with the window removed.
     */
   private def pairableShingles(sh: DataFrame): DataFrame =
     sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
@@ -143,18 +150,30 @@ object Text {
     */
   private def dedupNearJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sh = shingleHashes(docs)
-    val sizes = sh.groupBy("doc_id").agg(nrows.as("n_sh"))
+    // Doc-grain arrays keep BOTH the per-doc distinct and the sizes entirely
+    // map-side: explode(array_distinct(..)) needs no global distinct()
+    // exchange (uniqueness within a doc is the only uniqueness the pair
+    // join needs), and |shingles| = size(shs) needs no groupBy exchange.
+    // The only pre-join exchange left is the df>=2 window's hash(sh).
+    val arr = shingleHashArrays(docs)
+    // n_sh rides ALONG each stream row (8 B) instead of being a separate
+    // sizes frame: a pure map-side subtree has no shuffle stage for AQE to
+    // reuse, so a separate sizes frame would re-shingle the corpus once per
+    // reference (2 sizes broadcasts + 2 join sides = 4 full recomputes —
+    // measured 2.2 s vs 1.5 s at sf0.1). Constant-per-group, so min() in
+    // the pair aggregate recovers it exactly.
+    val sh = arr.select(
+      col("doc_id"),
+      size(col("shs")).cast("long").as("n_sh"),
+      explode(col("shs")).as("sh"),
+    )
     val pairable = pairableShingles(sh)
-    val inter = pairable
-      .select(col("doc_id").as("id_a"), col("sh"))
-      .join(pairable.select(col("doc_id").as("id_b"), col("sh")), "sh")
+    pairable
+      .select(col("doc_id").as("id_a"), col("n_sh").as("na"), col("sh"))
+      .join(pairable.select(col("doc_id").as("id_b"), col("n_sh").as("nb"), col("sh")), "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(nrows.as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .agg(nrows.as("n_inter"), min("na").as("n_a"), min("nb").as("n_b"))
       .withColumn(
         "jaccard",
         round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 4),
@@ -188,18 +207,22 @@ object Text {
         ).as("text"),
       )
     val corpus = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
-    val sh = shingleHashes(corpus)
-    val sizes = sh.groupBy("doc_id").agg(nrows.as("n_sh"))
-    val pairable = pairableShingles(sh) // sizes above still count ALL shingles
+    // same map-side array shape + rode-along n_sh as dedup_near_jaccard:
+    // no distinct()/groupBy exchanges, no sizes joins (see that scaladoc)
+    val arr = shingleHashArrays(corpus)
+    val sh = arr.select(
+      col("doc_id"),
+      size(col("shs")).cast("long").as("n_sh"),
+      explode(col("shs")).as("sh"),
+    )
+    val pairable = pairableShingles(sh) // n_sh still counts ALL shingles
     val subFirst = col("n_a") <= col("n_b") // ties → id_a, which is the smaller id
     pairable
-      .select(col("doc_id").as("id_a"), col("sh"))
-      .join(pairable.select(col("doc_id").as("id_b"), col("sh")), "sh")
+      .select(col("doc_id").as("id_a"), col("n_sh").as("na"), col("sh"))
+      .join(pairable.select(col("doc_id").as("id_b"), col("n_sh").as("nb"), col("sh")), "sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(nrows.as("n_inter"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .agg(nrows.as("n_inter"), min("na").as("n_a"), min("nb").as("n_b"))
       .withColumn(
         "containment",
         round(col("n_inter").cast("double") / least(col("n_a"), col("n_b")), 4),
