@@ -31,6 +31,36 @@ object GraftFunctions {
           children.lift(1).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(128),
         ),
     ),
+    // Spark's OWN runtime-filter expressions, which the optimizer injects
+    // but the public registry doesn't expose: surfacing them lets plans
+    // build explicit semi-join bloom prunes (Text.pairableShinglesBloom)
+    // with the exact sketch the engine trusts for its runtime filters —
+    // no custom bloom implementation to get wrong.
+    (
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg",
+      ),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0),
+          children(1),
+          children(2),
+        ),
+    ),
+    (
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain",
+      ),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0),
+          children(1),
+        ),
+    ),
   )
 
   def register(spark: SparkSession): Unit =
