@@ -423,7 +423,50 @@ object Events {
       "round(CAST(sum(CAST(pval AS DECIMAL(28,2))) AS DOUBLE), 4) AS attributed_value " +
       "FROM att GROUP BY 1 ORDER BY channel"
 
+  /** Forward-fill (last-observation-carried-forward) imputation — the
+    * standard time-series gap repair before feature extraction. The corpus
+    * has no natural NULLs [DATA], so every 5th event's value is nulled
+    * deterministically (the plant-then-repair pattern of text_pii_redact /
+    * dedup_containment), then repaired with `last(ignoreNulls)` over an
+    * UNBOUNDED PRECEDING row frame per user. Leading gaps (a user's first
+    * events) legitimately stay NULL — both engines agree. The window
+    * partitions by user_id, so at 100 TB the frame is one user's history,
+    * never the corpus; `value` doubles are copied bit-exact, never
+    * recomputed, so no determinism surface exists.
+    */
+  private def tsForwardFill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("etime", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("etime"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")).as("v"),
+      )
+      .withColumn("value_filled", last("v", ignoreNulls = true).over(w))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("value_filled"),
+        col("v").isNull.as("was_gap"),
+      )
+      .orderBy("event_id")
+  }
+
+  private val tsForwardFillSql =
+    "WITH e AS (SELECT event_id, user_id, ts AS etime, " +
+      "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v FROM events) " +
+      "SELECT event_id, user_id, " +
+      "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY etime, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled, " +
+      "v IS NULL AS was_gap FROM e ORDER BY event_id"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("ts_forward_fill", tsForwardFill, Some(tsForwardFillSql)),
     QueryDef(
       "ts_max_concurrency",
       tsMaxConcurrency,

@@ -230,7 +230,42 @@ object Mixes {
       "CAST(row_number() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS BIGINT) AS rn " +
       "FROM p QUALIFY rn <= 4 ORDER BY lang, rn"
 
+  /** Deterministic per-epoch shuffle order — the data-loader side of a
+    * training pipeline: epoch e visits documents in the order of a
+    * seedless pseudo-random permutation, different per epoch, identical
+    * across reruns/workers (hash arithmetic, no RNG state). Position is a
+    * rank over hash52("ep#", epoch#doc_id) within the epoch; any worker
+    * can compute its own shard's positions map-side and the global order
+    * needs no coordination. The per-epoch window at fixture scale is the
+    * whole corpus; at 100 TB the rank becomes a sort key for a
+    * repartitionByRange write (the sink_range_layout path) rather than a
+    * materialized row_number — the HASH, not the window, is the portable
+    * contract.
+    */
+  private def sampleEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val prio = hash52("ep#", concat_ws("#", col("epoch"), col("doc_id")))
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(array(lit(0L), lit(1L), lit(2L))).as("epoch"))
+      .withColumn("prio", prio)
+      .withColumn(
+        "position",
+        asLong(row_number().over(Window.partitionBy("epoch").orderBy(col("prio"), col("doc_id")))),
+      )
+      .select("epoch", "doc_id", "prio", "position")
+      .orderBy("epoch", "position")
+  }
+
+  private val sampleEpochShuffleSql =
+    "WITH d AS (SELECT doc_id, unnest([0, 1, 2]) AS epoch FROM documents), " +
+      s"p AS (SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, " +
+      s"${hash52Sql("ep#", "(epoch || '#' || doc_id)")} AS prio FROM d) " +
+      "SELECT epoch, doc_id, prio, " +
+      "CAST(row_number() OVER (PARTITION BY epoch ORDER BY prio, doc_id) AS BIGINT) AS position " +
+      "FROM p ORDER BY epoch, position"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("sample_epoch_shuffle", sampleEpochShuffle, Some(sampleEpochShuffleSql)),
     QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
     QueryDef("embed_quantize_int8", embedQuantizeInt8, Some(embedQuantizeInt8Sql)),

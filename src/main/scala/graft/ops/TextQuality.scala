@@ -316,8 +316,54 @@ object TextQuality {
       "SELECT doc_id, n_tokens, quality, pred_lang FROM c " +
       s"WHERE quality >= $CurationMinQuality AND pred_lang = lang ORDER BY doc_id"
 
+  /** Character-level Shannon entropy per document — the classic
+    * gibberish/boilerplate signal (natural prose sits ~4.0-4.5 bits/char;
+    * key-mash and repeated-char spam fall far below, base64/random blobs
+    * push toward log2(alphabet)). Plan: explode to chars → per-(doc, char)
+    * counts → per-doc window total → one term per distinct char →
+    * DECIMAL(18,7) exact sum. Cross-engine determinism: each term
+    * round(-(c/n)·log2(c/n), 7) rounds ONE transcendental product to a grid
+    * ~1e6 coarser than the engines' ULP disagreement (the
+    * unigram-surprisal class), and the term SUM is exact decimal — order
+    * free. Entropy ≤ log2(|alphabet|) ≈ 7 bits ⇒ ≤ 7e7 grid units, exact in
+    * the final double. The per-doc window is |distinct chars per doc| rows
+    * — bounded by the alphabet, not the corpus.
+    */
+  private def textCharEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val p = col("c").cast("double") / col("n").cast("double")
+    Tables
+      .documents(s, dir)
+      // Java split("") yields single chars (no empties on non-empty input);
+      // the length guard also drops any empty-text row
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy("doc_id", "ch")
+      .agg(graft.Qf.nrows.as("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+      .withColumn("t", round(-p * log2(p), 7).cast(DecimalType(18, 7)))
+      .groupBy("doc_id")
+      .agg(
+        max("n").as("n_chars"),
+        graft.Qf.nrows.as("n_distinct_chars"),
+        sum("t").cast(DoubleType).as("entropy_bits"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val textCharEntropySql =
+    "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents WHERE length(text) > 0), " +
+      "f AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2), " +
+      "w AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM f), " +
+      "t AS (SELECT doc_id, n, CAST(round(-(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) " +
+      "* log2(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)), 7) AS DECIMAL(18,7)) AS t FROM w) " +
+      "SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars, count(*) AS n_distinct_chars, " +
+      "CAST(sum(t) AS DOUBLE) AS entropy_bits FROM t GROUP BY doc_id ORDER BY doc_id"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("text_quality", textQuality, Some(qualitySql)),
+    QueryDef("text_char_entropy", textCharEntropy, Some(textCharEntropySql)),
     QueryDef(
       "text_token_count",
       textTokenCount,

@@ -155,4 +155,33 @@ class MixesSpec extends SparkSpec {
       .toSet
     assert(merged2 == whole2, "per-stratum bottom-k must merge losslessly across shards")
   }
+
+  test("sample_epoch_shuffle: each epoch is a dense permutation, epochs genuinely differ") {
+    val out = SparkEntry.queries("sample_epoch_shuffle")(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val byEpoch = out.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (e, rows) =>
+      // positions are exactly 1..n (a permutation of the corpus)
+      assert(rows.map(_.getAs[Long]("position")).sorted.toSeq == (1L to nDocs),
+        s"epoch $e positions are not dense 1..$nDocs")
+      assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == nDocs.toInt)
+    }
+    // different epochs visit docs in different orders (the whole point);
+    // identical orders would mean the epoch salt is not reaching the hash
+    def order(e: Long) =
+      byEpoch(e).sortBy(_.getAs[Long]("position")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(order(0L) != order(1L) && order(1L) != order(2L))
+    // and a doc's position is shard-computable: re-deriving the rank of one
+    // doc from the hash alone matches the declared position
+    val e1 = byEpoch(1L)
+    val target = e1.minBy(_.getAs[Long]("position"))
+    val tOrd = (target.getAs[Long]("prio"), target.getAs[Long]("doc_id"))
+    assert(
+      e1.count { r =>
+        val o = (r.getAs[Long]("prio"), r.getAs[Long]("doc_id"))
+        Ordering[(Long, Long)].lt(o, tOrd)
+      } == 0,
+      "position-1 doc must have the minimal (prio, doc_id)")
+  }
 }
