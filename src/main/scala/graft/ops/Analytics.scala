@@ -624,6 +624,119 @@ object Analytics {
       "ORDER BY g.user_id, g.hr"
 
   // ------------------------------------------------------------------
+  // dq_drift_psi — population-stability drift between time halves
+  // ------------------------------------------------------------------
+
+  /** Population Stability Index of the order-price distribution between an
+    * early period (orderdate < 1998-01-01) and a late one — the standard
+    * production check for "has the data feeding this model drifted?".
+    * Per 50k-wide price bin: contrib = (pA − pB)·ln(pA / pB); PSI = Σ
+    * contrib (>0.2 conventionally = action). Declared at BIN grain (bin,
+    * counts, shares, contrib) — richer than the scalar and each row's
+    * determinism is one round-7 of a single transcendental product over
+    * exact-int shares (the unigram-surprisal class); the scalar PSI is the
+    * oracle-side sum of the same grid values if a consumer wants it.
+    * Bins empty on either side are reported with NULL contrib rather than
+    * smoothed — smoothing constants are a modeling choice, not engine
+    * semantics. Two single-scan aggregates (one per period) on bounded
+    * |bins| frames; scales as one pass over orders at any size.
+    */
+  private def dqDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables
+      .orders(s, dir)
+      .select(
+        (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("early"),
+        floor(col("o_totalprice") / 50000).cast("long").as("bin"),
+      )
+    val counts = ord
+      .groupBy("bin")
+      .agg(
+        sum(when(col("early"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("n_b"),
+      )
+    val tot = counts.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    val pA = col("n_a").cast("double") / col("ta").cast("double")
+    val pB = col("n_b").cast("double") / col("tb").cast("double")
+    counts
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("p_a", round(pA, 7))
+      .withColumn("p_b", round(pB, 7))
+      .withColumn(
+        "contrib",
+        when(
+          col("n_a") > 0 && col("n_b") > 0,
+          round((pA - pB) * log(pA / pB), 7),
+        ),
+      )
+      .select("bin", "n_a", "n_b", "p_a", "p_b", "contrib")
+      .orderBy("bin")
+  }
+
+  private val dqDriftPsiSql =
+    "WITH o AS (SELECT o_orderdate < TIMESTAMP '1998-01-01' AS early, " +
+      "CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin FROM orders), " +
+      "c AS (SELECT bin, CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+      "CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS n_b FROM o GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM c) " +
+      "SELECT bin, n_a, n_b, " +
+      "round(CAST(n_a AS DOUBLE) / ta, 7) AS p_a, " +
+      "round(CAST(n_b AS DOUBLE) / tb, 7) AS p_b, " +
+      "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+      "round((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb) " +
+      "* ln((CAST(n_a AS DOUBLE) / ta) / (CAST(n_b AS DOUBLE) / tb)), 7) END AS contrib " +
+      "FROM c, t ORDER BY bin"
+
+  // ------------------------------------------------------------------
+  // ts_outlier_mad — robust (median/MAD) outlier flags per event type
+  // ------------------------------------------------------------------
+
+  /** Robust outlier detection: flag events whose value deviates from the
+    * per-type median by more than 3× the Median Absolute Deviation — the
+    * standard alternative to z-scores when the data itself may contain the
+    * outliers being hunted (mean/stddev get dragged by them, median/MAD
+    * don't). Two exact-percentile aggregates (median of values, then
+    * median of |value − med|) on the bounded |event_type| frame, broadcast
+    * back to the stream — the event table is scanned, never shuffled on
+    * value. Determinism: exact interpolated percentiles over identical
+    * doubles agree bit-for-bit (the agg_percentile_exact idiom); med/mad
+    * are DECLARED at round(4) and the flag compares the same rounded
+    * values on both engines, so the decision boundary is grid-aligned,
+    * not ULP-aligned.
+    */
+  private def tsOutlierMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val med = ev
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val withDev = ev
+      .join(broadcast(med), "event_type")
+      .withColumn("dev", round(abs(col("value") - col("med")), 4))
+    val mad = withDev
+      .groupBy("event_type")
+      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+    withDev
+      .join(broadcast(mad), "event_type")
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        col("med"),
+        col("mad"),
+        (col("dev") > col("mad") * 3).as("is_outlier"),
+      )
+      .orderBy("event_id")
+  }
+
+  private val tsOutlierMadSql =
+    "WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med " +
+      "FROM events GROUP BY 1), " +
+      "d AS (SELECT event_id, e.event_type, value, med, round(abs(value - med), 4) AS dev " +
+      "FROM events e JOIN med USING (event_type)), " +
+      "mad AS (SELECT event_type, round(quantile_cont(dev, 0.5), 4) AS mad FROM d GROUP BY 1) " +
+      "SELECT event_id, d.event_type, value, med, mad, dev > mad * 3 AS is_outlier " +
+      "FROM d JOIN mad USING (event_type) ORDER BY event_id"
+
+  // ------------------------------------------------------------------
   // dq_expectations — Deequ-style data-quality checks
   // ------------------------------------------------------------------
 
@@ -1153,6 +1266,8 @@ object Analytics {
     QueryDef("ts_period_over_period", tsPeriodOverPeriod, Some(tsPeriodOverPeriodSql)),
     QueryDef("ts_gap_fill", tsGapFill, Some(tsGapFillSql)),
     QueryDef("dq_expectations", dqExpectations, Some(dqExpectationsSql)),
+    QueryDef("dq_drift_psi", dqDriftPsi, Some(dqDriftPsiSql)),
+    QueryDef("ts_outlier_mad", tsOutlierMad, Some(tsOutlierMadSql)),
     QueryDef("embed_centroid_dist", embedCentroidDist, Some(embedCentroidDistSql)),
     QueryDef("embed_mean_center", embedMeanCenter, Some(embedMeanCenterSql)),
     QueryDef("embed_top_component", embedTopComponent, Some(embedTopComponentSql)),

@@ -465,7 +465,55 @@ object Events {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled, " +
       "v IS NULL AS was_gap FROM e ORDER BY event_id"
 
+  /** Exponentially weighted moving average of event values per user —
+    * the feature-engineering staple (recency-weighted signal). The
+    * textbook recursive form (ewma_t = αx + (1−α)ewma_{t−1}) cannot be
+    * declared cross-engine (infinite memory, error accumulation), so this
+    * is the K-term truncated form every feature store actually ships:
+    * ewma = Σ_{k=0..8} w_k·x_{t−k} / Σ w_k over PRESENT terms, with
+    * α = 1/2 so w_k = 2^−k — a pure exponent shift that scales any double
+    * EXACTLY. Each product is therefore the input's bit pattern shifted,
+    * and both engines evaluate the 9-term sum in the same written
+    * left-to-right order (FP addition is non-associative, so neither
+    * engine reassociates) — bit-identical with NO rounding grid at all,
+    * the only declared double in the catalog that needs none. Truncation
+    * bias vs the infinite form is ≤ 2^−9 of the weight mass, a modeling
+    * constant, not an engine artifact. lag windows per user: one
+    * hash(user_id) exchange at any scale.
+    */
+  private def winEwma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("etime", "event_id")
+    val terms = (0 to 8).map { k =>
+      val x = if (k == 0) col("value") else lag(col("value"), k).over(w)
+      (x, lit(math.pow(0.5, k + 1.0))) // w_k = 2^-(k+1); exact double
+    }
+    val num = terms.map { case (x, wk) => coalesce(x * wk, lit(0.0)) }.reduceLeft(_ + _)
+    val den = terms.map { case (x, wk) => when(x.isNotNull, wk).otherwise(lit(0.0)) }.reduceLeft(_ + _)
+    Tables
+      .events(s, dir)
+      .select(col("event_id"), col("user_id"), col("etime"), col("value"))
+      .withColumn("ewma", num / den)
+      .select("event_id", "user_id", "value", "ewma")
+      .orderBy("event_id")
+  }
+
+  private val winEwmaSql = {
+    val terms = (0 to 8).map { k =>
+      val x = if (k == 0) "value" else s"lag(value, $k) OVER w"
+      val wk = s"power(2.0, ${-(k + 1)})"
+      (x, wk)
+    }
+    val num = terms.map { case (x, wk) => s"coalesce(($x) * $wk, 0.0)" }.mkString(" + ")
+    val den = terms.map { case (x, wk) => s"CASE WHEN ($x) IS NOT NULL THEN $wk ELSE 0.0 END" }
+      .mkString(" + ")
+    "SELECT event_id, user_id, value, " +
+      s"($num) / ($den) AS ewma " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+      "ORDER BY event_id"
+  }
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("win_ewma", winEwma, Some(winEwmaSql)),
     QueryDef("ts_forward_fill", tsForwardFill, Some(tsForwardFillSql)),
     QueryDef(
       "ts_max_concurrency",

@@ -439,7 +439,46 @@ object Text {
       "WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8 " +
       "ORDER BY id_a, id_b"
 
+  /** Prefix n-gram novelty per document: the fraction of a doc's distinct
+    * 3-shingles not seen in ANY lower-id document — the curriculum /
+    * incremental-crawl signal ("how much new content does this doc add?").
+    * A sequential-sounding definition made relational: first-seer = min
+    * (doc_id) per shingle (count window's sibling over the same hash(sh)
+    * partitioning as the near-dup prune), then one per-doc aggregate. Two
+    * exchanges total at any corpus size; the rode-along n_sh keeps the
+    * map-side shingle subtree single-evaluation (same trick as
+    * dedup_near_jaccard). Novelty is a round(4) ratio of exact ints.
+    */
+  private def textNovelty(s: SparkSession, dir: String): DataFrame = {
+    val arr = shingleHashArrays(Tables.documents(s, dir))
+    val sh = arr.select(
+      col("doc_id"),
+      size(col("shs")).cast("long").as("n_sh"),
+      explode(col("shs")).as("sh"),
+    )
+    sh.withColumn("first_doc", min("doc_id").over(Window.partitionBy("sh")))
+      .groupBy("doc_id")
+      .agg(
+        min("n_sh").as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"),
+      )
+      .withColumn("novelty", round(col("n_novel").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
+  private val textNoveltySql =
+    "WITH ws AS (SELECT doc_id, " +
+      "string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ws WHERE len(w) >= 3), " +
+      "f AS (SELECT doc_id, s, min(doc_id) OVER (PARTITION BY s) AS first_doc FROM sh) " +
+      "SELECT doc_id, count(*) AS n_grams, " +
+      "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+      "round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty " +
+      "FROM f GROUP BY doc_id ORDER BY doc_id"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("text_novelty", textNovelty, Some(textNoveltySql)),
     QueryDef(
       "dedup_exact_norm",
       dedupExactNorm,

@@ -398,4 +398,71 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("dq_drift_psi: bins partition orders, shares normalize, every PSI term is non-negative") {
+    val out = SparkEntry.queries("dq_drift_psi")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(out.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum == nOrders,
+      "every order must land in exactly one (bin, period) cell")
+    // rounded shares sum to 1 within grid slack (one round-7 per bin)
+    val slack = out.length * 5e-8
+    assert(math.abs(out.map(_.getAs[Double]("p_a")).sum - 1.0) < slack)
+    assert(math.abs(out.map(_.getAs[Double]("p_b")).sum - 1.0) < slack)
+    // (pA-pB)·ln(pA/pB) >= 0 always — both factors share sign; a negative
+    // contrib means the formula (not the data) is wrong
+    out.filterNot(_.isNullAt(out.head.fieldIndex("contrib"))).foreach { r =>
+      assert(r.getAs[Double]("contrib") >= 0.0, s"bin ${r.getAs[Long]("bin")} negative PSI term")
+    }
+  }
+
+  test("ts_outlier_mad: flag recomputes from declared med/mad; medians behave like medians") {
+    val out = SparkEntry.queries("ts_outlier_mad")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val dev = BigDecimal(math.abs(r.getAs[Double]("value") - r.getAs[Double]("med")))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Boolean]("is_outlier") == (dev > r.getAs[Double]("mad") * 3),
+        s"event ${r.getAs[Long]("event_id")}: flag disagrees with declared med/mad")
+    }
+    // median-of-deviations property: within each type, at least half the
+    // events sit at dev <= mad, so outliers (dev > 3*mad) are a minority
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (et, rows) =>
+      val n = rows.length
+      assert(rows.count(_.getAs[Boolean]("is_outlier")) <= n / 2, s"$et: outliers not a minority")
+    }
+  }
+
+  test("win_ewma: first event per user equals its value; ewma bounded by lookback extremes") {
+    val out = SparkEntry.queries("win_ewma")(spark, sfDir).collect()
+    // independent in-memory recompute of the whole declared surface
+    val raw = Tables
+      .events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("etime"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.sql.Timestamp](2).getTime, r.getDouble(3)))
+    val expected = raw
+      .groupBy(_._2)
+      .iterator
+      .flatMap { case (_, evs) =>
+        val ordered = evs.sortBy(e => (e._3, e._1)).map(e => (e._1, e._4))
+        ordered.indices.map { i =>
+          val look = (0 to 8).flatMap { k =>
+            if (i - k >= 0) Some(ordered(i - k)._2 * math.pow(0.5, k + 1.0)) else None
+          }
+          val den = (0 to 8).flatMap { k =>
+            if (i - k >= 0) Some(math.pow(0.5, k + 1.0)) else None
+          }
+          ordered(i)._1 -> look.foldLeft(0.0)(_ + _) / den.foldLeft(0.0)(_ + _)
+        }
+      }
+      .toMap
+    assert(out.length == raw.length)
+    out.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      // bit-exact: the 2^-k weights make every product an exponent shift
+      // and both sides sum in the same order
+      assert(r.getAs[Double]("ewma") == expected(id), s"event $id ewma recompute")
+    }
+  }
 }

@@ -250,6 +250,27 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-9, s"recompute $expected vs declared $got")
   }
 
+  test("text_novelty: first doc fully novel, novel counts partition the shingle universe") {
+    val out = SparkEntry.queries("text_novelty")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams"))
+    }
+    // the lowest-id doc can have seen nothing before it
+    val first = out.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Double]("novelty") == 1.0, "lowest-id doc must be 100% novel")
+    // every distinct shingle has exactly one first-seer, so novel counts
+    // sum to the size of the distinct shingle universe
+    val universe = ops.Text
+      .shingleHashArrays(Tables.documents(spark, sfDir))
+      .select(explode(col("shs")).as("sh"))
+      .distinct()
+      .count()
+    assert(out.map(_.getAs[Long]("n_novel")).sum == universe)
+  }
+
   test("attribution_last_touch: buckets partition purchases; recompute matches exactly") {
     val evs = Tables
       .events(spark, sfDir)
