@@ -1,0 +1,99 @@
+package graft
+
+/** Superlinear-shuffle regression gate: the quantitative form of "would
+  * this plan survive 100 TB". For each probe query, shuffle-WRITE bytes
+  * are measured at sf0.01 and sf0.1 (rows grow 10× for every probed
+  * table) and the growth ratio must stay within a constant factor of
+  * linear. A plan whose shuffle grows ~quadratically (an accidental
+  * pair blowup, a lost broadcast, a distinct() over a product) passes
+  * every fixed-sf correctness test and still dies at scale — THIS is the
+  * test that catches it, engine-side, before a cluster does.
+  *
+  * Byte counts (unlike times) are pass-invariant on this host, so the
+  * gate is stable under throttling (the Bench.scala observation).
+  *
+  * Bound: ratio <= 3× linear. Linear-with-overhead plans measure well
+  * under this (constant-size exchange headers amortize UP with scale, so
+  * ratios usually land BELOW linear); 3× headroom keeps the gate from
+  * flaking on per-partition framing while still failing anything
+  * genuinely superlinear (a quadratic component would show ~100× here).
+  */
+class ScalingLawSpec extends SparkSpec {
+
+  private val SfSmall = "/root/testdata/sf0.01"
+  private val SfBig = "/root/testdata/sf0.1"
+  private val RowRatio = 10.0
+
+  /** (query, why it is a scale risk worth gating). All gated at 3×-linear. */
+  private val probes: Seq[(String, String)] = Seq(
+    "dedup_minhash_lsh" -> "banded LSH candidates: quadratic if banding degrades to all-pairs",
+    "dedup_clusters" -> "iterative label propagation: superlinear if the working set stops shrinking",
+    "agg_groupby_pricing" -> "the headline agg: partial aggregation must keep the exchange at group-cardinality, not row-cardinality",
+    "join_multiway_star" -> "star join: dimension sides must stay broadcast/small as the fact grows",
+    "win_topk_per_group" -> "per-group top-k: rank pruning must bound the exchange",
+    "text_tfidf_topk" -> "explode + two-level agg: vocabulary-bounded joins must not inherit corpus cardinality",
+    "text_novelty" -> "first-seer window over the shingle universe: linear in distinct shingles by design",
+    "win_ewma" -> "per-user lag windows: one hash(user) exchange, linear by construction",
+  )
+
+  test("shuffle bytes grow at most 3x-linear from sf0.01 to sf0.1 for scale-risk probes") {
+    val report = probes.map { case (name, why) =>
+      val fn = SparkEntry.queries(name)
+      val small = shuffleBytes(fn(spark, SfSmall).collect())
+      val big = shuffleBytes(fn(spark, SfBig).collect())
+      val ratio = big.toDouble / math.max(small, 1L)
+      (name, small, big, ratio, why)
+    }
+    report.foreach { case (name, small, big, ratio, _) =>
+      info(f"$name%-22s $small%9d B -> $big%10d B  (${ratio}%.2fx vs ${RowRatio}x rows)")
+    }
+    val bad = report.filter { case (_, small, _, ratio, _) => small > 0 && ratio > 3.0 * RowRatio }
+    assert(
+      bad.isEmpty,
+      bad.map { case (n, s, b, r, why) =>
+        f"$n: shuffle grew $r%.1fx on a ${RowRatio}x row growth ($s B -> $b B) — $why"
+      }.mkString("\n"),
+    )
+    // and the probes must actually exercise the gate: at least one query
+    // shuffles a nontrivial volume at the larger sf
+    assert(report.exists(_._3 > 100000L), "probe set shuffles too little to gate anything")
+  }
+
+  test("dedup_near_jaccard shuffle tracks its pair-combinatorics model, and LSH beats it at scale") {
+    // The exact shared-shingle pair join is NOT linear by nature: its pair
+    // stage emits Σ_sh df·(df−1)/2 rows, and on this tiny-vocab fixture
+    // per-shingle df grows WITH the corpus (unrelated docs share shingles),
+    // so measured growth here is ~40x on 10x rows. A naive linear gate
+    // would mislabel that as a plan bug; the correct law is that bytes
+    // track the COMBINATORIAL model — growing faster than the model is the
+    // actual regression (a lost dedup, a broken block key). On natural
+    // text, df per shingle is bounded by real duplication, making the same
+    // plan linear; when it isn't, dedup_minhash_lsh (measured linear
+    // above, same oracle semantics) is the documented scale path.
+    import org.apache.spark.sql.functions._
+    def model(dir: String): Double = {
+      val sh = ops.Text
+        .shingleHashArrays(Tables.documents(spark, dir))
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+      sh.groupBy("sh")
+        .agg(count(lit(1)).as("df"))
+        .agg(sum(col("df") * (col("df") - 1) / 2).as("pairs"))
+        .collect()(0)
+        .getAs[Number]("pairs")
+        .doubleValue()
+    }
+    val fn = SparkEntry.queries("dedup_near_jaccard")
+    val small = shuffleBytes(fn(spark, SfSmall).collect())
+    val big = shuffleBytes(fn(spark, SfBig).collect())
+    val measured = big.toDouble / math.max(small, 1L)
+    // bytes ≈ a·stream(linear) + b·pairs(model): growth can't exceed the
+    // larger driver, with 3x engineering headroom
+    val predicted = math.max(RowRatio, model(SfBig) / model(SfSmall))
+    info(f"measured ${measured}%.1fx vs pair-model ${predicted}%.1fx (linear would be ${RowRatio}x)")
+    assert(
+      measured <= 3.0 * predicted,
+      f"near_jaccard shuffle grew ${measured}%.1fx, pair model only predicts ${predicted}%.1fx — " +
+        "the pair join is doing work the combinatorics don't explain",
+    )
+  }
+}
