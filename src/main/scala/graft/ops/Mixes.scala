@@ -264,7 +264,48 @@ object Mixes {
       "CAST(row_number() OVER (PARTITION BY epoch ORDER BY prio, doc_id) AS BIGINT) AS position " +
       "FROM p ORDER BY epoch, position"
 
+  /** Deterministic negative sampling for contrastive training: each doc
+    * gets 4 pseudo-random partners, one per draw j, as its RING SUCCESSOR
+    * in the order of hash52("neg#", j#doc_id) within a hash bucket (last
+    * wraps to first). The ring construction needs no id-density assumption
+    * and no corpus-count arithmetic — any id set works — and every doc is
+    * used as a negative exactly once per draw (a permutation, so no
+    * popular-doc bias). Bucketing (h % 8 here) is the scale knob:
+    * negatives are SHARD-LOCAL by design — at 100 TB the bucket count
+    * rises so each (j, bucket) window fits one executor, the standard
+    * in-batch/in-shard negative practice, rather than a corpus-wide sort.
+    * Positives (near-dups) are excluded by composition with the dedup
+    * outputs, not baked in — samplers and dedup stay orthogonal.
+    */
+  private def sampleNegativePairs(s: SparkSession, dir: String): DataFrame = {
+    val h = hash52("neg#", concat_ws("#", col("j"), col("doc_id")))
+    val ring = Window.partitionBy("j", "bucket").orderBy("h", "doc_id")
+    val whole = ring.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(array((0 until 4).map(j => lit(j.toLong)): _*)).as("j"))
+      .withColumn("h", h)
+      .withColumn("bucket", col("h") % 8)
+      .withColumn(
+        "partner",
+        coalesce(lead("doc_id", 1).over(ring), first("doc_id").over(whole)),
+      )
+      .select("doc_id", "j", "bucket", "partner")
+      .orderBy("doc_id", "j")
+  }
+
+  private val sampleNegativePairsSql =
+    "WITH e AS (SELECT doc_id, CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS j FROM documents), " +
+      s"h AS (SELECT j, doc_id, ${hash52Sql("neg#", "(j || '#' || doc_id)")} AS h FROM e), " +
+      "b AS (SELECT j, doc_id, h, h % 8 AS bucket FROM h) " +
+      "SELECT doc_id, j, bucket, " +
+      "coalesce(lead(doc_id) OVER w, first_value(doc_id) OVER (PARTITION BY j, bucket " +
+      "ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS partner " +
+      "FROM b WINDOW w AS (PARTITION BY j, bucket ORDER BY h, doc_id) " +
+      "ORDER BY doc_id, j"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("sample_negative_pairs", sampleNegativePairs, Some(sampleNegativePairsSql)),
     QueryDef("sample_epoch_shuffle", sampleEpochShuffle, Some(sampleEpochShuffleSql)),
     QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),

@@ -184,4 +184,23 @@ class MixesSpec extends SparkSpec {
       } == 0,
       "position-1 doc must have the minimal (prio, doc_id)")
   }
+
+  test("sample_negative_pairs: 4 negatives per doc, never self, a permutation per draw") {
+    val out = SparkEntry.queries("sample_negative_pairs")(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(out.length == nDocs * 4)
+    // ring successor is never the doc itself (bucket sizes >= 2 here)
+    assert(out.count(r => r.getAs[Long]("partner") == r.getAs[Long]("doc_id")) == 0)
+    // within each draw, partners form a PERMUTATION of the corpus: every
+    // doc serves as a negative exactly once (no popular-doc bias)
+    out.groupBy(_.getAs[Long]("j")).foreach { case (j, rows) =>
+      assert(rows.length == nDocs, s"draw $j row count")
+      assert(rows.map(_.getAs[Long]("partner")).distinct.length == nDocs.toInt,
+        s"draw $j: partners are not a permutation")
+    }
+    // draws genuinely differ (the per-draw hash salt reaches the ring)
+    def partnersOf(j: Long) =
+      out.filter(_.getAs[Long]("j") == j).map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("partner")).toMap
+    assert(partnersOf(0L) != partnersOf(1L))
+  }
 }

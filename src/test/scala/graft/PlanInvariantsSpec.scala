@@ -159,4 +159,38 @@ class PlanInvariantsSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
     }
   }
+
+  test("ts_forward_fill / win_ewma: one partitioned window pass, scans prune to used columns") {
+    // both are single-window-pass designs: exactly ONE exchange (by
+    // user_id) feeding the window; a second exchange means the fill/lag
+    // chain split into extra shuffles
+    Seq("ts_forward_fill", "win_ewma").foreach { name =>
+      val finalPlan = plan(name) match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other                                                            => other
+      }
+      val exchanges = finalPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // the final global ORDER BY event_id plans a range exchange; the
+      // window's hash(user_id) exchange must be the only other one
+      assert(exchanges.length <= 2, s"$name: ${exchanges.length} exchanges\n$finalPlan")
+      val read = finalPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata("ReadSchema")
+      }.mkString
+      assert(!read.contains("props"), s"$name reads the unused props column")
+    }
+  }
+
+  test("ts_outlier_mad: stats frames broadcast back to the stream, no stream shuffle") {
+    val p = planString("ts_outlier_mad")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "per-type med/mad frames are |event_type| rows and must broadcast")
+  }
+
+  test("text_novelty: first-seer window and per-doc agg, no joins at all") {
+    val p = planString("text_novelty")
+    assert(!p.contains("Join"), "novelty is window+agg by design; a join means a regression\n" + p.take(1500))
+  }
 }
