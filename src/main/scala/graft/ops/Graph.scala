@@ -106,7 +106,101 @@ object Graph {
       "FROM r3 ORDER BY node"
   }
 
+  /** Per-node triangle count + local clustering coefficient over the part
+    * CO-PURCHASE graph: parts are adjacent when >= 2 distinct orders contain
+    * both (the support threshold is load-bearing — the support-1 projection
+    * of uniform synthetic baskets is near-complete and its triangle count
+    * explodes; support >= 2 is also the standard "frequently bought
+    * together" definition). Triangles are enumerated with the classic
+    * DEGREE-ORDERED wedge join: direct every edge from its lower-(deg,node)
+    * endpoint, build wedges only from each node's out-edges, and probe the
+    * directed edge list for the closing edge. Ordering by degree bounds
+    * out-degree by O(sqrt(m)), so wedge count — the only superlinear
+    * term — is O(m^1.5) worst-case instead of Σ deg², and on this graph the
+    * whole pipeline is equi-joins: per-order pair fan-out is C(items, 2)
+    * with TPC-H's bounded basket size (<= 7), the support filter is one
+    * hash aggregate, and nothing is ever corpus². Clustering =
+    * 2·tri/(deg·(deg−1)) is a round(4) ratio of exact ints.
+    */
+  private def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val os = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = os
+      .select(col("ok"), col("p").as("s1"))
+      .join(os.select(col("ok"), col("p").as("s2")), "ok")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(nrows.as("sup"))
+      .filter(col("sup") >= 2)
+      .select("s1", "s2")
+    val deg = pairs
+      .select(col("s1").as("node"))
+      .unionByName(pairs.select(col("s2").as("node")))
+      .groupBy("node")
+      .agg(nrows.as("deg"))
+    val lt = col("d1") < col("d2") || (col("d1") === col("d2") && col("s1") < col("s2"))
+    val eDir = pairs
+      .join(deg.select(col("node").as("s1"), col("deg").as("d1")), "s1")
+      .join(deg.select(col("node").as("s2"), col("deg").as("d2")), "s2")
+      .select(
+        when(lt, col("s1")).otherwise(col("s2")).as("src"),
+        when(lt, col("s2")).otherwise(col("s1")).as("dst"),
+        when(lt, col("d2")).otherwise(col("d1")).as("dd"),
+      )
+    val wedges = eDir
+      .select(col("src"), col("dst").as("x"), col("dd").as("dx"))
+      .join(eDir.select(col("src"), col("dst").as("y"), col("dd").as("dy")), "src")
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+    // the closing edge x—y, if present, is directed x→y (rank(x) < rank(y)
+    // by the wedge filter and eDir directs low→high), so one equi-join probes it
+    val tri = wedges
+      .join(eDir.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))
+    val tn = tri
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+      .groupBy("node")
+      .agg(nrows.as("n_tri"))
+    deg
+      .join(tn, Seq("node"), "left")
+      .select(
+        col("node").as("partkey"),
+        col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(
+          when(
+            col("deg") >= 2,
+            (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") / (col("deg") * (col("deg") - 1)),
+          ).otherwise(0.0),
+          4,
+        ).as("clustering"),
+      )
+      .orderBy("partkey")
+  }
+
+  private val triangleCountSql =
+    "WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +
+      "pairs AS (SELECT a.p AS s1, b.p AS s2 FROM os a JOIN os b ON a.ok = b.ok AND a.p < b.p " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+      "deg AS (SELECT node, count(*) AS deg FROM " +
+      "(SELECT s1 AS node FROM pairs UNION ALL SELECT s2 FROM pairs) GROUP BY 1), " +
+      "ed AS (SELECT CASE WHEN (d1.deg < d2.deg OR (d1.deg = d2.deg AND s1 < s2)) THEN s1 ELSE s2 END AS src, " +
+      "CASE WHEN (d1.deg < d2.deg OR (d1.deg = d2.deg AND s1 < s2)) THEN s2 ELSE s1 END AS dst " +
+      "FROM pairs JOIN deg d1 ON d1.node = s1 JOIN deg d2 ON d2.node = s2), " +
+      "edd AS (SELECT src, dst, deg AS dd FROM ed JOIN deg ON node = dst), " +
+      "w AS (SELECT a.dst AS x, b.dst AS y, a.src AS z FROM edd a JOIN edd b " +
+      "ON a.src = b.src AND (a.dd < b.dd OR (a.dd = b.dd AND a.dst < b.dst))), " +
+      "tri AS (SELECT x, y, z FROM w JOIN edd e ON e.src = w.x AND e.dst = w.y), " +
+      "tn AS (SELECT node, count(*) AS n_tri FROM (SELECT x AS node FROM tri " +
+      "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1) " +
+      "SELECT deg.node AS partkey, deg.deg, CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri, " +
+      "round(CASE WHEN deg.deg >= 2 THEN CAST(2 * coalesce(tn.n_tri, 0) AS DOUBLE) / (deg.deg * (deg.deg - 1)) " +
+      "ELSE 0.0 END, 4) AS clustering " +
+      "FROM deg LEFT JOIN tn ON tn.node = deg.node ORDER BY partkey"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("graph_triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("graph_pagerank", pagerank, Some(pagerankSql))
   )
 }

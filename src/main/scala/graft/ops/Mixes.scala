@@ -304,7 +304,72 @@ object Mixes {
       "FROM b WINDOW w AS (PARTITION BY j, bucket ORDER BY h, doc_id) " +
       "ORDER BY doc_id, j"
 
+  /** Doc-level REALIZATION of the temperature mix: sample_temperature says
+    * how many docs each language contributes to a 1000-doc budget; this op
+    * selects exactly WHICH docs, deterministically — per language, the
+    * target_docs docs with the smallest hash52("mix#", doc_id) survive
+    * (hash rank ⇒ a uniform, seed-reproducible subsample; doc_id tiebreak
+    * is unreachable for distinct ids but pins the order anyway). Quotas are
+    * met EXACTLY, unlike the Bernoulli hash gate of sample_hash_split,
+    * which only meets them in expectation — exactness is what curriculum /
+    * eval splits need. Scale shape: the quota frame is |langs| rows
+    * (broadcast); the rank is one window partitioned by lang. A language's
+    * partition is corpus-sized at 100 TB, so the scale path replaces the
+    * full-partition sort with the two-phase quantile cut: take the quota's
+    * hash threshold from approx-quantile per lang, Bernoulli-gate at the
+    * threshold map-side, and exact-rank only the boundary sliver — same
+    * output, no global per-lang sort. The declared plan keeps the window
+    * form (exact, and the fixture langs are small); the swap point is this
+    * Window definition.
+    */
+  private def sampleMixExact(s: SparkSession, dir: String): DataFrame = {
+    // quota frame: |langs| rows. Budget = half the corpus so the quotas
+    // BIND at every scale (a fixed budget degenerates to keep-everything
+    // whenever corpus < budget). The weight→count step is pure integer
+    // arithmetic: w4 = the 4-decimal weight's integer numerator (round()
+    // recovers it exactly from the double), target = w4·budget div 10⁴ —
+    // no double product ever meets a rounding boundary (the ×0.85-grid
+    // half-tie trap).
+    val tot = sum(col("n_docs")).over(Window.partitionBy())
+    val targets = Tables
+      .documents(s, dir)
+      .groupBy("lang")
+      .agg(nrows.as("n_docs"))
+      .withColumn("s6", round(sqrt(col("n_docs")), 6).cast(DecimalType(18, 6)))
+      .withColumn(
+        "weight",
+        round(col("s6").cast("double") / sum(col("s6")).over(Window.partitionBy()).cast("double"), 4),
+      )
+      .withColumn("w4", round(col("weight") * 10000, 0).cast("long"))
+      .withColumn("tot", tot)
+      .withColumn("budget", expr("tot div 2"))
+      .withColumn("target_docs", expr("(w4 * budget) div 10000"))
+      .select(col("lang"), col("target_docs"))
+    val rk = row_number().over(Window.partitionBy("lang").orderBy("h", "doc_id"))
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("h", hash52("mix#", col("doc_id")))
+      .withColumn("rk", asLong(rk))
+      .join(broadcast(targets), "lang")
+      .filter(col("rk") <= col("target_docs"))
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("doc_id")
+  }
+
+  private val sampleMixExactSql =
+    "WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), " +
+      "s AS (SELECT lang, n_docs, CAST(round(sqrt(n_docs), 6) AS DECIMAL(18,6)) AS s6 FROM c), " +
+      "t AS (SELECT lang, " +
+      "(CAST(round(round(CAST(s6 AS DOUBLE) / CAST(sum(s6) OVER () AS DOUBLE), 4) * 10000, 0) AS BIGINT) " +
+      "* (CAST(sum(n_docs) OVER () AS BIGINT) // 2)) // 10000 AS target_docs FROM s), " +
+      s"r AS (SELECT doc_id, lang, ${hash52Sql("mix#", "doc_id")} AS h FROM documents), " +
+      "rk AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM r) " +
+      "SELECT doc_id, rk.lang, rk FROM rk JOIN t ON rk.lang = t.lang " +
+      "WHERE rk <= target_docs ORDER BY doc_id"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("sample_mix_exact", sampleMixExact, Some(sampleMixExactSql)),
     QueryDef("sample_negative_pairs", sampleNegativePairs, Some(sampleNegativePairsSql)),
     QueryDef("sample_epoch_shuffle", sampleEpochShuffle, Some(sampleEpochShuffleSql)),
     QueryDef("sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),

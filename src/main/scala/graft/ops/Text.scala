@@ -477,7 +477,71 @@ object Text {
       "round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty " +
       "FROM f GROUP BY doc_id ORDER BY doc_id"
 
+  /** Exact duplicated-SPAN detection (the suffix-array "exact substring"
+    * dedup of the train-data literature, re-expressed relationally): a
+    * k-token window (k = 8) is duplicated when its token string occurs >= 2
+    * times anywhere in the corpus — across docs OR repeated within one —
+    * and maximal runs of consecutive duplicated windows merge into spans
+    * `(doc_id, span_start, span_len, n_windows)` via gaps-and-islands
+    * (pos − row_number is constant exactly on consecutive-pos runs). Unlike
+    * the pair-join dedups above, duplication here needs NO pair join at
+    * all: one count window over hash(gram) — the same single-exchange shape
+    * as [[pairableShingles]] — decides every window, so cost is window
+    * count (≈ token count), never pairs. The second exchange (per-doc
+    * island merge) carries only the DUPLICATED windows, the small fraction
+    * at natural-text scale; at 100 TB the map-side
+    * [[pairableShinglesBloom]] prune applies verbatim to keep hapax windows
+    * off the first exchange too. Spark groups on xxhash64(gram) (8 B
+    * through the shuffle, never gram text); the oracle groups on the gram
+    * string itself — identical rows barring a 2^-64 collision.
+    */
+  private val SpanK = 8
+
+  private def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    val wins = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), words(normText(col("text"))).as("w"))
+      .filter(size(col("w")) >= SpanK)
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(
+            s"transform(sequence(0, size(w) - $SpanK), " +
+              s"i -> xxhash64(concat_ws(' ', slice(w, i + 1, $SpanK))))"
+          )
+        ).as(Seq("pos", "h")),
+      )
+      .select(col("doc_id"), asLong(col("pos")).as("pos"), col("h"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    wins
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") >= 2)
+      .withColumn("isl", col("pos") - asLong(row_number().over(byDoc)))
+      .groupBy("doc_id", "isl")
+      .agg(
+        min("pos").as("span_start"),
+        (max("pos") - min("pos") + SpanK).as("span_len"),
+        nrows.as("n_windows"),
+      )
+      .select("doc_id", "span_start", "span_len", "n_windows")
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val dedupSubstringSpansSql =
+    "WITH ws AS (SELECT doc_id, " +
+      "string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS w FROM documents), " +
+      s"g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - $SpanK + 2), " +
+      s"i -> struct_pack(pos := i - 1, g := array_to_string(w[i:i+$SpanK-1], ' ')))) AS s " +
+      s"FROM ws WHERE len(w) >= $SpanK), " +
+      "f AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM g), " +
+      "d AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS df FROM f), " +
+      "r AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl " +
+      "FROM d WHERE df >= 2) " +
+      s"SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + $SpanK AS span_len, " +
+      "count(*) AS n_windows FROM r GROUP BY doc_id, isl ORDER BY doc_id, span_start"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("dedup_substring_spans", dedupSubstringSpans, Some(dedupSubstringSpansSql)),
     QueryDef("text_novelty", textNovelty, Some(textNoveltySql)),
     QueryDef(
       "dedup_exact_norm",

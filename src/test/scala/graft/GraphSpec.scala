@@ -77,4 +77,49 @@ class GraphSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(acc.get == expected, s"read ${acc.get} records, expected $expected (scan re-execution)")
   }
+
+  test("graph_triangle_count: exact match vs in-memory recompute, handshake and clustering laws") {
+    val out = SparkEntry.queries("graph_triangle_count")(spark, sfDir).collect()
+    // independent recompute: support>=2 co-purchase edges, then per-node
+    // triangle counts by neighbourhood intersection
+    val li = Tables
+      .lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .distinct
+    val pairOcc = li.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }
+    // NB: .collect { ... => e } on a Map would rebuild a Map from the
+    // (s1, s2) tuples — collapsing all pairs that share s1 — so filter/keySet
+    val edges = pairOcc.groupBy(identity).filter(_._2.size >= 2).keySet
+    val adj = edges.toSeq
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // each triangle at n is seen twice when iterating ordered neighbour pairs
+    val triPerNode = adj.map { case (n, nb) =>
+      n -> nb.toSeq.map(m => (nb & adj(m)).size).sum / 2
+    }
+    assert(out.length == adj.size, "one row per node with at least one edge")
+    out.foreach { r =>
+      val (node, deg, tri) =
+        (r.getAs[Long]("partkey"), r.getAs[Long]("deg"), r.getAs[Long]("n_tri"))
+      assert(deg == adj(node).size.toLong, s"deg mismatch at $node")
+      assert(tri == triPerNode(node).toLong, s"n_tri mismatch at $node")
+      val want =
+        if (deg >= 2)
+          BigDecimal(2.0 * tri / (deg * (deg - 1)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        else 0.0
+      assert(r.getAs[Double]("clustering") == want, s"clustering mismatch at $node")
+    }
+    // handshake law: Σ per-node counts = 3 × (number of triangles)
+    val total = out.map(_.getAs[Long]("n_tri")).sum
+    assert(total % 3 == 0, "per-node triangle counts must sum to a multiple of 3")
+    assert(total > 0, "fixture graph must contain triangles")
+  }
 }

@@ -185,6 +185,47 @@ class MixesSpec extends SparkSpec {
       "position-1 doc must have the minimal (prio, doc_id)")
   }
 
+  test("sample_mix_exact: quotas met exactly and survivors are the hash-minimal docs per lang") {
+    val out = SparkEntry.queries("sample_mix_exact")(spark, sfDir).collect()
+    val docs = Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "lang")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    def h52(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mix#$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    // recompute the integer-arithmetic quotas
+    val byLang = docs.groupBy(_._2)
+    val s6 = byLang.map { case (l, d) =>
+      l -> BigDecimal(math.sqrt(d.length.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val tot6 = s6.values.sum
+    val budget = docs.length.toLong / 2
+    val targets = s6.map { case (l, v) =>
+      val w = BigDecimal(v.toDouble / tot6.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      val w4 = BigDecimal(w * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      l -> w4 * budget / 10000
+    }
+    val kept = out.groupBy(_.getAs[String]("lang"))
+    targets.foreach { case (l, t) =>
+      val want = math.min(t, byLang(l).length.toLong)
+      assert(kept.get(l).map(_.length.toLong).getOrElse(0L) == want, s"quota for $l")
+    }
+    // survivors are exactly the target_docs hash-minimal docs of each lang,
+    // with rk = their 1-based position in (h, doc_id) order
+    kept.foreach { case (l, rows) =>
+      val wantIds = byLang(l).map(_._1).sortBy(id => (h52(id), id)).take(rows.length)
+      val gotByRank = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("doc_id"))
+      assert(gotByRank.toSeq == wantIds.toSeq, s"survivor set / rank order differs for $l")
+    }
+    assert(out.length < docs.length, "the half-corpus budget must actually subsample")
+  }
+
   test("sample_negative_pairs: 4 negatives per doc, never self, a permutation per draw") {
     val out = SparkEntry.queries("sample_negative_pairs")(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()

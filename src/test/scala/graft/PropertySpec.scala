@@ -327,6 +327,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedup_substring_spans: exact match vs plain-Scala span recompute") {
+    val K = 8
+    val out = SparkEntry
+      .queries("dedup_substring_spans")(TestSession.spark, TestSession.sfDir)
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("doc_id"),
+          r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_len"),
+          r.getAs[Long]("n_windows"),
+        ))
+      .toSet
+    // independent recompute: corpus-wide k-gram occurrence counts, then
+    // per-doc maximal runs of positions whose gram occurs >= 2 times
+    val docs = Tables
+      .documents(TestSession.spark, TestSession.sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase.trim.split("\\s+").toSeq)
+    val grams = docs.flatMap { case (id, w) =>
+      if (w.length < K) Seq.empty
+      else w.sliding(K).zipWithIndex.map { case (g, i) => (id, i.toLong, g.mkString(" ")) }.toSeq
+    }
+    val df = grams.groupBy(_._3).map { case (g, occ) => g -> occ.length }
+    val want = grams
+      .filter(t => df(t._3) >= 2)
+      .groupBy(_._1)
+      .flatMap { case (id, ws) =>
+        val runs = ws.map(_._2).sorted.foldLeft(List.empty[List[Long]]) {
+          case (acc @ (run :: rest), p) if p == run.head + 1 => (p :: run) :: rest
+          case (acc, p)                                      => List(p) :: acc
+        }
+        runs.map { run =>
+          val (lo, hi) = (run.min, run.max)
+          (id, lo, hi - lo + K, run.length.toLong)
+        }
+      }
+      .toSet
+    assert(out == want, s"spans differ: extra=${out -- want} missing=${want -- out}")
+    assert(out.nonEmpty, "fixture corpus must contain duplicated spans")
+    // span arithmetic law: span_len = n_windows + K - 1 exactly on every row
+    out.foreach { case (_, _, len, n) => assert(len == n + K - 1) }
+  }
+
   test("jaccard over shingle sets is symmetric and in [0, 1] (pure law)") {
     def shingles(t: String): Set[String] =
       t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
