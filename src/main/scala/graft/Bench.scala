@@ -70,34 +70,54 @@ object Bench {
         val bytes = if (b.isDefined) Some(settle()) else None
         (name, for (x <- a; y <- b) yield (x, y), bytes)
       }
+    // End-of-run RE-MEASURE (r5): a throttle window spanning BOTH warm
+    // passes defeats the pass-ratio annotation below — r4's record showed
+    // funnel_conversion at 4.0 s on both passes inside one window against a
+    // quiet-host 0.53 s. Any query whose min-of-2 exceeds RemeasureSec gets
+    // one more pass HERE, minutes later in the run and almost surely
+    // outside the window; the reported time is then min-of-3. Genuinely
+    // expensive queries are unchanged (their third pass repeats the cost —
+    // a few extra seconds on the handful of slow keys); window-throttled
+    // ones self-heal, and a >3× improvement is recorded as throttle
+    // evidence.
+    val RemeasureSec = 2.0
+    val remeasure: Map[String, Double] = results.collect {
+      case (k, Some((a, b)), _) if math.min(a, b) > RemeasureSec =>
+        timeOnce(SparkEntry.queries(k)).map(k -> _)
+    }.flatten.toMap
+    def minTime(k: String, a: Double, b: Double): Double =
+      math.min(math.min(a, b), remeasure.getOrElse(k, Double.MaxValue))
     val qs = results.map {
-      case (k, Some((a, b)), _) => "\"" + k + "\":" + math.min(a, b)
+      case (k, Some((a, b)), _) => "\"" + k + "\":" + minTime(k, a, b)
       case (k, None, _)         => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
-    // both warm pass times, in run order: min can mask a bimodal plan (e.g.
-    // AQE alternating) — the spread makes that visible without changing the
-    // reported estimator
+    // all warm pass times, in run order (third entry = the re-measure
+    // pass): min can mask a bimodal plan (e.g. AQE alternating) — the
+    // spread makes that visible without changing the reported estimator
     def r3(x: Double) = math.rint(x * 1000) / 1000
     val ps = results.collect { case (k, Some((a, b)), _) =>
-      "\"" + k + "\":[" + r3(a) + "," + r3(b) + "]"
+      val tail = remeasure.get(k).map(c => "," + r3(c)).getOrElse("")
+      "\"" + k + "\":[" + r3(a) + "," + r3(b) + tail + "]"
     }.mkString("{", ",", "}")
     val sb = results.collect { case (k, _, Some(bytes)) =>
       "\"" + k + "\":" + bytes
     }.mkString("{", ",", "}")
-    val ok = results.collect { case (_, Some((a, b)), _) => math.min(a, b) }
+    val ok = results.collect { case (k, Some((a, b)), _) => minTime(k, a, b) }
     val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
     val total = ok.sum
-    // Self-annotating throttle evidence (r4 VERDICT #4): a >3× spread between
-    // the two warm passes of the SAME plan is the signature of this host's
-    // multi-minute throttle windows, not a plan property — naming the
-    // affected queries in the record lets a reader discount their min/total
-    // without cross-referencing PERF.md.
+    // Self-annotating throttle evidence (r4 VERDICT #4): a >3× spread
+    // between any two passes of the SAME plan — including the end-of-run
+    // re-measure — is the signature of this host's multi-minute throttle
+    // windows, not a plan property; naming the affected queries in the
+    // record lets a reader discount their min/total without
+    // cross-referencing PERF.md.
     val throttled = results.collect {
-      case (k, Some((a, b)), _) if math.max(a, b) / math.min(a, b) > 3.0 => "\"" + k + "\""
+      case (k, Some((a, b)), _)
+          if math.max(a, b) / minTime(k, a, b) > 3.0 => "\"" + k + "\""
     }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","pass":"min of 2 warm passes (after 1 warm-up)","n_queries":${results.size},""" +
+        s""""sf":"$sfDir","pass":"min of 2 warm passes (after 1 warm-up); slow keys re-measured at end of run","n_queries":${results.size},""" +
         s""""passes":$ps,"shuffle_bytes":$sb,"throttled":[${throttled.mkString(",")}],""" +
         s""""failures":[${failed.mkString(",")}]}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
@@ -107,7 +127,7 @@ object Bench {
     // only, and the one stdout line is a compact variant sized to fit —
     // BASELINE.md overlap keys first, then the slowest queries, as many as
     // a 1700-char budget allows.
-    val minTimes = results.collect { case (k, Some((a, b)), _) => k -> math.min(a, b) }.toMap
+    val minTimes = results.collect { case (k, Some((a, b)), _) => k -> minTime(k, a, b) }.toMap
     val baselineKeys = Seq(
       "agg_groupby_pricing", "join_multiway_star", "win_topk_per_group",
       "stream_session_5m", "sim_topk_cosine")
