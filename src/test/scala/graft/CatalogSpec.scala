@@ -241,6 +241,33 @@ class CatalogSpec extends SparkSpec {
     assert(pairs.join(byA, "id_a").join(byB, "id_b").filter(col("ca") =!= col("cb")).count() == 0)
   }
 
+  test("dedup_keep_best: keepers partition the corpus and really are the cluster argmax") {
+    val kb = SparkEntry.queries("dedup_keep_best")(spark, sfDir)
+    val cl = SparkEntry.queries("dedup_clusters")(spark, sfDir)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // one row per cluster; members partition the corpus
+    assert(kb.count() == cl.select("cluster_id").distinct().count())
+    assert(kb.agg(sum("n_members")).head.getLong(0) == nDocs)
+    // the keeper belongs to its own cluster
+    val keeperCluster = kb
+      .select(col("keep_id").as("doc_id"), col("cluster_id").as("kc"))
+      .join(cl, "doc_id")
+    assert(keeperCluster.filter(col("kc") =!= col("cluster_id")).count() == 0)
+    // argmax law, recomputed through an independent plan: the keeper's
+    // quality equals its cluster's max, and no member beats it
+    val q = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), graft.ops.TextQuality.qualityCol.as("quality"))
+    val best = cl
+      .join(q, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max("quality").as("want_best"))
+    assert(
+      kb.join(best, "cluster_id").filter(col("best_quality") =!= col("want_best")).count() == 0)
+    // multi-member clusters exist in the fixture (the op has real work)
+    assert(kb.filter(col("n_members") > 1).count() > 0)
+  }
+
   test("multimodal_chunk_stats: chunk arithmetic and digests reconcile") {
     val c = SparkEntry.queries("multimodal_chunk_stats")(spark, sfDir)
     assert(c.filter(col("n_chunks") =!= expr("(n_bytes + 63) div 64")).count() == 0)
