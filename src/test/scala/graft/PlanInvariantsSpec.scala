@@ -160,6 +160,42 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_substring_spans: no pair join, and the island merge reuses the doc partitioning") {
+    val finalPlan = plan("dedup_substring_spans") match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other                                                            => other
+    }
+    // duplication is decided by a count WINDOW over hash(gram), never a
+    // self-join: any join at all means the design regressed to pair-land
+    assert(!finalPlan.toString.contains("Join"), finalPlan.toString.take(1500))
+    // exchanges: hash(h) for the df window, hash(doc_id) for the island
+    // window (the groupBy(doc_id, isl) rides that same partitioning —
+    // hash(doc_id) clusters every (doc_id, isl) group), final range sort
+    val exchanges = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 3, s"${exchanges.length} exchanges\n$finalPlan")
+  }
+
+  test("ts_interpolate_linear: all four neighbour lookups share one user partitioning") {
+    val finalPlan = plan("ts_interpolate_linear") match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other                                                            => other
+    }
+    val exchanges = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // hash(user_id) for the windows + the final ORDER BY event_id range
+    // exchange; a third means the backward/forward frames split the sort
+    assert(exchanges.length <= 2, s"${exchanges.length} exchanges\n$finalPlan")
+  }
+
+  test("sample_mix_exact: the |langs| quota frame broadcasts, never shuffles the corpus side") {
+    val p = planString("sample_mix_exact")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "quota join must broadcast")
+  }
+
   test("ts_forward_fill / win_ewma: one partitioned window pass, scans prune to used columns") {
     // both are single-window-pass designs: exactly ONE exchange (by
     // user_id) feeding the window; a second exchange means the fill/lag
