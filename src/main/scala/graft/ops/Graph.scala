@@ -127,6 +127,17 @@ object Graph {
       .lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
+    // Support-1 pairs dominate the pair-count exchange (sf0.1: only 3,573
+    // of 1,196,000 distinct pairs reach support 2) and partial aggregation
+    // cannot collapse distinct keys, so a TwoBloomDf dup-sketch prune
+    // (pairableShinglesBloom's trade) was MEASURED here: shuffle fell only
+    // 18.3→16.8 MB — the os.distinct() exchange below, not the pair
+    // count, is this plan's real shuffle mass — while runtime doubled
+    // (1.96→3.98 s) on the sketch pass + second pair fan-out. Not shipped;
+    // at 100 TB the trade flips only if basket width (pair fan-out per
+    // distinct-row) grows, which TPC-H's <= 7-item orders cap. The
+    // distinct() exchange is also load-bearing: it is the materialization
+    // point AQE reuses across the self-join's two references.
     val pairs = os
       .select(col("ok"), col("p").as("s1"))
       .join(os.select(col("ok"), col("p").as("s2")), "ok")

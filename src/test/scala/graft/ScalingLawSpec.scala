@@ -34,6 +34,9 @@ class ScalingLawSpec extends SparkSpec {
     "text_tfidf_topk" -> "explode + two-level agg: vocabulary-bounded joins must not inherit corpus cardinality",
     "text_novelty" -> "first-seer window over the shingle universe: linear in distinct shingles by design",
     "win_ewma" -> "per-user lag windows: one hash(user) exchange, linear by construction",
+    "dedup_substring_spans" -> "k-gram df window: shuffle is window-count-linear; a pair-join regression would blow it up",
+    "graph_triangle_count" -> "degree-ordered wedge join: superlinear if the support filter stops sparsifying the projection",
+    "filter_surprisal_band" -> "token groupBys plus |score-grid| histogram: percentile side must stay grid-bounded",
   )
 
   test("shuffle bytes grow at most 3x-linear from sf0.01 to sf0.1 for scale-risk probes") {
