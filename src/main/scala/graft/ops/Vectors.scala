@@ -199,6 +199,42 @@ object Vectors {
 
   // ------------------------------------------------------------- catalog
 
+  /** k-NN GRAPH over the embedding corpus: every vector's top-5 neighbours
+    * (not just a bounded probe set — the all-nodes sibling of
+    * sim_topk_cosine), the foundation structure for graph-based semantic
+    * dedup/clustering (SemDeDup-style: cluster, then prune by in-cluster
+    * neighbours). Candidates are label-blocked like sim_threshold_pairs —
+    * at 100 TB the block key swaps for an IVF/LSH bucket (one line, see
+    * dedup_embedding) — and the rank<=5 filter compiles to
+    * WindowGroupLimit, which prunes to k per node MAP-SIDE before the
+    * window's exchange (the knn_classify plan law). Rank on (round(4) sim
+    * desc, nbr_id): the rounded-cosine grid plus id tiebreak is the
+    * established cross-engine-total order for float similarity.
+    */
+  private def embedKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id"), col("label"), col("embedding").as("va"))
+    val b =
+      e.select(col("vec_id").as("nbr_id"), col("label").as("label_b"), col("embedding").as("vb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nbr_id"))
+    a.join(b, col("label") === col("label_b") && col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim", round(nativeDot(col("va"), col("vb")), 4))
+      .withColumn("rn", asLong(row_number().over(w)))
+      .filter(col("rn") <= 5)
+      .select(col("vec_id"), col("rn"), col("nbr_id"), col("sim"), col("label"))
+      .orderBy("vec_id", "rn")
+  }
+
+  private val embedKnnGraphSql =
+    "WITH scored AS (SELECT a.vec_id, a.label, b.vec_id AS nbr_id, " +
+      "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim " +
+      "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id) " +
+      "SELECT vec_id, rn, nbr_id, sim, label FROM (" +
+      "SELECT vec_id, label, nbr_id, sim, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rn FROM scored) " +
+      "WHERE rn <= 5 ORDER BY vec_id, rn"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef(
       "sim_topk_cosine",
@@ -238,6 +274,7 @@ object Vectors {
       ),
     ),
     QueryDef("knn_classify", knnClassifyQuery, Some(knnClassifySql)),
+    QueryDef("embed_knn_graph", embedKnnGraph, Some(embedKnnGraphSql)),
     QueryDef(
       "embed_join_docs",
       embedJoinDocs,

@@ -49,6 +49,29 @@ class KnnSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("votes") >= 3), "majority rule violated")
   }
 
+  test("embed_knn_graph: degree/rank/ordering laws and map-side top-k pruning") {
+    val out = SparkEntry.queries("embed_knn_graph")(spark, sfDir)
+    val rows = out.collect()
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    // every vector appears with exactly 5 neighbours (all label blocks
+    // in the fixture have > 5 members), ranked 1..5
+    assert(rows.length == nVec * 5)
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, nb) =>
+      assert(nb.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to 5L), s"ranks at $v")
+      assert(!nb.exists(_.getAs[Long]("nbr_id") == v), s"self edge at $v")
+      // sim non-increasing in rank
+      val byRank = nb.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("sim"))
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y }, s"sim order at $v")
+      // neighbours stay in the vector's label block
+      assert(nb.map(_.getAs[Int]("label")).distinct.length == 1, s"block purity at $v")
+    }
+    // the rank<=5 filter must prune map-side ahead of the window exchange
+    // (WindowGroupLimit — the knn_classify plan law)
+    out.count()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
   test("knn_classify: declared query output is a total function of the probe set") {
     val out = SparkEntry.queries("knn_classify")(spark, sfDir).collect()
     val probes = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100).count()
