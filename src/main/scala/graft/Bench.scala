@@ -136,7 +136,7 @@ object Bench {
         .distinct.filter(minTimes.contains)
     val head =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""n_queries":${results.size},"pass":"min of 2 warm passes","detail":"bench.json",""" +
+        s""""n_queries":${results.size},"pass":"min of warm passes (slow keys re-measured)","detail":"bench.json",""" +
         s""""throttled":[${throttled.mkString(",")}],""" +
         s""""failures":[${failed.mkString(",")}],"queries":{"""
     val budget = 1700

@@ -19,7 +19,13 @@ object GraftFunctions {
     (
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)),
+      (children: Seq[Expression]) =>
+        children match {
+          case Seq(a, b) => DotProduct(a, b)
+          case _ =>
+            throw new IllegalArgumentException(
+              s"graft_dot expects 2 arguments, got ${children.length}")
+        },
     ),
     (
       FunctionIdentifier("graft_minhash_sig"),
@@ -42,12 +48,22 @@ object GraftFunctions {
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "graft_bloom_agg",
       ),
+      // 1-3 args like the engine's own injection sites: (child),
+      // (child, estimatedItems), (child, estimatedItems, numBits) —
+      // explicit arity dispatch so a wrong call count is an analysis
+      // error, not an IndexOutOfBoundsException from the builder
       (children: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          children(0),
-          children(1),
-          children(2),
-        ),
+        children match {
+          case Seq(c) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+          case Seq(c, n) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+          case Seq(c, n, b) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+          case _ =>
+            throw new IllegalArgumentException(
+              s"graft_bloom_agg expects 1 to 3 arguments, got ${children.length}")
+        },
     ),
     (
       FunctionIdentifier("graft_might_contain"),
@@ -56,10 +72,13 @@ object GraftFunctions {
         "graft_might_contain",
       ),
       (children: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children(0),
-          children(1),
-        ),
+        children match {
+          case Seq(bf, v) =>
+            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+          case _ =>
+            throw new IllegalArgumentException(
+              s"graft_might_contain expects 2 arguments, got ${children.length}")
+        },
     ),
   )
 

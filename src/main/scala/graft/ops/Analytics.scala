@@ -645,7 +645,12 @@ object Analytics {
     val ord = Tables
       .orders(s, dir)
       .select(
-        (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("early"),
+        // coalesce pins the NULL-date branch: without it Spark's
+        // when(!early) sends a NULL date to NEITHER period (three-valued
+        // NOT) while DuckDB's CASE ... ELSE sends it to the late one —
+        // the fnToJson NULL rule applied to booleans
+        coalesce(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), lit(false))
+          .as("early"),
         floor(col("o_totalprice") / 50000).cast("long").as("bin"),
       )
     val counts = ord
@@ -673,7 +678,7 @@ object Analytics {
   }
 
   private val dqDriftPsiSql =
-    "WITH o AS (SELECT o_orderdate < TIMESTAMP '1998-01-01' AS early, " +
+    "WITH o AS (SELECT coalesce(o_orderdate < TIMESTAMP '1998-01-01', FALSE) AS early, " +
       "CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin FROM orders), " +
       "c AS (SELECT bin, CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
       "CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS n_b FROM o GROUP BY 1), " +
@@ -1100,12 +1105,20 @@ object Analytics {
       .orderBy("doc_id")
   }
 
-  private val textUnigramSurprisalSql =
+  /** Shared unigram-LM CTE prefix (toks → freq → total → scored(term, s6))
+    * — interpolated by both textUnigramSurprisalSql and
+    * filterSurprisalBandSql so the declared LM cannot drift between the
+    * scoring op and the filter built on it (the clustersCteSql rule).
+    */
+  private val unigramLmCteSql =
     "WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')) AS term FROM documents), " +
       "freq AS (SELECT term, count(*) AS c FROM toks GROUP BY 1), " +
       "total AS (SELECT sum(c) AS t FROM freq), " +
       "scored AS (SELECT term, CAST(round(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s6 " +
-      "FROM freq CROSS JOIN total) " +
+      "FROM freq CROSS JOIN total)"
+
+  private val textUnigramSurprisalSql =
+    unigramLmCteSql + " " +
       "SELECT doc_id, count(*) AS n_tokens, " +
       "round(CAST(sum(s6) AS DOUBLE) / count(*), 4) AS avg_surprisal " +
       "FROM toks JOIN scored USING (term) GROUP BY doc_id ORDER BY doc_id"
@@ -1311,11 +1324,7 @@ object Analytics {
   }
 
   private val filterSurprisalBandSql =
-    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')) AS term FROM documents), " +
-      "freq AS (SELECT term, count(*) AS c FROM toks GROUP BY 1), " +
-      "total AS (SELECT sum(c) AS t FROM freq), " +
-      "scored AS (SELECT term, CAST(round(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s6 " +
-      "FROM freq CROSS JOIN total), " +
+    unigramLmCteSql + ", " +
       "d AS (SELECT doc_id, round(CAST(sum(s6) AS DOUBLE) / count(*), 4) AS avg_surprisal " +
       "FROM toks JOIN scored USING (term) GROUP BY doc_id), " +
       "d4 AS (SELECT doc_id, avg_surprisal, CAST(round(avg_surprisal * 10000, 0) AS BIGINT) AS s4 FROM d), " +

@@ -309,10 +309,14 @@ object Mixes {
     * selects exactly WHICH docs, deterministically — per language, the
     * target_docs docs with the smallest hash52("mix#", doc_id) survive
     * (hash rank ⇒ a uniform, seed-reproducible subsample; doc_id tiebreak
-    * is unreachable for distinct ids but pins the order anyway). Quotas are
-    * met EXACTLY, unlike the Bernoulli hash gate of sample_hash_split,
-    * which only meets them in expectation — exactness is what curriculum /
-    * eval splits need. Scale shape: the quota frame is |langs| rows
+    * is unreachable for distinct ids but pins the order anyway). Quotas
+    * are met EXACTLY whenever the language has enough docs — unlike the
+    * Bernoulli hash gate of sample_hash_split, which only meets them in
+    * expectation — and a sqrt-upweighted minority language whose target
+    * exceeds its supply is CAPPED at its doc count (least() in the quota
+    * frame makes the cap part of the declared target, not a silent
+    * artifact of the rank filter); exactness-when-supplied is what
+    * curriculum / eval splits need. Scale shape: the quota frame is |langs| rows
     * (broadcast); the rank is one window partitioned by lang. A language's
     * partition is corpus-sized at 100 TB, so the scale path replaces the
     * full-partition sort with the two-phase quantile cut: take the quota's
@@ -343,7 +347,11 @@ object Mixes {
       .withColumn("w4", round(col("weight") * 10000, 0).cast("long"))
       .withColumn("tot", tot)
       .withColumn("budget", expr("tot div 2"))
-      .withColumn("target_docs", expr("(w4 * budget) div 10000"))
+      // least() makes the supply cap EXPLICIT: a sqrt-upweighted minority
+      // language whose target exceeds its doc count contributes everything
+      // it has — the quota is exact whenever supply suffices, capped
+      // otherwise (and the cap is declared, not an accident of rk <= t)
+      .withColumn("target_docs", least(expr("(w4 * budget) div 10000"), col("n_docs")))
       .select(col("lang"), col("target_docs"))
     val rk = row_number().over(Window.partitionBy("lang").orderBy("h", "doc_id"))
     Tables
@@ -360,9 +368,9 @@ object Mixes {
   private val sampleMixExactSql =
     "WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), " +
       "s AS (SELECT lang, n_docs, CAST(round(sqrt(n_docs), 6) AS DECIMAL(18,6)) AS s6 FROM c), " +
-      "t AS (SELECT lang, " +
+      "t AS (SELECT lang, least(" +
       "(CAST(round(round(CAST(s6 AS DOUBLE) / CAST(sum(s6) OVER () AS DOUBLE), 4) * 10000, 0) AS BIGINT) " +
-      "* (CAST(sum(n_docs) OVER () AS BIGINT) // 2)) // 10000 AS target_docs FROM s), " +
+      "* (CAST(sum(n_docs) OVER () AS BIGINT) // 2)) // 10000, n_docs) AS target_docs FROM s), " +
       s"r AS (SELECT doc_id, lang, ${hash52Sql("mix#", "doc_id")} AS h FROM documents), " +
       "rk AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM r) " +
       "SELECT doc_id, rk.lang, rk FROM rk JOIN t ON rk.lang = t.lang " +
