@@ -604,7 +604,72 @@ object CorpusPrep {
       "SELECT doc_id, n_tags, CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5 " +
       "FROM cleaned ORDER BY doc_id"
 
+  // ------------------------------------------------- site-level quality
+
+  /** Site-level quality gate (the CCNet/RefinedWeb move): score every doc
+    * map-side, roll scores up to the canonical HOST, and drop all docs of
+    * the worst-ranked site — page quality is strongly site-correlated, so
+    * production crawl pipelines gate on the domain rollup, not (only) the
+    * page. The gate is RELATIVE (drop the bottom-ranked site), not an
+    * absolute threshold: the synthetic corpus' five hosts draw from one
+    * text distribution, so any fixed cutoff would degenerate to keep-all
+    * or drop-all at some scale factor, while bottom-1-of-5 exercises both
+    * branches at every sf. Determinism: q_milli is pure integer arithmetic
+    * ((1000·alpha) div len), the site mean is an integer div of exact
+    * BIGINT sums, and the site ranking breaks integer ties by host string.
+    * Scale shape: scoring + host extraction are map-only; the rollup
+    * shuffles |sites| keys (bounded by the web's host count, ≪ corpus);
+    * the unpartitioned rank window sees |sites| rows, NOT corpus rows (at
+    * true web scale the drop set would come from an approx quantile of
+    * the site table instead of a total rank — same plan shape); the
+    * keep-set joins back as a BROADCAST semi-probe, so corpus rows never
+    * shuffle at all.
+    */
+  private def filterSiteQuality(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables
+      .documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), canonicalize(urlSynth).as("canonical"), col("text"))
+      .select(
+        col("doc_id"),
+        regexp_extract(col("canonical"), "^[a-z]+://([^/]+)", 1).as("host"),
+        expr("(1000 * length(regexp_replace(text, '[^a-z]', ''))) div length(text)")
+          .as("q_milli"),
+      )
+    val sites = scored
+      .groupBy("host")
+      .agg(graft.Qf.nrows.as("n_docs"), sum("q_milli").as("sq"))
+      .withColumn("site_q_milli", expr("sq div n_docs"))
+      // |sites| rows only — see scaladoc for the 100 TB variant
+      .withColumn(
+        "site_rank",
+        graft.Qf.asLong(
+          row_number().over(Window.orderBy(col("site_q_milli").asc, col("host").asc))
+        ),
+      )
+    scored
+      .join(
+        broadcast(sites.filter(col("site_rank") > 1).select("host", "site_q_milli")),
+        Seq("host"),
+      )
+      .select("doc_id", "host", "q_milli", "site_q_milli")
+      .orderBy("doc_id")
+  }
+
+  private val filterSiteQualitySql =
+    s"WITH $urlNormCte, " +
+      "scored AS (SELECT doc_id, regexp_extract(canonical, '^[a-z]+://([^/]+)', 1) AS host, " +
+      "(1000 * length(regexp_replace(text, '[^a-z]', '', 'g'))) // length(text) AS q_milli " +
+      "FROM norm JOIN documents USING (doc_id) WHERE length(text) > 0), " +
+      "sites AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(q_milli) AS BIGINT) AS sq FROM scored GROUP BY host), " +
+      "ranked AS (SELECT host, sq // n_docs AS site_q_milli, " +
+      "row_number() OVER (ORDER BY sq // n_docs ASC, host ASC) AS site_rank FROM sites) " +
+      "SELECT doc_id, host, q_milli, site_q_milli " +
+      "FROM scored JOIN ranked USING (host) WHERE site_rank > 1 ORDER BY doc_id"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("filter_site_quality", filterSiteQuality, Some(filterSiteQualitySql)),
     QueryDef("dedup_url_norm", dedupUrlNorm, Some(dedupUrlNormSql)),
     QueryDef("text_html_strip", textHtmlStrip, Some(textHtmlStripSql)),
     QueryDef("filter_quality_rules", filterQualityRules, Some(filterQualityRulesSql)),

@@ -575,7 +575,58 @@ object Events {
       "WHEN tp IS NOT NULL THEN vp ELSE vn END AS value_interp, " +
       "v IS NULL AS was_gap FROM n ORDER BY event_id"
 
+  /** OHLC downsampling — the metric/telemetry resampling verb: per
+    * (event_type, hour) bucket emit open (first value), high, low, close
+    * (last value) and the bucket count. Every output value is a
+    * PASS-THROUGH of an input double (no arithmetic), so the hash gate
+    * needs no rounding grid: open/close select one row's value via
+    * row_number over the total order (etime, event_id) — ascending for
+    * open, descending for close — and high/low are max/min, which compare
+    * doubles without combining them. Scale shape: both row_number windows
+    * and the final groupBy share the (event_type, hour) hash partitioning,
+    * so the plan is one exchange + two in-partition sorts; buckets are
+    * time-bounded (an hour of one event type), never corpus-sized.
+    */
+  private def tsDownsampleOhlc(s: SparkSession, dir: String): DataFrame = {
+    val hr = date_trunc("hour", col("etime"))
+    val asc = Window
+      .partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("etime").asc, col("event_id").asc)
+    val desc = Window
+      .partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("etime").desc, col("event_id").desc)
+    Tables
+      .events(s, dir)
+      .select(col("event_id"), col("etime"), col("event_type"), col("value"))
+      .withColumn("hr", hr)
+      .withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(
+        nrows.as("n_events"),
+        max(when(col("ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"),
+      )
+      .orderBy("event_type", "hr")
+  }
+
+  private val tsDownsampleOhlcSql =
+    "WITH e AS (SELECT event_id, ts AS etime, event_type, value, " +
+      "date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr FROM events), " +
+      "r AS (SELECT event_type, hr, value, " +
+      "row_number() OVER (PARTITION BY event_type, hr ORDER BY etime ASC, event_id ASC) AS ra, " +
+      "row_number() OVER (PARTITION BY event_type, hr ORDER BY etime DESC, event_id DESC) AS rd " +
+      "FROM e) " +
+      "SELECT event_type, hr, count(*) AS n_events, " +
+      "max(CASE WHEN ra = 1 THEN value END) AS open, " +
+      "max(value) AS high, min(value) AS low, " +
+      "max(CASE WHEN rd = 1 THEN value END) AS close " +
+      "FROM r GROUP BY event_type, hr ORDER BY event_type, hr"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("ts_downsample_ohlc", tsDownsampleOhlc, Some(tsDownsampleOhlcSql)),
     QueryDef("ts_interpolate_linear", tsInterpolateLinear, Some(tsInterpolateLinearSql)),
     QueryDef("win_ewma", winEwma, Some(winEwmaSql)),
     QueryDef("ts_forward_fill", tsForwardFill, Some(tsForwardFillSql)),

@@ -376,7 +376,51 @@ object Mixes {
       "SELECT doc_id, rk.lang, rk FROM rk JOIN t ON rk.lang = t.lang " +
       "WHERE rk <= target_docs ORDER BY doc_id"
 
+  /** Leakage-safe train/valid/test split — the assignment unit is the
+    * exact-duplicate CLUSTER, not the document: every member of a
+    * whitespace/case-normalized duplicate group rides its representative's
+    * (min doc_id) split, so a duplicated document can never straddle the
+    * train/eval boundary (the classic contamination-by-split bug).
+    * Determinism: the split is seedless md5 arithmetic on the
+    * representative id (hash52 in [0, 2^52)), compared against INTEGER
+    * thresholds floor(0.8·2^52) and floor(0.9·2^52) — no double compare,
+    * no tie. Scale shape: text is hashed and dropped map-side; one
+    * exchange on the 32 B norm key feeds both the representative window
+    * and nothing else; split assignment is pure per-row arithmetic.
+    */
+  private def sampleGroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val TrainCut = 3602879701896396L // floor(0.8 * 2^52)
+    val ValidCut = 4053239664633446L // floor(0.9 * 2^52)
+    val norm = lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f\\x0B]+", " ")))
+    val h = hash52("gs#", col("rep_id"))
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), md5(norm).as("k"))
+      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("k"))))
+      .select(
+        col("doc_id"),
+        col("rep_id"),
+        when(h < TrainCut, lit("train"))
+          .when(h < ValidCut, lit("valid"))
+          .otherwise(lit("test"))
+          .as("split"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val sampleGroupSplitSql =
+    "WITH d AS (SELECT doc_id, " +
+      "md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS k " +
+      "FROM documents), " +
+      "g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS rep_id FROM d), " +
+      s"h AS (SELECT doc_id, rep_id, ${hash52Sql("gs#", "rep_id")} AS h FROM g) " +
+      "SELECT doc_id, rep_id, " +
+      "CASE WHEN h < 3602879701896396 THEN 'train' " +
+      "WHEN h < 4053239664633446 THEN 'valid' ELSE 'test' END AS split " +
+      "FROM h ORDER BY doc_id"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("sample_group_split", sampleGroupSplit, Some(sampleGroupSplitSql)),
     QueryDef("sample_mix_exact", sampleMixExact, Some(sampleMixExactSql)),
     QueryDef("sample_negative_pairs", sampleNegativePairs, Some(sampleNegativePairsSql)),
     QueryDef("sample_epoch_shuffle", sampleEpochShuffle, Some(sampleEpochShuffleSql)),

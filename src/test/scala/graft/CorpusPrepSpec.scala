@@ -265,4 +265,32 @@ class CorpusPrepSpec extends SparkSpec {
     val got = SparkEntry.queries("text_html_strip")(spark, sfDir).select("doc_id", "clean_md5")
     assert(got.join(expectedMd5, "doc_id").filter(col("clean_md5") =!= col("want")).count() == 0)
   }
+
+  test("filter_site_quality: drops exactly the bottom-ranked site, keeps the rest intact") {
+    val out = run("filter_site_quality").collect()
+    // recompute the site rollup from the raw corpus
+    val scored = Tables
+      .documents(spark, sfDir)
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        (col("doc_id") % 5).as("site"),
+        expr("(1000 * length(regexp_replace(text, '[^a-z]', ''))) div length(text)").as("q"),
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val siteQ = scored.groupBy(_._2).map { case (s0, ds) => s0 -> ds.map(_._3).sum / ds.length }
+    val worst = siteQ.toSeq.minBy { case (s0, q) => (q, s"site$s0.example.com") }._1
+    val keptHosts = out.map(_.getAs[String]("host")).distinct.sorted
+    assert(!keptHosts.contains(s"site$worst.example.com"), "worst site must be dropped")
+    assert(keptHosts.length == siteQ.size - 1, "exactly one site dropped")
+    // doc set = all docs of the kept sites
+    val expectIds = scored.collect { case (id, s0, _) if s0 != worst => id }.toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expectIds)
+    // per-row site mean matches the rollup
+    out.foreach { r =>
+      val s0 = r.getAs[String]("host").stripPrefix("site").takeWhile(_.isDigit).toLong
+      assert(r.getAs[Long]("site_q_milli") == siteQ(s0), s"site $s0 mean")
+    }
+  }
 }

@@ -244,4 +244,23 @@ class MixesSpec extends SparkSpec {
       out.filter(_.getAs[Long]("j") == j).map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("partner")).toMap
     assert(partnersOf(0L) != partnersOf(1L))
   }
+
+  test("sample_group_split: duplicate clusters never straddle splits; assignment is total") {
+    val out = SparkEntry.queries("sample_group_split")(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(out.length.toLong == nDocs, "every doc is assigned")
+    val splits = Set("train", "valid", "test")
+    assert(out.forall(r => splits(r.getAs[String]("split"))))
+    // the leakage-safety law: one split per representative group
+    out.groupBy(_.getAs[Long]("rep_id")).foreach { case (rep, rows) =>
+      assert(rows.map(_.getAs[String]("split")).distinct.length == 1, s"cluster $rep straddles splits")
+      assert(rows.forall(_.getAs[Long]("doc_id") >= rep), s"cluster $rep: rep is not the min doc")
+      assert(rows.exists(_.getAs[Long]("doc_id") == rep), s"cluster $rep: rep not a member")
+    }
+    // hash split lands near 80/10/10 at the CLUSTER grain (binomial noise)
+    val groups = out.groupBy(_.getAs[Long]("rep_id")).map { case (_, rs) => rs.head.getAs[String]("split") }.toSeq
+    val trainFrac = groups.count(_ == "train").toDouble / groups.length
+    assert(trainFrac > 0.65 && trainFrac < 0.95, s"train fraction $trainFrac")
+    assert(groups.exists(_ != "train"), "eval side must be non-empty")
+  }
 }

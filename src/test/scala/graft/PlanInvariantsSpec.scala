@@ -229,4 +229,43 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = planString("text_novelty")
     assert(!p.contains("Join"), "novelty is window+agg by design; a join means a regression\n" + p.take(1500))
   }
+
+  test("text_bm25_topk: top-k prunes map-side; df and stats broadcast, never sort-merge") {
+    val p = planString("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "df/stats frames must broadcast")
+  }
+
+  test("retrieval_rrf: both legs end in top-k prunes and the fusion joins only bounded frames") {
+    val finalPlan = plan("retrieval_rrf") match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other                                                            => other
+    }
+    assert(finalPlan.toString.contains("graft_dot"), "vector leg must use the native dot kernel")
+    // The FULL OUTER fusion join cannot broadcast (unsupported for BHJ), so
+    // it may sort-merge \u2014 but each input must already be a top-K frame:
+    // a TakeOrderedAndProject with NO exchange between it and the join.
+    def boundedPrefix(pl: SparkPlan): Boolean = pl match {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case x if x.getClass.getSimpleName.contains("Exchange") ||
+        x.getClass.getSimpleName.contains("QueryStage") => false
+      case x if x.children.size == 1 => boundedPrefix(x.children.head)
+      case _ => false
+    }
+    val joins = finalPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.nonEmpty, "fusion join expected in the plan")
+    joins.foreach { j =>
+      j.children.foreach { side =>
+        assert(boundedPrefix(side), s"fusion join input is not a pruned top-K frame:\n$side")
+      }
+    }
+  }
+
+  test("filter_site_quality: the keep-set joins back as a broadcast, corpus never shuffles") {
+    val p = planString("filter_site_quality")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "site rollup must broadcast back onto the scored stream")
+  }
 }

@@ -185,6 +185,45 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("ts_downsample_ohlc: exact match vs in-memory bucket recompute") {
+    // order at MICROSECOND grain (etime's real precision — ms-grain getTime
+    // could swap two events inside the same millisecond)
+    val raw = Tables
+      .events(spark, sfDir)
+      .select(col("event_id"), expr("ts div 1000").as("tus"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // Hour bucketing must follow the session timezone like date_trunc does
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    def hour(us: Long): Long =
+      java.time.Instant
+        .ofEpochMilli(us / 1000L)
+        .atZone(zone)
+        .truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+        .toInstant
+        .toEpochMilli
+    val expected = raw
+      .groupBy(e => (e._3, hour(e._2)))
+      .map { case (k, evs) =>
+        val ord = evs.sortBy(e => (e._2, e._1))
+        k -> ((ord.length.toLong, ord.head._4, evs.map(_._4).max, evs.map(_._4).min, ord.last._4))
+      }
+    val got = SparkEntry
+      .queries("ts_downsample_ohlc")(spark, sfDir)
+      .collect()
+      .map { r =>
+        (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("hr").getTime) ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("open"), r.getAs[Double]("high"),
+            r.getAs[Double]("low"), r.getAs[Double]("close")))
+      }
+      .toMap
+    assert(got == expected)
+    // every bucket respects the OHLC envelope
+    got.values.foreach { case (_, o, h, l, c) =>
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
+
   test("ts_forward_fill: filled value is the latest non-null at-or-before, per user") {
     val out = SparkEntry.queries("ts_forward_fill")(spark, sfDir).collect()
     // independent in-memory recompute from the raw table
