@@ -1,0 +1,303 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Qf._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-7 distribution-analytics verbs: corpus-mix entropy, spend
+  * concentration (Gini), item-item collaborative-filtering neighborhoods,
+  * CUSUM changepoint detection, and day-of-week seasonality profiling.
+  * Determinism per SURVEY.md §2.0 throughout: per-term `round(·, 6)` onto
+  * the DECIMAL grid before any reassociable sum, integer-ppm rates, and
+  * single double divisions over exact BIGINT operands.
+  *
+  * Scale doctrine, per op:
+  *   - agg_entropy_mix: the (source, lang) count frame is
+  *     |sources|×|langs|-bounded; per-source totals broadcast back. One
+  *     corpus scan, map-side combine.
+  *   - agg_gini_spend: spend pre-aggregates to customer grain (cents as
+  *     exact BIGINT) before the per-nation rank window, so the window runs
+  *     over |customers| rows, never |orders|; at 100 TB the i·x Σ would
+  *     move to DECIMAL(38) partials — the seam is one cast.
+  *   - recs_item_neighbors: the pair fan-out is bounded by basket size
+  *     (the market_basket_lift argument — Σ |basket|² over orders, never
+  *     items²); supports broadcast; the per-item rank window runs on the
+  *     min-support-pruned pair frame.
+  *   - ts_changepoint_cusum: daily counts are span-bounded (|days| rows
+  *     per type); the CUSUM statistic n·prefix − k·total is all-BIGINT so
+  *     the argmax is exact, no FP boundary.
+  *   - ts_seasonality_dow: |types|×7 output; totals broadcast.
+  */
+object Insights {
+
+  // ------------------------------------------------------------------
+  // agg_entropy_mix — Shannon entropy of the language mix per source
+  // ------------------------------------------------------------------
+
+  /** Corpus-diversity diagnostic: Shannon entropy (bits) of each source's
+    * language distribution — the standard mix-health check before choosing
+    * per-domain sampling weights. Each lang's term −p·log2(p) rounds to 6
+    * decimals onto the DECIMAL grid (the surprisal idiom: ln is the only
+    * engine-dependent step and the 1e-6 grid absorbs any ULP drift), then
+    * the per-source sum is exact decimal addition. log2 is spelled
+    * ln(p)/ln(2) on BOTH sides — Spark's log(base, x) and DuckDB's log2
+    * would otherwise disagree in the last ulp more often than raw ln.
+    */
+  private def aggEntropyMix(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .documents(s, dir)
+      .groupBy("source", "lang")
+      .agg(nrows.as("c"))
+    val t = c.groupBy("source").agg(sum("c").as("n"), nrows.as("n_langs"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    c.join(broadcast(t), "source") // |sources| rows
+      .select(
+        col("source"),
+        col("n"),
+        col("n_langs"),
+        round(-p * log(p) / log(lit(2.0)), 6).cast(DecimalType(18, 6)).as("s6"),
+      )
+      .groupBy("source")
+      .agg(
+        min("n").as("n_docs"),
+        min("n_langs").as("n_langs"),
+        sum(col("s6")).cast("double").as("entropy_bits"),
+      )
+      .orderBy("source")
+  }
+
+  private val aggEntropyMixSql =
+    "WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2), " +
+      "t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_langs FROM c GROUP BY 1), " +
+      "s AS (SELECT c.source, t.n, t.n_langs, " +
+      "CAST(round(-(CAST(c.c AS DOUBLE) / t.n) * ln(CAST(c.c AS DOUBLE) / t.n) / ln(2), 6) " +
+      "AS DECIMAL(18,6)) AS s6 FROM c JOIN t USING (source)) " +
+      "SELECT source, min(n) AS n_docs, min(n_langs) AS n_langs, " +
+      "CAST(sum(s6) AS DOUBLE) AS entropy_bits FROM s GROUP BY 1 ORDER BY source"
+
+  // ------------------------------------------------------------------
+  // agg_gini_spend — Gini coefficient of customer spend per nation
+  // ------------------------------------------------------------------
+
+  /** Spend-concentration index per nation: the Gini coefficient of
+    * customer lifetime spend, G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with x
+    * ascending. Spend is exact integer cents (round(price·100) — 2-decimal
+    * money, no tie ambiguity), every moment is BIGINT, and the one double
+    * division at the end is over int64 operands both engines cast
+    * identically. Rank ties (equal cents) don't perturb Σi·xᵢ — swapping
+    * equal x across ranks leaves the sum unchanged — but the custkey
+    * tiebreak keeps the window itself deterministic.
+    */
+  private def aggGiniSpend(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables
+      .orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val j = spend.join(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey").as("nationkey")),
+      col("o_custkey") === col("c_custkey"),
+    )
+    val w = Window.partitionBy("nationkey").orderBy(col("cents"), col("o_custkey"))
+    j.withColumn("i", asLong(row_number().over(w)))
+      .groupBy("nationkey")
+      .agg(nrows.as("n"), sum("cents").as("sx"), sum(col("i") * col("cents")).as("sxi"))
+      .select(
+        col("nationkey"),
+        col("n").as("n_cust"),
+        col("sx").as("total_cents"),
+        round(
+          (lit(2) * col("sxi") - (col("n") + 1) * col("sx")).cast("double") /
+            (col("n") * col("sx")).cast("double"),
+          6,
+        ).as("gini"),
+      )
+      .orderBy("nationkey")
+  }
+
+  private val aggGiniSpendSql =
+    "WITH spend AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) " +
+      "AS BIGINT) AS cents FROM orders GROUP BY 1), " +
+      "j AS (SELECT c_nationkey AS nationkey, o_custkey, cents " +
+      "FROM spend JOIN customer ON o_custkey = c_custkey), " +
+      "r AS (SELECT nationkey, cents, CAST(row_number() OVER " +
+      "(PARTITION BY nationkey ORDER BY cents, o_custkey) AS BIGINT) AS i FROM j), " +
+      "m AS (SELECT nationkey, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx, " +
+      "CAST(sum(i * cents) AS BIGINT) AS sxi FROM r GROUP BY 1) " +
+      "SELECT nationkey, n AS n_cust, sx AS total_cents, " +
+      "round(CAST(2 * sxi - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE), 6) AS gini " +
+      "FROM m ORDER BY nationkey"
+
+  // ------------------------------------------------------------------
+  // recs_item_neighbors — item-item CF neighborhoods (cosine on baskets)
+  // ------------------------------------------------------------------
+
+  /** Top-5 most-similar items per item, cosine-normalized co-purchase —
+    * the item-item collaborative-filtering neighborhood table. Shares the
+    * basket-bounded pair-count skeleton with market_basket_lift but is a
+    * different artifact: symmetric per-item neighbor lists under cosine
+    * (n_ab / √n_a·√n_b) with an exact jaccard_ppm companion. sqrt, ·, and
+    * / are each single correctly-rounded IEEE ops over exact int64 inputs,
+    * so the unrounded cosine is already bit-identical cross-engine; the
+    * rank window then orders the round(6) value (the declared grid) with
+    * an nbr tiebreak, so both engines cut the same top-5.
+    */
+  private val MinNeighborSupport = 3
+  private val NeighborsK = 5
+
+  private def recsItemNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val supp = items.groupBy("l_partkey").agg(nrows.as("n_i"))
+    val pairs = items
+      .as("a")
+      .join(
+        items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"),
+      )
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(nrows.as("n_ab"))
+      .filter(col("n_ab") >= MinNeighborSupport)
+    val sym = pairs
+      .select(col("pa").as("item"), col("pb").as("nbr"), col("n_ab"))
+      .unionByName(pairs.select(col("pb").as("item"), col("pa").as("nbr"), col("n_ab")))
+    val scored = sym
+      .join(broadcast(supp.select(col("l_partkey").as("item"), col("n_i").as("n_item"))), "item")
+      .join(broadcast(supp.select(col("l_partkey").as("nbr"), col("n_i").as("n_nbr"))), "nbr")
+      .withColumn(
+        "cosine",
+        round(
+          col("n_ab").cast("double") /
+            (sqrt(col("n_item").cast("double")) * sqrt(col("n_nbr").cast("double"))),
+          6,
+        ),
+      )
+      .withColumn(
+        "jaccard_ppm",
+        expr("n_ab * 1000000 div (n_item + n_nbr - n_ab)"),
+      )
+    val w = Window.partitionBy("item").orderBy(col("cosine").desc, col("nbr"))
+    scored
+      .withColumn("rk", asLong(row_number().over(w)))
+      .filter(col("rk") <= NeighborsK)
+      .select(col("item"), col("nbr"), col("n_ab"), col("cosine"), col("jaccard_ppm"), col("rk"))
+      .orderBy("item", "rk")
+  }
+
+  private val recsItemNeighborsSql =
+    "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+      "supp AS (SELECT l_partkey, count(*) AS n_i FROM items GROUP BY 1), " +
+      "pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab " +
+      "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $MinNeighborSupport), " +
+      "sym AS (SELECT pa AS item, pb AS nbr, n_ab FROM pairs " +
+      "UNION ALL SELECT pb, pa, n_ab FROM pairs), " +
+      "sc AS (SELECT item, nbr, n_ab, " +
+      "round(CAST(n_ab AS DOUBLE) / (sqrt(CAST(sa.n_i AS DOUBLE)) * sqrt(CAST(sb.n_i AS DOUBLE))), 6) AS cosine, " +
+      "n_ab * 1000000 // (sa.n_i + sb.n_i - n_ab) AS jaccard_ppm " +
+      "FROM sym JOIN supp sa ON item = sa.l_partkey JOIN supp sb ON nbr = sb.l_partkey), " +
+      "rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY item ORDER BY cosine DESC, nbr) " +
+      "AS BIGINT) AS rk FROM sc) " +
+      s"SELECT item, nbr, n_ab, cosine, jaccard_ppm, rk FROM rk WHERE rk <= $NeighborsK " +
+      "ORDER BY item, rk"
+
+  // ------------------------------------------------------------------
+  // ts_changepoint_cusum — integer CUSUM changepoint per event type
+  // ------------------------------------------------------------------
+
+  /** The day each event type's volume regime most plausibly shifted: the
+    * argmax over k of the CUSUM statistic |Σ₁..k c − k·mean|. Scaled by n
+    * to stay integral — score(k) = |n·prefix_k − k·total| — so the whole
+    * statistic is exact BIGINT arithmetic and the argmax has no FP
+    * boundary at all. Ties break to the earliest day.
+    */
+  private def tsChangepointCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), to_date(col("etime")).as("day"))
+      .agg(nrows.as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val tot = daily.groupBy("event_type").agg(sum("c").as("total"), nrows.as("n_days"))
+    val scored = daily
+      .withColumn("k", asLong(row_number().over(w)))
+      .withColumn("pre", sum("c").over(w))
+      .join(broadcast(tot), "event_type") // |types| rows
+      .withColumn("score", abs(col("n_days") * col("pre") - col("k") * col("total")))
+    val pick = Window.partitionBy("event_type").orderBy(col("score").desc, col("day"))
+    scored
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("total").as("n_events"),
+        col("day").as("cp_day"),
+        col("score").as("cp_score"),
+      )
+      .orderBy("event_type")
+  }
+
+  private val tsChangepointCusumSql =
+    "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c " +
+      "FROM events GROUP BY 1, 2), " +
+      "tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS total, count(*) AS n_days " +
+      "FROM daily GROUP BY 1), " +
+      "cu AS (SELECT d.event_type, d.day, t.n_days, t.total, " +
+      "CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS k, " +
+      "CAST(sum(c) OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS pre " +
+      "FROM daily d JOIN tot t USING (event_type)), " +
+      "sc AS (SELECT event_type, day, n_days, total, abs(n_days * pre - k * total) AS score, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY abs(n_days * pre - k * total) DESC, day) " +
+      "AS rn FROM cu) " +
+      "SELECT event_type, n_days, total AS n_events, day AS cp_day, score AS cp_score " +
+      "FROM sc WHERE rn = 1 ORDER BY event_type"
+
+  // ------------------------------------------------------------------
+  // ts_seasonality_dow — day-of-week volume profile per event type
+  // ------------------------------------------------------------------
+
+  /** Weekly seasonality profile: each type's event share per day-of-week
+    * (0 = Sunday, aligning Spark's 1-based dayofweek with DuckDB's
+    * 0-based) as integer ppm, plus the uniform-baseline index
+    * (share·7 — 1e6 ppm ⇒ exactly at the no-seasonality line). All
+    * integer division; |types|×7 output rows.
+    */
+  private def tsSeasonalityDow(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), (dayofweek(col("etime")) - 1).cast("long").as("dow"))
+      .agg(nrows.as("n_dow"))
+    val t = c.groupBy("event_type").agg(sum("n_dow").as("total"))
+    c.join(broadcast(t), "event_type")
+      .select(
+        col("event_type"),
+        col("dow"),
+        col("n_dow"),
+        col("total"),
+        expr("n_dow * 1000000 div total").as("share_ppm"),
+        expr("n_dow * 7000000 div total").as("index_ppm"),
+      )
+      .orderBy("event_type", "dow")
+  }
+
+  private val tsSeasonalityDowSql =
+    "WITH c AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow, count(*) AS n_dow " +
+      "FROM events GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(n_dow) AS BIGINT) AS total FROM c GROUP BY 1) " +
+      "SELECT c.event_type, dow, n_dow, total, " +
+      "n_dow * 1000000 // total AS share_ppm, n_dow * 7000000 // total AS index_ppm " +
+      "FROM c JOIN t USING (event_type) ORDER BY event_type, dow"
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("agg_entropy_mix", aggEntropyMix, Some(aggEntropyMixSql)),
+    QueryDef("agg_gini_spend", aggGiniSpend, Some(aggGiniSpendSql)),
+    QueryDef("recs_item_neighbors", recsItemNeighbors, Some(recsItemNeighborsSql)),
+    QueryDef("ts_changepoint_cusum", tsChangepointCusum, Some(tsChangepointCusumSql)),
+    QueryDef("ts_seasonality_dow", tsSeasonalityDow, Some(tsSeasonalityDowSql)),
+  )
+}
