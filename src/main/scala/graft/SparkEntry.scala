@@ -23,7 +23,8 @@ object SparkEntry {
       ops.Approx.entries ++ ops.Multimodal.entries ++ ops.Pipeline.entries ++
       ops.Curation.entries ++ ops.Mixes.entries ++ ops.CorpusPrep.entries ++
       ops.Analytics.entries ++ ops.Warehouse.entries ++ ops.Graph.entries ++
-      ops.Spatial.entries ++ ops.Retrieval.entries ++ ops.Mining.entries
+      ops.Spatial.entries ++ ops.Retrieval.entries ++ ops.Mining.entries ++
+      ops.Insights.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

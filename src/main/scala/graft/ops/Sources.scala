@@ -29,19 +29,18 @@ object Sources {
   }
 
   /** Job-bookmark equivalent: read only events after a checkpoint. The
-    * checkpoint predicate is on the raw ns long, so it pushes down to the
-    * parquet scan (row-group skip on ts statistics) — at 100 TB the
-    * incremental read touches only new row groups. Output includes the new
+    * checkpoint bound goes through [[Tables.eventsSince]], which applies it
+    * to the RAW parquet column so it pushes into the scan under either ts
+    * encoding (row-group skip on ts statistics) — at 100 TB the incremental
+    * read touches only new row groups. Output includes the new
     * high-watermark a bookmark store would persist.
-    * Checkpoint: 2024-03-01T00:00:00Z. DuckDB's TIMESTAMP_NS scan truncates
-    * to µs (ns values are multiples of 1000), so the Spark predicate uses
-    * `ts > checkpoint_ns + 999` — both engines cut at exactly the same µs
-    * and sub-µs residue can never flip a boundary event.
+    * Checkpoint: 2024-03-01T00:00:00Z. DuckDB truncates sub-µs on its side,
+    * so the bound uses `checkpoint_ns + 999` — both engines cut at exactly
+    * the same µs and sub-µs residue can never flip a boundary event.
     */
   private def incrementalRead(s: SparkSession, dir: String): DataFrame =
     Tables
-      .events(s, dir)
-      .filter(col("ts") > lit(1709251200000000999L))
+      .eventsSince(s, dir, 1709251200000000999L)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_new"),
