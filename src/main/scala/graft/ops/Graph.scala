@@ -210,8 +210,71 @@ object Graph {
       "ELSE 0.0 END, 4) AS clustering " +
       "FROM deg LEFT JOIN tn ON tn.node = deg.node ORDER BY partkey"
 
+  // ------------------------------------------------------------------
+  // graph_kcore — bounded-round k-core peeling of the co-purchase graph
+  // ------------------------------------------------------------------
+
+  /** k-core decomposition (k = 3) by R = 3 unrolled peeling rounds over the
+    * support-2 co-purchase graph: each round drops nodes of degree < k and
+    * every edge touching them. The R-round result is a DEFINED artifact —
+    * both engines unroll exactly the same rounds, converged or not — which
+    * is what makes an inherently iterative graph op hash-comparable
+    * cross-engine (the bounded-iteration discipline of graph_pagerank).
+    * Entirely integer arithmetic: no FP anywhere.
+    *
+    * Scale shape: each round is one degree aggregate (|V| rows) plus two
+    * semi-joins of the edge list against the |V|-bounded keep-set — cost
+    * R·(|E| + |V|), never quadratic. The full peel (rounds until fixpoint)
+    * would add dedup_clusters' scalar-count convergence check per round;
+    * the unrolled form keeps the plan static for the oracle.
+    */
+  private val KCoreK = 3
+  private val KCoreRounds = 3
+
+  private def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val os = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = os
+      .select(col("ok"), col("p").as("pa"))
+      .join(os.select(col("ok"), col("p").as("pb")), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb")
+      .agg(nrows.as("sup"))
+      .filter(col("sup") >= 2)
+    val e0 = pairs
+      .select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(pairs.select(col("pb").as("u"), col("pa").as("v")))
+    val eFinal = (1 to KCoreRounds).foldLeft(e0) { (e, _) =>
+      val keep = e.groupBy("u").agg(nrows.as("deg")).filter(col("deg") >= KCoreK).select("u")
+      e.join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+    }
+    eFinal
+      .groupBy("u")
+      .agg(nrows.as("deg"))
+      .select(col("u").as("node"), col("deg"))
+      .orderBy("node")
+  }
+
+  private val graphKcoreSql =
+    "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+      "pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+      "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+      "e0 AS (SELECT pa AS u, pb AS v FROM pairs UNION ALL SELECT pb, pa FROM pairs), " +
+      s"k1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= $KCoreK), " +
+      "e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT u FROM k1) AND v IN (SELECT u FROM k1)), " +
+      s"k2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= $KCoreK), " +
+      "e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT u FROM k2) AND v IN (SELECT u FROM k2)), " +
+      s"k3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= $KCoreK), " +
+      "e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT u FROM k3) AND v IN (SELECT u FROM k3)) " +
+      "SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e3 GROUP BY u ORDER BY node"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("graph_triangle_count", triangleCount, Some(triangleCountSql)),
-    QueryDef("graph_pagerank", pagerank, Some(pagerankSql))
+    QueryDef("graph_pagerank", pagerank, Some(pagerankSql)),
+    QueryDef("graph_kcore", graphKcore, Some(graphKcoreSql)),
   )
 }
