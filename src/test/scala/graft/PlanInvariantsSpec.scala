@@ -271,4 +271,35 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("SortMergeJoin"), "site rollup must broadcast back onto the scored stream")
   }
+
+  test("stats_bootstrap_ci: fan-out stays map-side — one md5, no join wider than the 1-row CI attach") {
+    val p = planString("stats_bootstrap_ci")
+    // one md5 per ROW (the 8.6s -> 1.3s fix): a per-replicate hash would
+    // put the md5 above the Generate; cheapest stable proxy is that the
+    // hash seeds project BELOW the explode, i.e. Generate's input already
+    // carries h1/h2
+    assert("md5".r.findAllIn(p).size == 1, "exactly one md5 evaluation site expected")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1500))
+    val exchanges = "ShuffleExchange|Exchange hashpartitioning|Exchange SinglePartition".r.findAllIn(p).size
+    assert(exchanges <= 4, s"replicate agg should keep exchanges tiny, saw $exchanges:\n${p.take(1500)}")
+  }
+
+  test("graph_adamic_adar / graph_jaccard_neighbors: pair stage is an equi-join, never a product") {
+    Seq("graph_adamic_adar", "graph_jaccard_neighbors").foreach { k =>
+      val p = planString(k)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$k pair stage degraded to a product:\n${p.take(1500)}")
+    }
+  }
+
+  test("graph_kcore: peeling rounds read the checkpointed edge frame, not the pair subtree") {
+    val p = planString("graph_kcore")
+    assert(p.contains("ExistingRDD"), "expected the final round to scan the checkpointed edges")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("text_keyword_rake: no product joins; score join stays vocabulary-grain") {
+    val p = planString("text_keyword_rake")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
 }

@@ -37,6 +37,9 @@ class ScalingLawSpec extends SparkSpec {
     "dedup_substring_spans" -> "k-gram df window: shuffle is window-count-linear; a pair-join regression would blow it up",
     "graph_triangle_count" -> "degree-ordered wedge join: superlinear if the support filter stops sparsifying the projection",
     "filter_surprisal_band" -> "token groupBys plus |score-grid| histogram: percentile side must stay grid-bounded",
+    "graph_kcore" -> "iterative peel: R bounded rounds over |E|; a lost checkpoint re-evaluates the pair subtree geometrically",
+    "stats_bootstrap_ci" -> "50x map-side fan-out: the exchange must stay at |B| replicate rows, never fan-out rows",
+    "text_keyword_rake" -> "phrase/word explodes: all joins vocabulary-bounded, corpus must not reach the score join",
   )
 
   test("shuffle bytes grow at most 3x-linear from sf0.01 to sf0.1 for scale-risk probes") {
@@ -98,5 +101,45 @@ class ScalingLawSpec extends SparkSpec {
       f"near_jaccard shuffle grew ${measured}%.1fx, pair model only predicts ${predicted}%.1fx — " +
         "the pair join is doing work the combinatorics don't explain",
     )
+  }
+
+  test("supplier-pair similarity keys track their pair-combinatorics model (quadratic by NATURE, not by bug)") {
+    // graph_adamic_adar / graph_jaccard_neighbors emit Σ_p df·(df−1)/2 pair
+    // rows AND aggregate onto a (s1,s2) key space that approaches C(|S|,2)
+    // — on TPC-H both grow superlinearly with sf (measured: pair rows
+    // 13.2x, pair groups 100x on 10x rows, because suppliers-per-part
+    // itself grows and the supplier pair graph saturates to complete).
+    // Pairwise-similarity OUTPUT is inherently quadratic in nodes; the law
+    // worth gating is that shuffle tracks the model — growing faster means
+    // a lost dedup or broken partial aggregation. At true scale the
+    // documented bound is min-support pruning + hub-degree caps before the
+    // pair stage (the same df-cap every pair join in this repo documents).
+    import org.apache.spark.sql.functions._
+    def model(dir: String): Double = {
+      val sp = Tables.lineitem(spark, dir).select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      val pairRows = sp
+        .groupBy("p").agg(count(lit(1)).as("df"))
+        .agg(sum(col("df") * (col("df") - 1) / 2).as("pairs"))
+        .collect()(0).getAs[Number]("pairs").doubleValue()
+      val nSupp = sp.select("sk").distinct().count().toDouble
+      val groups = math.min(nSupp * (nSupp - 1) / 2, pairRows)
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toDouble
+      // shuffled rows ≈ dedup'd streams (linear) + partial-agg output,
+      // which stops compressing once groups·partitions exceeds pair rows
+      2.0 * sp.count().toDouble + math.min(pairRows, parts * groups)
+    }
+    val predicted = math.max(RowRatio, model(SfBig) / model(SfSmall))
+    Seq("graph_adamic_adar", "graph_jaccard_neighbors").foreach { k =>
+      val fn = SparkEntry.queries(k)
+      val small = shuffleBytes(fn(spark, SfSmall).collect())
+      val big = shuffleBytes(fn(spark, SfBig).collect())
+      val measured = big.toDouble / math.max(small, 1L)
+      info(f"$k%-24s measured ${measured}%.1fx vs model ${predicted}%.1fx (linear would be ${RowRatio}x)")
+      assert(
+        measured <= 3.0 * predicted,
+        f"$k shuffle grew ${measured}%.1fx, pair model only predicts ${predicted}%.1fx — " +
+          "the pair stage is doing work the combinatorics don't explain",
+      )
+    }
   }
 }
