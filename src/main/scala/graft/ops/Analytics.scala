@@ -1335,7 +1335,61 @@ object Analytics {
       "min(CASE WHEN cum >= (9 * n + 9) // 10 THEN s4 END) AS hi FROM cum, nn) " +
       "SELECT doc_id, avg_surprisal, (s4 >= lo AND s4 <= hi) AS keep FROM d4, th ORDER BY doc_id"
 
+  // ------------------------------------------------------------------
+  // agg_hdr_histogram — log2-bucketed latency histogram + SLO percentiles
+  // ------------------------------------------------------------------
+
+  /** HDR-style latency histogram: event values (as exact cents) bucket by
+    * their binary magnitude — bucket = len(bin(cents)), i.e. floor(log2)+1,
+    * a PURE STRING-LENGTH op with no floating-point boundary (floor(log2(x))
+    * flips at exact powers of two differently per libm; `bin()` cannot).
+    * Log-spaced buckets give constant RELATIVE error — the latency-SLO
+    * reporting shape — where the fixed-width sibling `agg_quantile_binned`
+    * gives constant absolute error. p50/p95/p99 markers are the first
+    * bucket whose cumulative count reaches ceil(q·N), all integer
+    * arithmetic. |buckets| ≤ 64 by construction, so the histogram is
+    * mergeable by addition and O(1)-sized at any corpus scale.
+    */
+  private def aggHdrHistogram(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables
+      .events(s, dir)
+      .filter(col("value") > 0)
+      .groupBy(length(bin(expr("CAST(round(value * 100, 0) AS BIGINT)"))).cast("long").as("bucket"))
+      .agg(nrows.as("n"))
+    hist
+      // BOUNDEDNESS: unpartitioned cumsum over the ≤64-row bucket frame
+      .withColumn(
+        "cum",
+        sum("n").over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      )
+      .crossJoin(broadcast(hist.agg(sum("n").as("total")))) // 1-row total
+      .select(
+        col("bucket"),
+        expr("shiftleft(1L, CAST(bucket AS INT) - 1)").as("lo_cents"),
+        expr("shiftleft(1L, CAST(bucket AS INT)) - 1").as("hi_cents"),
+        col("n"),
+        col("cum"),
+        expr("cum - n < (total + 1) div 2 AND (total + 1) div 2 <= cum").as("is_p50"),
+        expr("cum - n < (19 * total + 19) div 20 AND (19 * total + 19) div 20 <= cum").as("is_p95"),
+        expr("cum - n < (99 * total + 99) div 100 AND (99 * total + 99) div 100 <= cum").as("is_p99"),
+      )
+      .orderBy("bucket")
+  }
+
+  private val aggHdrHistogramSql =
+    "WITH h AS (SELECT CAST(length(bin(CAST(round(value * 100, 0) AS BIGINT))) AS BIGINT) AS bucket, " +
+      "CAST(count(*) AS BIGINT) AS n FROM events WHERE value > 0 GROUP BY 1), " +
+      "c AS (SELECT *, CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM h), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h) " +
+      "SELECT bucket, CAST(1::BIGINT << (CAST(bucket AS INT) - 1) AS BIGINT) AS lo_cents, " +
+      "CAST((1::BIGINT << CAST(bucket AS INT)) - 1 AS BIGINT) AS hi_cents, n, cum, " +
+      "(cum - n < (total + 1) // 2 AND (total + 1) // 2 <= cum) AS is_p50, " +
+      "(cum - n < (19 * total + 19) // 20 AND (19 * total + 19) // 20 <= cum) AS is_p95, " +
+      "(cum - n < (99 * total + 99) // 100 AND (99 * total + 99) // 100 <= cum) AS is_p99 " +
+      "FROM c, t ORDER BY bucket"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("agg_hdr_histogram", aggHdrHistogram, Some(aggHdrHistogramSql)),
     QueryDef("filter_surprisal_band", filterSurprisalBand, Some(filterSurprisalBandSql)),
     QueryDef("agg_heavy_hitters", aggHeavyHitters, Some(aggHeavyHittersSql)),
     QueryDef("funnel_conversion", funnelConversion, Some(funnelConversionSql)),

@@ -390,6 +390,76 @@ object Events {
       .orderBy("channel")
   }
 
+  /** Linear (equal-credit) multi-touch attribution — the companion of
+    * attribution_last_touch: every view/click in the 7-day window before a
+    * purchase shares the credit equally. Credit is the integer
+    * 10⁶ div n_touches per touch and value shares are pcents div n_touches
+    * (truncation is part of the DEFINED statistic — deterministic in both
+    * engines on these non-negative operands); no-touch purchases credit
+    * 'direct' in full via the anti-join branch. Candidates are bounded per
+    * user (the join_asof shape); the touch-count window partitions by
+    * purchase.
+    */
+  private def attributionLinear(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), expr("ts div 1000").as("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("pid"),
+        col("user_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("pcents"),
+        col("us").as("pus"),
+      )
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("tid"), col("user_id"), col("event_type").as("channel"), col("us").as("tus"))
+    val touched = p
+      .join(
+        t,
+        p("user_id") === t("user_id") &&
+          col("tus") <= col("pus") &&
+          col("tus") > col("pus") - lit(AttrWindowUs),
+      )
+      .withColumn("n_touches", count(lit(1)).over(Window.partitionBy("pid")))
+      .select(
+        col("pid"),
+        col("channel"),
+        expr("1000000 div n_touches").as("credit_ppm"),
+        expr("pcents div n_touches").as("cents_share"),
+      )
+    val direct = p
+      .join(touched.select("pid"), Seq("pid"), "left_anti")
+      .select(col("pid"), lit("direct").as("channel"), lit(1000000L).as("credit_ppm"), col("pcents").as("cents_share"))
+    touched
+      .unionByName(direct)
+      .groupBy("channel")
+      .agg(
+        nrows.as("n_touches"),
+        sum("credit_ppm").as("credit_ppm_sum"),
+        sum("cents_share").as("attributed_cents"),
+      )
+      .orderBy("channel")
+  }
+
+  private val attributionLinearSql =
+    "WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS us FROM events), " +
+      "p AS (SELECT event_id AS pid, user_id, CAST(round(value * 100, 0) AS BIGINT) AS pcents, us AS pus " +
+      "FROM e WHERE event_type = 'purchase'), " +
+      "t AS (SELECT event_id AS tid, user_id, event_type AS channel, us AS tus FROM e " +
+      "WHERE event_type IN ('view', 'click')), " +
+      "cand AS (SELECT pid, pcents, channel, " +
+      "CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS n_touches " +
+      "FROM p JOIN t ON t.user_id = p.user_id " +
+      "AND t.tus <= p.pus AND t.tus > p.pus - 604800000000), " +
+      "touched AS (SELECT pid, channel, CAST(1000000 // n_touches AS BIGINT) AS credit_ppm, " +
+      "CAST(pcents // n_touches AS BIGINT) AS cents_share FROM cand), " +
+      "direct AS (SELECT pid, 'direct' AS channel, CAST(1000000 AS BIGINT) AS credit_ppm, pcents AS cents_share " +
+      "FROM p WHERE pid NOT IN (SELECT pid FROM touched)), " +
+      "u AS (SELECT * FROM touched UNION ALL SELECT * FROM direct) " +
+      "SELECT channel, CAST(count(*) AS BIGINT) AS n_touches, CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum, " +
+      "CAST(sum(cents_share) AS BIGINT) AS attributed_cents " +
+      "FROM u GROUP BY 1 ORDER BY channel"
+
   // ------------------------------------------------------------- catalog
 
   /** ONE gaps-and-islands CTE chain (5-min gap, µs-LONG gap tests per
@@ -636,6 +706,7 @@ object Events {
       Some(sessionCtePrefixSql + tsMaxConcurrencySql),
     ),
     QueryDef("attribution_last_touch", attributionLastTouch, Some(attributionLastTouchSql)),
+    QueryDef("event_attribution_linear", attributionLinear, Some(attributionLinearSql)),
     QueryDef(
       "sessionize_lag",
       sessionizeLagQ,

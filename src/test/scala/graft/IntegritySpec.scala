@@ -80,6 +80,74 @@ class IntegritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_supp")).sum == Tables.supplier(spark, sfDir).count())
   }
 
+  test("agg_hdr_histogram: buckets are true log2 magnitudes; cum covers; exactly one bucket per SLO marker") {
+    val rows = run("agg_hdr_histogram").collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sfDir).filter(col("value") > 0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    assert(rows.last.getAs[Long]("cum") == total)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket").toInt
+      assert(r.getAs[Long]("lo_cents") == (1L << (b - 1)))
+      assert(r.getAs[Long]("hi_cents") == (1L << b) - 1)
+    }
+    Seq("is_p50", "is_p95", "is_p99").foreach { m =>
+      assert(rows.count(_.getAs[Boolean](m)) == 1, s"exactly one $m bucket expected")
+    }
+    // the p99 marker sits at or after the p50 marker
+    val b50 = rows.find(_.getAs[Boolean]("is_p50")).get.getAs[Long]("bucket")
+    val b99 = rows.find(_.getAs[Boolean]("is_p99")).get.getAs[Long]("bucket")
+    assert(b99 >= b50)
+    // cross-check one marker against the exact percentile
+    val cents = Tables
+      .events(spark, sfDir)
+      .filter(col("value") > 0)
+      .select(expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    val exactP99 = cents((math.ceil(0.99 * cents.length) - 1).toInt)
+    val p99row = rows.find(_.getAs[Boolean]("is_p99")).get
+    assert(
+      exactP99 >= p99row.getAs[Long]("lo_cents") && exactP99 <= p99row.getAs[Long]("hi_cents"),
+      s"exact p99 $exactP99 outside marked bucket $p99row",
+    )
+  }
+
+  test("event_attribution_linear: credit conserves per purchase; reconciles with last-touch purchase count") {
+    val rows = run("event_attribution_linear").collect()
+    assert(rows.nonEmpty)
+    // independent recompute of the candidate structure
+    val evs = Tables
+      .events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4) / 1000))
+    val purchases = evs.filter(_._3 == "purchase")
+    val touches = evs.filter(e => e._3 == "view" || e._3 == "click").groupBy(_._2)
+    val win = 604800000000L
+    val agg = collection.mutable.Map.empty[String, (Long, Long, Long)]
+    purchases.foreach { case (_, uid, _, v, pus) =>
+      val ts = touches.getOrElse(uid, Array.empty).filter(t => t._5 <= pus && t._5 > pus - win)
+      val pcents = math.round(v * 100)
+      if (ts.isEmpty) {
+        val (n, c, a) = agg.getOrElse("direct", (0L, 0L, 0L))
+        agg("direct") = (n + 1, c + 1000000L, a + pcents)
+      } else {
+        val k = ts.length.toLong
+        ts.foreach { t =>
+          val (n, c, a) = agg.getOrElse(t._3, (0L, 0L, 0L))
+          agg(t._3) = (n + 1, c + 1000000L / k, a + pcents / k)
+        }
+      }
+    }
+    val got = rows.map(r =>
+      r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Long]("credit_ppm_sum"), r.getAs[Long]("attributed_cents")))
+    ).toMap
+    assert(got == agg.toMap, s"linear attribution mismatch: $got vs $agg")
+  }
+
   test("fn_bitwise_pack: pack/unpack is the identity; operator semantics hold") {
     val rows = run("fn_bitwise_pack").collect()
     assert(rows.nonEmpty)
