@@ -40,6 +40,8 @@ class ScalingLawSpec extends SparkSpec {
     "graph_kcore" -> "iterative peel: R bounded rounds over |E|; a lost checkpoint re-evaluates the pair subtree geometrically",
     "stats_bootstrap_ci" -> "50x map-side fan-out: the exchange must stay at |B| replicate rows, never fan-out rows",
     "text_keyword_rake" -> "phrase/word explodes: all joins vocabulary-bounded, corpus must not reach the score join",
+    "agg_hdr_histogram" -> "mergeable <=64-bucket histogram: the exchange must stay bucket-sized, never event-sized",
+    "event_attribution_linear" -> "per-user candidate join + per-purchase window: bounded by user activity, not |purchases|x|touches|",
   )
 
   test("shuffle bytes grow at most 3x-linear from sf0.01 to sf0.1 for scale-risk probes") {
