@@ -360,12 +360,18 @@ object Resampling {
             (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n"))
         ).as("sigma"),
       )
+    // -0.0 NORMALIZATION (found by the sf0.1 gate): a z that rounds to
+    // zero FROM BELOW is -0.0 in DuckDB but 0.0 in Spark (Round routes
+    // through BigDecimal, which has no signed zero) — numerically equal,
+    // repr-distinct, hash-mismatch. Both sides map exact zero to +0.0
+    // explicitly (the CASE survives any optimizer, unlike `+ 0.0`).
+    val zr = round((col("c").cast("double") - col("mu")) / col("sigma"), 4)
     li.join(broadcast(m), "flag")
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
         col("flag"),
-        round((col("c").cast("double") - col("mu")) / col("sigma"), 4).as("z"),
+        when(zr === lit(0.0), lit(0.0)).otherwise(zr).as("z"),
       )
       .orderBy("l_orderkey", "l_linenumber")
   }
@@ -376,7 +382,9 @@ object Resampling {
       "m AS (SELECT flag, CAST(count(*) AS BIGINT) AS n, sum(c) AS s1, sum(c * c) AS s2 FROM li GROUP BY 1), " +
       "ms AS (SELECT flag, CAST(s1 AS DOUBLE) / n AS mu, " +
       "sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sigma FROM m) " +
-      "SELECT l_orderkey, l_linenumber, li.flag, round((CAST(c AS DOUBLE) - mu) / sigma, 4) AS z " +
+      "SELECT l_orderkey, l_linenumber, li.flag, " +
+      "CASE WHEN round((CAST(c AS DOUBLE) - mu) / sigma, 4) = 0 THEN 0.0 " +
+      "ELSE round((CAST(c AS DOUBLE) - mu) / sigma, 4) END AS z " +
       "FROM li JOIN ms ON li.flag = ms.flag ORDER BY l_orderkey, l_linenumber"
 
   // ------------------------------------------------------------------
