@@ -69,4 +69,13 @@ object Qf {
 
   /** 16^13 = 2^52 — the denominator that turns hash52 into a uniform. */
   val Hash52Range = 4503599627370496.0
+
+  /** −0.0 normalization for SIGNED rounded doubles (SURVEY §2.0 rule 8):
+    * a value rounding to zero from below is −0.0 in DuckDB but 0.0 in
+    * Spark (Round routes through BigDecimal — no signed zero); numerically
+    * equal, repr-distinct, hash-mismatch. Apply AFTER the round; mirror in
+    * SQL with `CASE WHEN x = 0 THEN 0.0 ELSE x END`. The CASE form
+    * survives optimizers (an `x + 0.0` could legally be folded away).
+    */
+  def zround(c: Column): Column = when(c === lit(0.0), lit(0.0)).otherwise(c)
 }

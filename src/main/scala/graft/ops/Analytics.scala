@@ -298,7 +298,7 @@ object Analytics {
         col(s"s_$a").cast("double") * col(s"s_$b").cast("double")) /
         (sqrt(n * col(s"ss_$a").cast("double") - col(s"s_$a").cast("double") * col(s"s_$a").cast("double")) *
           sqrt(n * col(s"ss_$b").cast("double") - col(s"s_$b").cast("double") * col(s"s_$b").cast("double")))
-      struct(lit(s"${a}__$b").as("pair"), round(corr, 4).as("corr"))
+      struct(lit(s"${a}__$b").as("pair"), zround(round(corr, 4)).as("corr"))
     }
     m.select(col("n"), explode(array(pairs: _*)).as("p"))
       .select(col("p.pair").as("pair"), col("p.corr").as("corr"), col("n"))
@@ -321,7 +321,8 @@ object Analytics {
         s"n FROM m"
     }
     s"WITH m AS (SELECT count(*) AS n, ${moments.mkString(", ")} FROM lineitem) " +
-      rows.mkString(" UNION ALL ") + " ORDER BY pair"
+      "SELECT pair, CASE WHEN corr = 0 THEN 0.0 ELSE corr END AS corr, n FROM (" +
+      rows.mkString(" UNION ALL ") + ") ORDER BY pair"
   }
 
   // ------------------------------------------------------------------
@@ -385,8 +386,8 @@ object Analytics {
         round(col("mu"), 4).as("mean"),
         // m2·sqrt(m2) = m2^1.5 without pow (libm-dependent; sqrt is
         // correctly-rounded everywhere — the sample_temperature rule)
-        round(col("m3") / (col("m2") * sqrt(col("m2"))), 4).as("skewness"),
-        round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 4).as("kurtosis"),
+        zround(round(col("m3") / (col("m2") * sqrt(col("m2"))), 4)).as("skewness"),
+        zround(round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 4)).as("kurtosis"),
       )
       .orderBy("l_returnflag")
   }
@@ -404,8 +405,8 @@ object Analytics {
       "r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3, " +
       "r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu AS m4 FROM r) " +
       "SELECT l_returnflag, n, round(mu, 4) AS mean, " +
-      "round(m3 / (m2 * sqrt(m2)), 4) AS skewness, " +
-      "round(m4 / (m2 * m2) - 3.0, 4) AS kurtosis " +
+      "CASE WHEN round(m3 / (m2 * sqrt(m2)), 4) = 0 THEN 0.0 ELSE round(m3 / (m2 * sqrt(m2)), 4) END AS skewness, " +
+      "CASE WHEN round(m4 / (m2 * m2) - 3.0, 4) = 0 THEN 0.0 ELSE round(m4 / (m2 * m2) - 3.0, 4) END AS kurtosis " +
       "FROM f ORDER BY l_returnflag"
 
   // ------------------------------------------------------------------
@@ -515,7 +516,7 @@ object Analytics {
         date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n"),
         col("prev_n"),
-        round((col("n") - col("prev_n")).cast("double") / col("prev_n"), 4).as("pct_change"),
+        zround(round((col("n") - col("prev_n")).cast("double") / col("prev_n"), 4)).as("pct_change"),
       )
       .orderBy("event_type", "day")
   }
@@ -526,7 +527,8 @@ object Analytics {
       "l AS (SELECT event_type, day, n, " +
       "lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n FROM d) " +
       "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, prev_n, " +
-      "round(CAST(n - prev_n AS DOUBLE) / prev_n, 4) AS pct_change " +
+      "CASE WHEN round(CAST(n - prev_n AS DOUBLE) / prev_n, 4) = 0 THEN 0.0 " +
+      "ELSE round(CAST(n - prev_n AS DOUBLE) / prev_n, 4) END AS pct_change " +
       "FROM l ORDER BY event_type, day"
 
   // ------------------------------------------------------------------

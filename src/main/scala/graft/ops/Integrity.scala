@@ -103,7 +103,7 @@ object Integrity {
         col("actual_total"),
         expr("abs_err * 1000000 div actual_total").as("wape_ppm"),
         expr("abs_err * 1000000 div n_days").as("mae_uday"),
-        round(col("err").cast("double") / col("actual_total").cast("double"), 6).as("bias"),
+        zround(round(col("err").cast("double") / col("actual_total").cast("double"), 6)).as("bias"),
       )
       .orderBy("event_type")
   }
@@ -118,7 +118,8 @@ object Integrity {
       "SELECT event_type, n_days, actual_total, " +
       "CAST(abs_err * 1000000 // actual_total AS BIGINT) AS wape_ppm, " +
       "CAST(abs_err * 1000000 // n_days AS BIGINT) AS mae_uday, " +
-      "round(CAST(err AS DOUBLE) / CAST(actual_total AS DOUBLE), 6) AS bias " +
+      "CASE WHEN round(CAST(err AS DOUBLE) / CAST(actual_total AS DOUBLE), 6) = 0 THEN 0.0 " +
+      "ELSE round(CAST(err AS DOUBLE) / CAST(actual_total AS DOUBLE), 6) END AS bias " +
       "FROM m ORDER BY event_type"
 
   // ------------------------------------------------------------------

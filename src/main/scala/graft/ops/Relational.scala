@@ -337,7 +337,7 @@ object Relational {
       .agg(
         round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        zround(round(corr(col("l_quantity"), col("l_extendedprice")), 4)).as("corr_qp"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"),
       )
       .orderBy("l_returnflag")
@@ -846,7 +846,8 @@ object Relational {
         "SELECT l_returnflag, " +
           "round(stddev_samp(l_extendedprice), 4) AS sd_price, " +
           "round(var_samp(l_quantity), 4) AS var_qty, " +
-          "round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, " +
+          "CASE WHEN round(corr(l_quantity, l_extendedprice), 4) = 0 THEN 0.0 " +
+          "ELSE round(corr(l_quantity, l_extendedprice), 4) END AS corr_qp, " +
           "round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp " +
           "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
       ),

@@ -77,10 +77,12 @@ object Stats {
         col("event_type"),
         col("n").as("n_days"),
         col("sc").as("n_events"),
-        round(
-          (col("n") * col("skc") - col("sk") * col("sc")).cast("double") /
-            (col("n") * col("sk2") - col("sk") * col("sk")).cast("double"),
-          6,
+        zround(
+          round(
+            (col("n") * col("skc") - col("sk") * col("sc")).cast("double") /
+              (col("n") * col("sk2") - col("sk") * col("sk")).cast("double"),
+            6,
+          )
         ).as("slope"),
         round(
           (col("sc") * col("sk2") - col("sk") * col("skc")).cast("double") /
@@ -106,7 +108,8 @@ object Stats {
       "CAST(sum(c) AS BIGINT) AS sc, CAST(sum(k*c) AS BIGINT) AS skc, " +
       "CAST(sum(k*k) AS BIGINT) AS sk2, CAST(sum(c*c) AS BIGINT) AS sc2 FROM r GROUP BY 1) " +
       "SELECT event_type, n AS n_days, sc AS n_events, " +
-      "round(CAST(n*skc - sk*sc AS DOUBLE) / CAST(n*sk2 - sk*sk AS DOUBLE), 6) AS slope, " +
+      "CASE WHEN round(CAST(n*skc - sk*sc AS DOUBLE) / CAST(n*sk2 - sk*sk AS DOUBLE), 6) = 0 THEN 0.0 " +
+      "ELSE round(CAST(n*skc - sk*sc AS DOUBLE) / CAST(n*sk2 - sk*sk AS DOUBLE), 6) END AS slope, " +
       "round(CAST(sc*sk2 - sk*skc AS DOUBLE) / CAST(n*sk2 - sk*sk AS DOUBLE), 6) AS intercept, " +
       "round(CAST((n*skc - sk*sc)*(n*skc - sk*sc) AS DOUBLE) / " +
       "CAST((n*sk2 - sk*sk)*(n*sc2 - sc*sc) AS DOUBLE), 6) AS r2 " +
@@ -262,13 +265,15 @@ object Stats {
         col("type_b"),
         col("lag"),
         col("n").as("n_days"),
-        round(
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt(
-              ((col("n") * col("sx2") - col("sx") * col("sx")) *
-                (col("n") * col("sy2") - col("sy") * col("sy"))).cast("double")
-            ),
-          6,
+        zround(
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(
+                ((col("n") * col("sx2") - col("sx") * col("sx")) *
+                  (col("n") * col("sy2") - col("sy") * col("sy"))).cast("double")
+              ),
+            6,
+          )
         ).as("r"),
       )
       .orderBy("type_a", "type_b", "lag")
@@ -284,7 +289,8 @@ object Stats {
       "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy, " +
       "CAST(sum(x*x) AS BIGINT) AS sx2, CAST(sum(y*y) AS BIGINT) AS sy2 FROM p GROUP BY 1,2,3) " +
       "SELECT type_a, type_b, lag, n AS n_days, " +
-      "round(CAST(n*sxy - sx*sy AS DOUBLE) / sqrt(CAST((n*sx2 - sx*sx)*(n*sy2 - sy*sy) AS DOUBLE)), 6) AS r " +
+      "CASE WHEN round(CAST(n*sxy - sx*sy AS DOUBLE) / sqrt(CAST((n*sx2 - sx*sx)*(n*sy2 - sy*sy) AS DOUBLE)), 6) = 0 THEN 0.0 " +
+      "ELSE round(CAST(n*sxy - sx*sy AS DOUBLE) / sqrt(CAST((n*sx2 - sx*sx)*(n*sy2 - sy*sy) AS DOUBLE)), 6) END AS r " +
       "FROM m ORDER BY type_a, type_b, lag"
 
   // ------------------------------------------------------------------
