@@ -43,7 +43,7 @@ object CorpusPrep {
     * no-op. The synthesized query string carries ONLY tracking params by
     * construction, so canonicalization may drop `[?#].*` wholesale.
     */
-  private def urlSynth: Column = concat(
+  private[ops] def urlSynth: Column = concat(
     when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
     lit("://"),
     when(col("doc_id") % 3 === 0, upper(concat(lit("site"), col("doc_id") % 5, lit(".example.com"))))
@@ -96,7 +96,10 @@ object CorpusPrep {
     * dedup_url_norm and filter_domain_blocklist so the two SQL copies
     * cannot drift (the Curation shared-fragment rule).
     */
-  private val urlNormCte =
+  /** The synth CTE alone (no trailing comma), shared with Governance's
+    * fn_url_parse so the SQL synthesizer cannot drift from [[urlSynth]].
+    */
+  private[ops] val urlSynthCte =
     "synth AS (SELECT doc_id, " +
       "(CASE WHEN doc_id%2=0 THEN 'HTTP' ELSE 'https' END) || '://' || " +
       "(CASE WHEN doc_id%3=0 THEN upper('site' || (doc_id%5) || '.example.com') " +
@@ -106,7 +109,10 @@ object CorpusPrep {
       "'/p/' || (doc_id%24) || " +
       "(CASE WHEN doc_id%5=0 THEN '/' ELSE '' END) || " +
       "(CASE WHEN doc_id%2=1 THEN '?utm_source=' || source || '&utm_medium=web' ELSE '' END) || " +
-      "(CASE WHEN doc_id%3=1 THEN '#sec' || (doc_id%3) ELSE '' END) AS url FROM documents), " +
+      "(CASE WHEN doc_id%3=1 THEN '#sec' || (doc_id%3) ELSE '' END) AS url FROM documents)"
+
+  private val urlNormCte =
+    urlSynthCte + ", " +
       "norm AS (SELECT doc_id, regexp_replace(regexp_replace(replace(replace(replace(" +
       "lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]+')) || regexp_replace(url, '^[A-Za-z]+://[^/?#]+', ''), " +
       "'://www.', '://'), ':80/', '/'), ':443/', '/'), '[?#].*$', ''), '/$', '') AS canonical " +
