@@ -26,7 +26,8 @@ object SparkEntry {
       ops.Spatial.entries ++ ops.Retrieval.entries ++ ops.Mining.entries ++
       ops.Insights.entries ++ ops.Stats.entries ++ ops.Robust.entries ++
       ops.Modeling.entries ++ ops.Resampling.entries ++ ops.Evaluation.entries ++
-      ops.Integrity.entries ++ ops.Decision.entries ++ ops.Governance.entries
+      ops.Integrity.entries ++ ops.Decision.entries ++ ops.Governance.entries ++
+      ops.Lexicon.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

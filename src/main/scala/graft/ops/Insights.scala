@@ -30,6 +30,11 @@ import org.apache.spark.sql.types.DecimalType
   *     per type); the CUSUM statistic n·prefix − k·total is all-BIGINT so
   *     the argmax is exact, no FP boundary.
   *   - ts_seasonality_dow: |types|×7 output; totals broadcast.
+  *   - event_ltv_deciles: events pre-aggregate to user grain before the
+  *     decile window; 100 TB seam = two-stage quantile cut (noted at the
+  *     window site).
+  *   - win_pareto_share: revenue pre-aggregates to customer grain; the
+  *     rank/cum windows run per segment over |customers| rows.
   */
 object Insights {
 
@@ -293,11 +298,108 @@ object Insights {
       "n_dow * 1000000 // total AS share_ppm, n_dow * 7000000 // total AS index_ppm " +
       "FROM c JOIN t USING (event_type) ORDER BY event_type, dow"
 
+  // ------------------------------------------------------------------
+  // event_ltv_deciles — user lifetime-value decile report
+  // ------------------------------------------------------------------
+
+  /** Lifetime-value decile report: users ranked by total event value
+    * (exact cents), cut into 10 ntile buckets (SQL-standard ntile: earlier
+    * buckets get the remainder — identical in both engines), and each
+    * decile reported with user count, exact value total, and its ppm share
+    * of corpus value — "the top decile carries X% of value". The ntile
+    * window runs at USER grain (events pre-aggregate first); at 100 TB the
+    * seam is a two-stage quantile cut (approx value quantiles as bucket
+    * bounds + exact boundary trim), same algebra as sample_balanced_class.
+    */
+  private def eventLtvDeciles(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables
+      .events(s, dir)
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("v_cents"), nrows.as("n_events"))
+    // user-grain unpartitioned window: |users| ≪ |events|; 100 TB seam above
+    val w = Window.orderBy(col("v_cents").desc, col("user_id"))
+    users
+      .withColumn("decile", asLong(ntile(10).over(w)))
+      .groupBy("decile")
+      .agg(nrows.as("n_users"), sum("v_cents").as("v_cents"), sum("n_events").as("n_events"))
+      .withColumn("total", sum("v_cents").over(Window.partitionBy()))
+      .select(
+        col("decile"),
+        col("n_users"),
+        col("n_events"),
+        col("v_cents"),
+        expr("v_cents * 1000000 div total").as("share_ppm"),
+      )
+      .orderBy("decile")
+  }
+
+  private val eventLtvDecilesSql =
+    "WITH u AS (SELECT user_id, CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_cents, " +
+      "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1), " +
+      "d AS (SELECT *, ntile(10) OVER (ORDER BY v_cents DESC, user_id) AS decile FROM u), " +
+      "g AS (SELECT CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_users, " +
+      "CAST(sum(v_cents) AS BIGINT) AS v_cents, CAST(sum(n_events) AS BIGINT) AS n_events " +
+      "FROM d GROUP BY 1) " +
+      "SELECT decile, n_users, n_events, v_cents, " +
+      "CAST(v_cents * 1000000 // (sum(v_cents) OVER ()) AS BIGINT) AS share_ppm " +
+      "FROM g ORDER BY decile"
+
+  // ------------------------------------------------------------------
+  // win_pareto_share — the 80/20 concentration cut per segment
+  // ------------------------------------------------------------------
+
+  /** Pareto concentration per market segment: rank customers by revenue
+    * (exact cents, desc), find the smallest head count whose cumulative
+    * revenue reaches 80% (2·cum ≥ 8·total/10 in integers — the
+    * weighted-median selection law), and report it with its ppm of the
+    * customer base — "N% of customers produce 80% of revenue". Revenue
+    * pre-aggregates to customer grain before the per-segment rank window.
+    */
+  private def winParetoShare(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables
+      .orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("rev"))
+    val w = Window
+      .partitionBy("c_mktsegment")
+      .orderBy(col("rev").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cust
+      .withColumn("cum", sum("rev").over(w))
+      .withColumn("rn", asLong(row_number().over(Window.partitionBy("c_mktsegment").orderBy(col("rev").desc, col("c_custkey")))))
+      .withColumn("tot", sum("rev").over(Window.partitionBy("c_mktsegment")))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        nrows.as("n_customers"),
+        max("tot").as("rev_cents"),
+        min(when(col("cum") * 10 >= col("tot") * 8, col("rn"))).as("n_top80"),
+      )
+      .withColumn("top80_ppm", expr("n_top80 * 1000000 div n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val winParetoShareSql =
+    "WITH cu AS (SELECT c_mktsegment, c_custkey, " +
+      "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+      "r AS (SELECT c_mktsegment, c_custkey, rev, " +
+      "CAST(sum(rev) OVER (PARTITION BY c_mktsegment ORDER BY rev DESC, c_custkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+      "CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY rev DESC, c_custkey) AS BIGINT) AS rn, " +
+      "CAST(sum(rev) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot FROM cu) " +
+      "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, max(tot) AS rev_cents, " +
+      "min(CASE WHEN cum * 10 >= tot * 8 THEN rn END) AS n_top80, " +
+      "CAST(min(CASE WHEN cum * 10 >= tot * 8 THEN rn END) * 1000000 // count(*) AS BIGINT) AS top80_ppm " +
+      "FROM r GROUP BY 1 ORDER BY c_mktsegment"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("agg_entropy_mix", aggEntropyMix, Some(aggEntropyMixSql)),
     QueryDef("agg_gini_spend", aggGiniSpend, Some(aggGiniSpendSql)),
     QueryDef("recs_item_neighbors", recsItemNeighbors, Some(recsItemNeighborsSql)),
     QueryDef("ts_changepoint_cusum", tsChangepointCusum, Some(tsChangepointCusumSql)),
     QueryDef("ts_seasonality_dow", tsSeasonalityDow, Some(tsSeasonalityDowSql)),
+    QueryDef("event_ltv_deciles", eventLtvDeciles, Some(eventLtvDecilesSql)),
+    QueryDef("win_pareto_share", winParetoShare, Some(winParetoShareSql)),
   )
 }

@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Qf._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 batch 8 — tokenizer-training & language-profiling verbs: the
+  * second BPE iteration (apply the winning merge, recount pairs — the step
+  * that makes tokenizer training a LOOP over relational plans), the
+  * language-ID confusion matrix, and per-language character-trigram
+  * profiles.
+  *
+  * Scale doctrine, per op:
+  *   - tokenizer_bpe_merge_round: everything after the first aggregation
+  *     runs at VOCABULARY grain (the tokenizer_bpe_pairs rule) — the
+  *     corpus scan happens once; the winning merge broadcasts as a 1-row
+  *     frame; the merged re-pairing touches Σ|word| characters over
+  *     |vocab| rows. A full BPE train is this plan iterated k times with
+  *     the growing merge table broadcast each round.
+  *   - text_lang_confusion: one corpus scan to |langs|² cells.
+  *   - text_char_ngram_profile: explode → (lang, trigram) aggregate —
+  *     the rank window runs over the alphabet³-bounded profile frame.
+  */
+object Lexicon {
+
+  // ------------------------------------------------------------------
+  // tokenizer_bpe_merge_round — BPE iteration 2 (merge + recount)
+  // ------------------------------------------------------------------
+
+  /** The second iteration of BPE tokenizer training: pick the round-1
+    * winning pair (max corpus occurrences, tie-broken on the pair string),
+    * merge its non-overlapping left-to-right occurrences in every vocab
+    * word into one token (string `replace` scans left-to-right in both
+    * engines — exactly BPE's greedy merge), then recount adjacent TOKEN
+    * pairs (tokens are now chars or the merged unit, rendered as
+    * `tok+tok`). The merged unit is marked by the chr(1) sentinel, which
+    * cannot occur in whitespace-normalized lowercase text. Counts are
+    * exact BIGINTs; ordering is (count desc, pair asc) — engine-identical.
+    */
+  private def tokenizerBpeMergeRound(s: SparkSession, dir: String): DataFrame = {
+    val wf = Tables
+      .documents(s, dir)
+      .select(explode(split(Text.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w")
+      .agg(nrows.as("wf"))
+    val top = wf
+      .select(col("wf"), explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum("wf").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(1)
+      .select(col("pair").as("pstar"))
+    wf.join(broadcast(top)) // 1-row winning-merge frame
+      .withColumn("m", expr("replace(w, pstar, chr(1))"))
+      .filter(length(col("m")) >= 2) // fully-merged 2-char words pair no further
+      .select(
+        col("w"),
+        col("wf"),
+        col("pstar"),
+        explode(
+          expr(
+            "transform(sequence(1, length(m) - 1), i -> concat(" +
+              "CASE WHEN substring(m, i, 1) = chr(1) THEN pstar ELSE substring(m, i, 1) END, '+', " +
+              "CASE WHEN substring(m, i + 1, 1) = chr(1) THEN pstar ELSE substring(m, i + 1, 1) END))"
+          )
+        ).as("pair"),
+      )
+      .groupBy("pstar", "pair")
+      .agg(countDistinct(col("w")).as("n_words"), sum("wf").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(20)
+  }
+
+  private val normSql = "lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))"
+
+  private val tokenizerBpeMergeRoundSql =
+    s"WITH wx AS (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents), " +
+      "wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM wx WHERE len(w) >= 2 GROUP BY 1), " +
+      "pr AS (SELECT w, wf, unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair FROM wf), " +
+      "top AS (SELECT pair AS pstar FROM (SELECT pair, sum(wf) AS n_occ FROM pr GROUP BY 1) " +
+      "ORDER BY n_occ DESC, pair LIMIT 1), " +
+      "m AS (SELECT w, wf, pstar, replace(w, pstar, chr(1)) AS m FROM wf, top), " +
+      "p2 AS (SELECT w, wf, pstar, unnest(list_transform(range(1, len(m)), i -> " +
+      "(CASE WHEN m[i] = chr(1) THEN pstar ELSE m[i] END) || '+' || " +
+      "(CASE WHEN m[i+1] = chr(1) THEN pstar ELSE m[i+1] END))) AS pair " +
+      "FROM m WHERE len(m) >= 2) " +
+      "SELECT pstar, pair, CAST(count(DISTINCT w) AS BIGINT) AS n_words, CAST(sum(wf) AS BIGINT) AS n_occ " +
+      "FROM p2 GROUP BY 1, 2 ORDER BY n_occ DESC, pair LIMIT 20"
+
+  // ------------------------------------------------------------------
+  // text_lang_confusion — language-ID confusion matrix
+  // ------------------------------------------------------------------
+
+  /** Confusion matrix of the text_langid classifier against the labeled
+    * lang column: per (true, predicted) cell, count and integer-ppm recall
+    * share of the true class. Reuses the SAME prediction column (and SQL
+    * fragments) as text_langid, so the evaluation can never drift from the
+    * classifier it evaluates (the ml_eval_confusion rule).
+    */
+  private def textLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables
+      .documents(s, dir)
+      .select(col("lang").as("true_lang"), TextQuality.predLangCol.as("pred_lang"))
+      .groupBy("true_lang", "pred_lang")
+      .agg(nrows.as("n"))
+    val tot = m.groupBy("true_lang").agg(sum("n").as("n_true"))
+    m.join(tot, Seq("true_lang"))
+      .select(
+        col("true_lang"),
+        col("pred_lang"),
+        col("n"),
+        col("n_true"),
+        expr("n * 1000000 div n_true").as("recall_ppm"),
+      )
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  private val textLangConfusionSql =
+    "WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents), " +
+      s"b AS (SELECT lang, ${TextQuality.scoreSql} FROM d), " +
+      s"p AS (SELECT lang AS true_lang, ${TextQuality.predCaseSql} AS pred_lang FROM b), " +
+      "m AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2), " +
+      "t AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true FROM m GROUP BY 1) " +
+      "SELECT m.true_lang AS true_lang, pred_lang, n, n_true, " +
+      "CAST(n * 1000000 // n_true AS BIGINT) AS recall_ppm " +
+      "FROM m JOIN t ON m.true_lang = t.true_lang ORDER BY true_lang, pred_lang"
+
+  // ------------------------------------------------------------------
+  // text_char_ngram_profile — per-language character trigram profile
+  // ------------------------------------------------------------------
+
+  /** Top-5 within-word character trigrams per language label — the
+    * classic character-n-gram language fingerprint (what a real langid
+    * model trains on; the profile table is the model). Trigrams explode at
+    * token grain map-side; the rank window runs over the alphabet³-bounded
+    * (lang, trigram) profile frame, never doc grain.
+    */
+  private def textCharNgramProfile(s: SparkSession, dir: String): DataFrame = {
+    val tri = Tables
+      .documents(s, dir)
+      .select(col("lang"), explode(split(Text.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 3)
+      .select(
+        col("lang"),
+        explode(expr("transform(sequence(1, length(w) - 2), i -> substring(w, i, 3))")).as("trigram"),
+      )
+      .groupBy("lang", "trigram")
+      .agg(nrows.as("n_occ"))
+    val rankW = Window.partitionBy("lang").orderBy(col("n_occ").desc, col("trigram"))
+    tri
+      .withColumn("rnk", asLong(row_number().over(rankW)))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("rnk"), col("trigram"), col("n_occ"))
+      .orderBy("lang", "rnk")
+  }
+
+  private val textCharNgramProfileSql =
+    s"WITH wx AS (SELECT lang, unnest(string_split($normSql, ' ')) AS w FROM documents), " +
+      "tr AS (SELECT lang, unnest(list_transform(range(1, len(w) - 1), i -> substr(w, i, 3))) AS trigram " +
+      "FROM wx WHERE len(w) >= 3), " +
+      "c AS (SELECT lang, trigram, CAST(count(*) AS BIGINT) AS n_occ FROM tr GROUP BY 1, 2), " +
+      "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY n_occ DESC, trigram) AS BIGINT) AS rnk FROM c) " +
+      "SELECT lang, rnk, trigram, n_occ FROM r WHERE rnk <= 5 ORDER BY lang, rnk"
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("tokenizer_bpe_merge_round", tokenizerBpeMergeRound, Some(tokenizerBpeMergeRoundSql)),
+    QueryDef("text_lang_confusion", textLangConfusion, Some(textLangConfusionSql)),
+    QueryDef("text_char_ngram_profile", textCharNgramProfile, Some(textCharNgramProfileSql)),
+  )
+}

@@ -252,14 +252,14 @@ object TextQuality {
       "FROM b ORDER BY doc_id"
 
   // shared SQL fragments mirroring ratioIn/predLangCol (DuckDB dialect)
-  private val scoreSql = Profiles
+  private[ops] val scoreSql = Profiles
     .map { case (l, ws) =>
       val lst = ws.map(x => s"'$x'").mkString(",")
       s"round(CAST(len(list_filter(w, t -> t IN ($lst))) AS DOUBLE) / len(w), 4) AS s_$l"
     }
     .mkString(", ")
 
-  private val predCaseSql = {
+  private[ops] val predCaseSql = {
     val langs = Profiles.map(_._1)
     val cases = langs.init
       .map { l =>

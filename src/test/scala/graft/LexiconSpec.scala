@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-6 tokenizer/profiling batch plus the
+  * Insights LTV/Pareto additions — each against an exact in-memory
+  * recompute at sf0.001.
+  */
+class LexiconSpec extends SparkSpec {
+
+  private def run(key: String) = SparkEntry.queries(key)(spark, sfDir)
+
+  private def vocab(): Map[String, Long] =
+    Tables
+      .documents(spark, sfDir)
+      .select(explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
+  test("tokenizer_bpe_merge_round: matches an in-memory BPE merge + recount") {
+    val rows = run("tokenizer_bpe_merge_round").collect()
+    assert(rows.nonEmpty)
+    val wf = vocab()
+    // round 1: winning pair
+    val p1 = scala.collection.mutable.Map.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      w.sliding(2).foreach(p => if (p.length == 2) p1(p) = p1.getOrElse(p, 0L) + f)
+    }
+    val pstar = p1.toSeq.minBy { case (p, c) => (-c, p) }._1
+    assert(rows.head.getAs[String]("pstar") == pstar)
+    // merge left-to-right non-overlapping, then recount token pairs
+    val p2 = scala.collection.mutable.Map.empty[String, (Set[String], Long)]
+    wf.foreach { case (w, f) =>
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w.substring(i, i + 2) == pstar) { toks += pstar; i += 2 }
+        else { toks += w.substring(i, i + 1); i += 1 }
+      }
+      toks.toList.sliding(2).foreach {
+        case List(a, b) =>
+          val k = a + "+" + b
+          val (ws, c) = p2.getOrElse(k, (Set.empty[String], 0L))
+          p2(k) = (ws + w, c + f)
+        case _ =>
+      }
+    }
+    val expTop = p2.toSeq.sortBy { case (p, (_, c)) => (-c, p) }.take(20)
+    assert(rows.length == expTop.length)
+    rows.zip(expTop).foreach { case (r, (p, (ws, c))) =>
+      assert(r.getAs[String]("pair") == p, s"expected $p got ${r.getAs[String]("pair")}")
+      assert(r.getAs[Long]("n_occ") == c)
+      assert(r.getAs[Long]("n_words") == ws.size.toLong)
+    }
+  }
+
+  test("text_lang_confusion: cells conserve doc counts and agree with text_langid") {
+    val rows = run("text_lang_confusion").collect()
+    val perLang = Tables
+      .documents(spark, sfDir)
+      .groupBy("lang")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    rows.groupBy(_.getAs[String]("true_lang")).foreach { case (l, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum == perLang(l))
+      rs.foreach(r => assert(r.getAs[Long]("n_true") == perLang(l)))
+      rs.foreach(r =>
+        assert(r.getAs[Long]("recall_ppm") == r.getAs[Long]("n") * 1000000L / perLang(l))
+      )
+    }
+    // agreement with the declared classifier: cell counts reconcile with
+    // text_langid's pred_lang column
+    val langid = run("text_langid")
+      .join(Tables.documents(spark, sfDir).select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    rows.foreach { r =>
+      val k = (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang"))
+      assert(langid.getOrElse(k, 0L) == r.getAs[Long]("n"))
+    }
+  }
+
+  test("text_char_ngram_profile: per-lang top-5 matches in-memory recompute") {
+    val rows = run("text_char_ngram_profile").collect()
+    assert(rows.nonEmpty)
+    val tri = Tables
+      .documents(spark, sfDir)
+      .select(col("lang"), explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("w"))
+      .filter(length(col("w")) >= 3)
+      .collect()
+      .flatMap(r => r.getString(1).sliding(3).filter(_.length == 3).map(t => (r.getString(0), t)))
+    val counts = tri.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      val exp = counts.collect { case ((`l`, t), c) => (t, c) }.toSeq.sortBy { case (t, c) => (-c, t) }.take(5)
+      val got = rs.sortBy(_.getAs[Long]("rnk")).map(r => (r.getAs[String]("trigram"), r.getAs[Long]("n_occ")))
+      assert(got.toSeq == exp, s"lang $l")
+    }
+  }
+
+  test("event_ltv_deciles: sizes balanced, value ordering, shares conserve") {
+    val rows = run("event_ltv_deciles").collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    val sizes = rows.map(_.getAs[Long]("n_users"))
+    assert(sizes.max - sizes.min <= 1L, "ntile balance")
+    val totalUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(sizes.sum == totalUsers)
+    // decile 1 (top value users) carries the largest share
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    assert(shares.head == shares.max)
+    val total = rows.map(_.getAs[Long]("v_cents")).sum
+    rows.foreach(r => assert(r.getAs[Long]("share_ppm") == r.getAs[Long]("v_cents") * 1000000L / total))
+  }
+
+  test("win_pareto_share: n_top80 is the minimal 80%-reaching head count") {
+    val rows = run("win_pareto_share").collect()
+    assert(rows.nonEmpty)
+    val cust = Tables
+      .orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val seg = r.getAs[String]("c_mktsegment")
+      val g = cust.filter(_._1 == seg).sortBy(x => (-x._3, x._2))
+      val tot = g.map(_._3).sum
+      var cum = 0L
+      val nTop = g.indexWhere { x => cum += x._3; cum * 10 >= tot * 8 } + 1
+      assert(r.getAs[Long]("n_customers") == g.length.toLong)
+      assert(r.getAs[Long]("rev_cents") == tot)
+      assert(r.getAs[Long]("n_top80") == nTop.toLong)
+      assert(r.getAs[Long]("top80_ppm") == nTop.toLong * 1000000L / g.length)
+    }
+  }
+}
