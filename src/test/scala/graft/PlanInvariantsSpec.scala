@@ -302,4 +302,19 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = planString("text_keyword_rake")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
+  test("stats_theil_sen_trend: the 1998 window predicate reaches the orders scan") {
+    val p = planString("stats_theil_sen_trend")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate,"), p.take(2000))
+  }
+
+  test("stats_welch_ttest: the two-arm filter reaches the events scan; one moment row") {
+    val p = planString("stats_welch_ttest")
+    assert(p.contains("In(event_type, [click,error])"), p.take(2000))
+  }
+
+  test("tokenizer_bpe_merge_round: the winning merge joins as a broadcast, never a shuffle") {
+    val p = planString("tokenizer_bpe_merge_round")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "the 1-row merge frame must broadcast")
+  }
 }

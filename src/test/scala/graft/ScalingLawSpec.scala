@@ -42,6 +42,11 @@ class ScalingLawSpec extends SparkSpec {
     "text_keyword_rake" -> "phrase/word explodes: all joins vocabulary-bounded, corpus must not reach the score join",
     "agg_hdr_histogram" -> "mergeable <=64-bucket histogram: the exchange must stay bucket-sized, never event-sized",
     "event_attribution_linear" -> "per-user candidate join + per-purchase window: bounded by user activity, not |purchases|x|touches|",
+    "stats_theil_sen_trend" -> "calendar-bounded pair stream: |days|^2 is fixed by the year, so shuffle must stay ~flat across sf, never pairs-scaled",
+    "sample_balanced_class" -> "class-ranked selection: one hash(class) row-grain exchange, linear; a lost k pre-aggregation would add a second corpus pass",
+    "tokenizer_bpe_merge_round" -> "vocabulary-grain merge round: shuffle bounded by |vocab| growth, sublinear in corpus rows",
+    "event_ltv_deciles" -> "user-grain decile window: the events exchange must collapse to |users| rows map-side",
+    "funnel_time_to_convert" -> "per-user min-reductions then |users| percentile window: exchanges carry user grain",
   )
 
   test("shuffle bytes grow at most 3x-linear from sf0.01 to sf0.1 for scale-risk probes") {
