@@ -1,0 +1,348 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Qf._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-6 batch 9 — reachability, audience, and evaluation verbs:
+  * multi-source BFS hop distance over the co-purchase graph, event-type
+  * audience overlap, the precision/recall curve, Cramér's V association,
+  * and RFM customer segmentation.
+  *
+  * Scale doctrine, per op:
+  *   - graph_shortest_hops: 3 unrolled min-distance propagation rounds
+  *     (the pagerank/kcore pattern); each round's exchange is bounded by
+  *     |edges|, the per-round reduction is a min (partial-aggregable
+  *     map-side). A 99 sentinel replaces NULL-distance so every round is
+  *     pure integer MIN with no engine-specific null semantics; output is
+  *     the |hops|-bounded histogram.
+  *   - event_audience_overlap: distinct (user, type) pairs self-join on
+  *     user — fan-out per user is |types|² (≤ ~25), never users²; totals
+  *     broadcast back onto the |types|²-bounded pair frame.
+  *   - ml_eval_pr_curve: the corpus collapses map-side to the 11-bin score
+  *     frame (the ml_eval_calibration rule); the threshold sweep is a
+  *     cumulative window over those 11 rows. All integer-ppm arithmetic.
+  *   - stats_cramers_v: one corpus scan to the |langs|×|sources| grid;
+  *     zero-count cells are restored by a bounded cross join so absent
+  *     combinations still contribute their expected mass. χ² terms round
+  *     to the 1e-6 DECIMAL grid before the exact sum (the surprisal
+  *     idiom); sqrt is IEEE-correctly-rounded in both engines.
+  *   - feature_rfm: orders pre-aggregate to customer grain before the
+  *     three ntile windows (|customers| rows, custkey tiebreak ⇒ total
+  *     order); output is the ≤125-row (r,f,m) segment cube. 100 TB seam:
+  *     swap ntile for two-stage quantile-threshold bucketing (the
+  *     event_ltv_deciles note).
+  */
+object Reach {
+
+  // ------------------------------------------------------------------
+  // graph_shortest_hops — multi-source BFS over the co-purchase graph
+  // ------------------------------------------------------------------
+
+  /** Hop distance from the seed set (parts with p_size = 1) over the
+    * support≥2 part co-purchase graph (the graph_triangle_count edge
+    * definition), unrolled 3 BFS rounds: dist₀ = 0 on seeds / 99 off,
+    * dist_{k+1}(v) = min(dist_k(v), min over edges (u,v) of dist_k(u)+1).
+    * Everything is exact BIGINT min-propagation — no NULL handling, no FP.
+    * Declared output is the hop histogram (hops 0..3 plus the 99
+    * "unreached within 3 hops" sentinel) with min/max partkey witnesses.
+    */
+  private def graphShortestHops(s: SparkSession, dir: String): DataFrame = {
+    val os = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = os
+      .select(col("ok"), col("p").as("s1"))
+      .join(os.select(col("ok"), col("p").as("s2")), "ok")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(nrows.as("sup"))
+      .filter(col("sup") >= 2)
+      .select("s1", "s2")
+    val edges = pairs
+      .select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
+    val nodes = edges.select(col("dst").as("node")).distinct()
+    val seeds = Tables.part(s, dir).filter(col("p_size") === 1).select(col("p_partkey").as("node"))
+    var dist = nodes
+      .join(seeds.withColumn("zero", lit(0L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("zero"), lit(99L)).as("dist"))
+    for (_ <- 1 to 3) {
+      val relax = edges
+        .join(dist.select(col("node").as("src"), col("dist")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + 1).as("reach"))
+      dist = dist
+        .join(relax, Seq("node"), "left")
+        .select(col("node"), least(col("dist"), coalesce(col("reach"), lit(99L))).as("dist"))
+    }
+    dist
+      .groupBy(col("dist").as("hops"))
+      .agg(nrows.as("n_parts"), min("node").as("min_part"), max("node").as("max_part"))
+      .orderBy("hops")
+  }
+
+  private val graphShortestHopsSql = {
+    def iter(prev: String, out: String): String =
+      s"m$out AS (SELECT e.dst AS node, min(p.dist + 1) AS reach " +
+        s"FROM edges e JOIN $prev p ON e.src = p.node GROUP BY 1), " +
+        s"$out AS (SELECT d.node, least(d.dist, coalesce(m$out.reach, 99)) AS dist " +
+        s"FROM $prev d LEFT JOIN m$out ON d.node = m$out.node)"
+    "WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +
+      "pairs AS (SELECT a.p AS s1, b.p AS s2 FROM os a JOIN os b ON a.ok = b.ok AND a.p < b.p " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+      "edges AS (SELECT s1 AS src, s2 AS dst FROM pairs UNION ALL SELECT s2, s1 FROM pairs), " +
+      "nodes AS (SELECT DISTINCT dst AS node FROM edges), " +
+      "seeds AS (SELECT p_partkey AS node FROM part WHERE p_size = 1), " +
+      "d0 AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 99 ELSE 0 END AS dist " +
+      "FROM nodes n LEFT JOIN seeds s ON n.node = s.node), " +
+      iter("d0", "d1") + ", " + iter("d1", "d2") + ", " + iter("d2", "d3") + " " +
+      "SELECT CAST(dist AS BIGINT) AS hops, CAST(count(*) AS BIGINT) AS n_parts, " +
+      "min(node) AS min_part, max(node) AS max_part FROM d3 GROUP BY 1 ORDER BY hops"
+  }
+
+  // ------------------------------------------------------------------
+  // event_audience_overlap — user-set overlap between event types
+  // ------------------------------------------------------------------
+
+  /** Audience overlap matrix: for each unordered event-type pair, the
+    * distinct-user counts of each type, the intersection, integer-ppm
+    * Jaccard, and the overlap coefficient (|∩| / min) — the segment-overlap
+    * report behind "users who error also purchase?" questions. The
+    * self-join runs on user_id over the distinct (user, type) frame, so
+    * per-user fan-out is bounded by |types|², never |users|².
+    */
+  private def eventAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir).select(col("user_id"), col("event_type")).distinct()
+    val both = ut
+      .select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(nrows.as("n_both"))
+    val tot = ut.groupBy("event_type").agg(nrows.as("n_users"))
+    both
+      .join(broadcast(tot.select(col("event_type").as("type_a"), col("n_users").as("n_a"))), "type_a")
+      .join(broadcast(tot.select(col("event_type").as("type_b"), col("n_users").as("n_b"))), "type_b")
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_both"),
+        expr("n_both * 1000000 div (n_a + n_b - n_both)").as("jaccard_ppm"),
+        expr("n_both * 1000000 div least(n_a, n_b)").as("overlap_ppm"),
+      )
+      .orderBy("type_a", "type_b")
+  }
+
+  private val eventAudienceOverlapSql =
+    "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+      "both_t AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+      "CAST(count(*) AS BIGINT) AS n_both " +
+      "FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2), " +
+      "tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM ut GROUP BY 1) " +
+      "SELECT type_a, type_b, ta.n_users AS n_a, tb.n_users AS n_b, n_both, " +
+      "n_both * 1000000 // (ta.n_users + tb.n_users - n_both) AS jaccard_ppm, " +
+      "n_both * 1000000 // least(ta.n_users, tb.n_users) AS overlap_ppm " +
+      "FROM both_t JOIN tot ta ON type_a = ta.event_type JOIN tot tb ON type_b = tb.event_type " +
+      "ORDER BY type_a, type_b"
+
+  // ------------------------------------------------------------------
+  // ml_eval_pr_curve — precision/recall/F1 over the threshold sweep
+  // ------------------------------------------------------------------
+
+  /** Precision-recall curve of the ml_eval_calibration score (discount pct
+    * predicting returns): at each threshold t, predict positive when
+    * score ≥ t, report TP/FP/FN and precision/recall/F1 in integer ppm.
+    * The corpus collapses to the 11-bin score frame first; the sweep is a
+    * descending cumulative window over those 11 rows (bounded — the
+    * unpartitioned window is |score grid|-sized at any corpus scale).
+    * F1 is computed from the ppm integers, so every output is exact int64.
+    */
+  private def mlEvalPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables
+      .lineitem(s, dir)
+      .select(
+        expr("CAST(round(l_discount * 100, 0) AS BIGINT)").as("threshold"),
+        (col("l_returnflag") === "R").cast("long").as("y"),
+      )
+      .groupBy("threshold")
+      .agg(nrows.as("n"), sum("y").as("n_pos"))
+    // bounded: 11 score bins at any scale (threshold grid, not corpus rows)
+    val sweep = Window.orderBy(col("threshold").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.orderBy(col("threshold").desc).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    b.select(
+      col("threshold"),
+      sum("n_pos").over(sweep).as("tp"),
+      (sum("n").over(sweep) - sum("n_pos").over(sweep)).as("fp"),
+      (sum("n_pos").over(all) - sum("n_pos").over(sweep)).as("fn"),
+    ).select(
+        col("threshold"),
+        col("tp"),
+        col("fp"),
+        col("fn"),
+        expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+        expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
+        expr("CASE WHEN tp = 0 THEN 0 ELSE 2 * (tp * 1000000 div (tp + fp)) * (tp * 1000000 div (tp + fn)) " +
+          "div ((tp * 1000000 div (tp + fp)) + (tp * 1000000 div (tp + fn))) END").as("f1_ppm"),
+      )
+      .orderBy("threshold")
+  }
+
+  private val mlEvalPrCurveSql =
+    "WITH b AS (SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS threshold, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos " +
+      "FROM lineitem GROUP BY 1), " +
+      "c AS (SELECT threshold, " +
+      "CAST(sum(n_pos) OVER (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp, " +
+      "CAST(sum(n) OVER (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "- sum(n_pos) OVER (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp, " +
+      "CAST(sum(n_pos) OVER () - sum(n_pos) OVER (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fn " +
+      "FROM b) " +
+      "SELECT threshold, tp, fp, fn, " +
+      "tp * 1000000 // (tp + fp) AS precision_ppm, " +
+      "tp * 1000000 // (tp + fn) AS recall_ppm, " +
+      "CASE WHEN tp = 0 THEN 0 ELSE 2 * (tp * 1000000 // (tp + fp)) * (tp * 1000000 // (tp + fn)) " +
+      "// ((tp * 1000000 // (tp + fp)) + (tp * 1000000 // (tp + fn))) END AS f1_ppm " +
+      "FROM c ORDER BY threshold"
+
+  // ------------------------------------------------------------------
+  // stats_cramers_v — association strength of the lang × source table
+  // ------------------------------------------------------------------
+
+  /** Cramér's V of the language × source contingency table — "is corpus
+    * source associated with language?", the categorical counterpart of
+    * agg_corr_exact. Zero-count cells are restored via the bounded
+    * langs × sources cross join (an absent cell still contributes its
+    * expected mass e to χ²). Each cell term (o−e)²/e rounds to the 1e-6
+    * DECIMAL grid before the exact sum; the final sqrt is IEEE-correctly
+    * rounded — identical in both engines for an identical argument.
+    */
+  private def statsCramersV(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val c = d.groupBy("lang", "source").agg(nrows.as("o"))
+    val rt = c.groupBy("lang").agg(sum("o").as("r_tot"))
+    val ct = c.groupBy("source").agg(sum("o").as("c_tot"))
+    val g = d.agg(nrows.as("n"))
+    val grid = rt.crossJoin(ct) // |langs| × |sources| — bounded
+      .join(c, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(g))
+    val e = col("r_tot").cast("double") * col("c_tot").cast("double") / col("n").cast("double")
+    val stats = grid
+      .select(
+        col("n"),
+        round((col("o").cast("double") - e) * (col("o").cast("double") - e) / e, 6)
+          .cast(DecimalType(18, 6))
+          .as("t6"),
+      )
+      .groupBy("n")
+      .agg(nrows.as("n_cells"), sum("t6").cast("double").as("chi2"))
+    val r = rt.agg(nrows.as("n_rows"))
+    val cc = ct.agg(nrows.as("n_cols"))
+    stats
+      .crossJoin(broadcast(r))
+      .crossJoin(broadcast(cc))
+      .select(
+        col("n").as("n_docs"),
+        col("n_rows"),
+        col("n_cols"),
+        col("n_cells"),
+        col("chi2"),
+        round(
+          sqrt(col("chi2") / (col("n").cast("double") * (least(col("n_rows"), col("n_cols")) - 1).cast("double"))),
+          6,
+        ).as("cramers_v"),
+      )
+  }
+
+  private val statsCramersVSql =
+    "WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2), " +
+      "rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r_tot FROM c GROUP BY 1), " +
+      "ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c_tot FROM c GROUP BY 1), " +
+      "g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+      "grid AS (SELECT rt.lang, ct.source, rt.r_tot, ct.c_tot, coalesce(c.o, 0) AS o, g.n " +
+      "FROM rt CROSS JOIN ct LEFT JOIN c ON rt.lang = c.lang AND ct.source = c.source CROSS JOIN g), " +
+      "t AS (SELECT n, CAST(round((CAST(o AS DOUBLE) - CAST(r_tot AS DOUBLE) * c_tot / n) " +
+      "* (CAST(o AS DOUBLE) - CAST(r_tot AS DOUBLE) * c_tot / n) " +
+      "/ (CAST(r_tot AS DOUBLE) * c_tot / n), 6) AS DECIMAL(18,6)) AS t6 FROM grid), " +
+      "st AS (SELECT n, CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(t6) AS DOUBLE) AS chi2 FROM t GROUP BY 1), " +
+      "r AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM rt), " +
+      "cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cols FROM ct) " +
+      "SELECT n AS n_docs, n_rows, n_cols, n_cells, chi2, " +
+      "round(sqrt(chi2 / (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1))), 6) AS cramers_v " +
+      "FROM st CROSS JOIN r CROSS JOIN cc"
+
+  // ------------------------------------------------------------------
+  // feature_rfm — recency/frequency/monetary customer segmentation
+  // ------------------------------------------------------------------
+
+  /** Classic RFM segmentation: orders pre-aggregate to customer grain
+    * (recency = days since the customer's last order, measured from the
+    * corpus max order date; frequency = order count; monetary = exact
+    * integer cents), each dimension quintiled by ntile(5) with a custkey
+    * tiebreak (total order ⇒ deterministic buckets in both engines), then
+    * rolled up to the ≤125-row segment cube. Quintile 1 = most recent /
+    * most frequent / highest spend.
+    */
+  private def featureRfm(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables
+      .orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(
+        max(to_date(col("o_orderdate"))).as("last_day"),
+        nrows.as("freq"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"),
+      )
+    val mx = cust.agg(max("last_day").as("max_day"))
+    val scored = cust
+      .crossJoin(broadcast(mx))
+      .select(col("o_custkey"), datediff(col("max_day"), col("last_day")).cast("long").as("recency_days"), col("freq"), col("cents"))
+    val rq = Window.orderBy(col("recency_days"), col("o_custkey"))
+    val fq = Window.orderBy(col("freq").desc, col("o_custkey"))
+    val mq = Window.orderBy(col("cents").desc, col("o_custkey"))
+    // bounded: ntile windows run over the |customers|-grain pre-agg, with a
+    // total order; 100 TB seam = two-stage quantile-threshold bucketing
+    scored
+      .select(
+        col("o_custkey"),
+        col("cents"),
+        asLong(ntile(5).over(rq)).as("r_q"),
+        asLong(ntile(5).over(fq)).as("f_q"),
+        asLong(ntile(5).over(mq)).as("m_q"),
+      )
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(nrows.as("n_cust"), sum("cents").as("total_cents"), expr("sum(cents) div count(*)").as("avg_cents"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  private val featureRfmSql =
+    "WITH cust AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day, " +
+      "CAST(count(*) AS BIGINT) AS freq, " +
+      "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM orders GROUP BY 1), " +
+      "mx AS (SELECT max(last_day) AS max_day FROM cust), " +
+      "sc AS (SELECT o_custkey, CAST(date_diff('day', last_day, max_day) AS BIGINT) AS recency_days, " +
+      "freq, cents FROM cust CROSS JOIN mx), " +
+      "q AS (SELECT o_custkey, cents, " +
+      "CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_q, " +
+      "CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_q, " +
+      "CAST(ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS m_q FROM sc) " +
+      "SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_cust, " +
+      "CAST(sum(cents) AS BIGINT) AS total_cents, CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents " +
+      "FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q"
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("graph_shortest_hops", graphShortestHops, Some(graphShortestHopsSql)),
+    QueryDef("event_audience_overlap", eventAudienceOverlap, Some(eventAudienceOverlapSql)),
+    QueryDef("ml_eval_pr_curve", mlEvalPrCurve, Some(mlEvalPrCurveSql)),
+    QueryDef("stats_cramers_v", statsCramersV, Some(statsCramersVSql)),
+    QueryDef("feature_rfm", featureRfm, Some(featureRfmSql)),
+  )
+}

@@ -48,7 +48,7 @@ object Retrieval {
     * scoring core of both declared ops. Okapi BM25:
     * idf = ln(1 + (N−df+0.5)/(df+0.5)), tf-norm with k1 = 1.2, b = 0.75.
     */
-  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables
       .documents(s, dir)
       .withColumn("w", split(col("text"), " "))
@@ -83,7 +83,7 @@ object Retrieval {
       .agg(sum("term").cast(DoubleType).as("score"))
   }
 
-  private def bm25ScoresCte: String =
+  private[ops] def bm25ScoresCte: String =
     "tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, " +
       "unnest(string_split(text, ' ')) AS t FROM documents), " +
       "tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf, " +
