@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.Qf._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -307,7 +307,7 @@ object Health {
         col("o_custkey"),
         col("o_orderstatus"),
         round(col("o_totalprice") * 100, 0).cast("long"),
-        unix_micros(col("o_orderdate")),
+        unix_micros(col("o_orderdate").cast("timestamp")),
         col("o_orderpriority"),
       ),
     )
@@ -326,7 +326,7 @@ object Health {
         round(col("l_tax") * 100, 0).cast("long"),
         col("l_returnflag"),
         col("l_linestatus"),
-        unix_micros(col("l_shipdate")),
+        unix_micros(col("l_shipdate").cast("timestamp")),
       ),
     )
     val c = sig(
