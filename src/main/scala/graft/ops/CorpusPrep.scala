@@ -494,36 +494,32 @@ object CorpusPrep {
     * engines, no float cumulative sums.
     *
     * Scale shape: one explode + partial-agg-friendly token count (the
-    * text_top_terms shape), then ranking/cumulating over the VOCABULARY,
-    * which is |token types|-sized — millions of rows at 100 TB, not
-    * corpus-sized — so the single-partition rank window is bounded by
-    * vocab. The grand total is an UNPARTITIONED window sum over the same
-    * vocab frame, NOT a separate aggregate of the corpus: the first
-    * formulation (1-row broadcast à la tf-idf N) planned a SECOND full
-    * scan+explode of the text column — Spark does not common-subexpression
-    * a repeated subtree across a join — which doubles the dominant cost at
-    * any real corpus size. The window form reuses the rows the rank window
-    * already holds.
+    * text_top_terms shape), then rank / cumulative sum / grand total over
+    * the vocabulary frame all come from ONE [[ScaleRank.rankedFrame]] pass:
+    * range-split local windows + broadcast prefix offsets, so even a 1e8-
+    * token-type vocabulary never funnels through a single-task sort (the r6
+    * plan's three unpartitioned windows). The grand total arrives as
+    * `__seg_sum` from the same pass — still ONE scan+explode of the corpus,
+    * preserving the no-second-subtree property the window form had (Spark
+    * does not common-subexpression a repeated subtree across a join).
     */
-  private def vocabCoverage(s: SparkSession, dir: String): DataFrame =
-    Tables
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
       .documents(s, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n_occ"))
-      // BOUNDEDNESS: these unpartitioned windows run AFTER groupBy(token),
-      // so the frame is |vocab| rows (distinct tokens — ~1e6-1e8 on a real
-      // corpus, a single-task sort), never |corpus| rows. The bench-tail
-      // "No Partition Defined" WindowExec warning at this site is deliberate.
-      .withColumn(
-        "rank",
-        row_number().over(Window.orderBy(col("n_occ").desc, col("token"))).cast("long"),
+    ScaleRank
+      .rankedFrame(counts, Nil, Seq(col("n_occ").desc, col("token")), Some("n_occ"))
+      .filter(col("__rn") <= VocabTopK)
+      .select(
+        col("__rn").as("rank"),
+        col("token"),
+        col("n_occ"),
+        expr("__cum * 1000000 div __seg_sum").as("cum_ppm"),
       )
-      .withColumn("cum", sum("n_occ").over(Window.orderBy("rank")))
-      .withColumn("t", sum("n_occ").over(Window.partitionBy()))
-      .filter(col("rank") <= VocabTopK)
-      .select(col("rank"), col("token"), col("n_occ"), expr("cum * 1000000 div t").as("cum_ppm"))
       .orderBy("rank")
+  }
 
   private val vocabCoverageSql =
     "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
@@ -625,9 +621,9 @@ object CorpusPrep {
     * BIGINT sums, and the site ranking breaks integer ties by host string.
     * Scale shape: scoring + host extraction are map-only; the rollup
     * shuffles |sites| keys (bounded by the web's host count, ≪ corpus);
-    * the unpartitioned rank window sees |sites| rows, NOT corpus rows (at
-    * true web scale the drop set would come from an approx quantile of
-    * the site table instead of a total rank — same plan shape); the
+    * the site ranking runs distributed through ScaleRank (range-split
+    * rank + broadcast prefix offsets — no single-task window even at the
+    * web's ~1e8 hosts); the
     * keep-set joins back as a BROADCAST semi-probe, so corpus rows never
     * shuffle at all.
     */
@@ -646,16 +642,14 @@ object CorpusPrep {
       .groupBy("host")
       .agg(graft.Qf.nrows.as("n_docs"), sum("q_milli").as("sq"))
       .withColumn("site_q_milli", expr("sq div n_docs"))
-      // |sites| rows only — see scaladoc for the 100 TB variant
-      .withColumn(
-        "site_rank",
-        graft.Qf.asLong(
-          row_number().over(Window.orderBy(col("site_q_milli").asc, col("host").asc))
-        ),
-      )
+    // distributed rank over the |sites| frame (ScaleRank: range-split rank
+    // + broadcast offsets) — at web scale |sites| ~ 1e8 hosts, too big for
+    // the r6 single-task row_number window; bit-identical replacement
+    val ranked = ScaleRank
+      .rankedFrame(sites, Nil, Seq(col("site_q_milli").asc, col("host").asc), None)
     scored
       .join(
-        broadcast(sites.filter(col("site_rank") > 1).select("host", "site_q_milli")),
+        broadcast(ranked.filter(col("__rn") > 1).select("host", "site_q_milli")),
         Seq("host"),
       )
       .select("doc_id", "host", "q_milli", "site_q_milli")

@@ -306,23 +306,30 @@ object Insights {
     * (exact cents), cut into 10 ntile buckets (SQL-standard ntile: earlier
     * buckets get the remainder — identical in both engines), and each
     * decile reported with user count, exact value total, and its ppm share
-    * of corpus value — "the top decile carries X% of value". The ntile
-    * window runs at USER grain (events pre-aggregate first); at 100 TB the
-    * seam is a two-stage quantile cut (approx value quantiles as bucket
-    * bounds + exact boundary trim), same algebra as sample_balanced_class.
+    * of corpus value — "the top decile carries X% of value". The decile cut
+    * runs at USER grain (events pre-aggregate first) through
+    * [[ScaleRank.rankedFrame]]: range-split rank + broadcast prefix offsets
+    * + closed-form ntile, so NO task ever sorts more than its range slice —
+    * the r6 single-task `ntile OVER (ORDER BY)` window is gone, and the
+    * corpus value total rides the same machinery as `__seg_sum` instead of
+    * a second unpartitioned window over the decile rollup. Bit-identical to
+    * the window form (ntile is a pure integer function of global rank).
     */
   private def eventLtvDeciles(s: SparkSession, dir: String): DataFrame = {
     val users = Tables
       .events(s, dir)
       .groupBy("user_id")
       .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("v_cents"), nrows.as("n_events"))
-    // user-grain unpartitioned window: |users| ≪ |events|; 100 TB seam above
-    val w = Window.orderBy(col("v_cents").desc, col("user_id"))
-    users
-      .withColumn("decile", asLong(ntile(10).over(w)))
+    ScaleRank
+      .rankedFrame(users, Nil, Seq(col("v_cents").desc, col("user_id")), Some("v_cents"))
+      .withColumn("decile", ScaleRank.ntileOf(10))
       .groupBy("decile")
-      .agg(nrows.as("n_users"), sum("v_cents").as("v_cents"), sum("n_events").as("n_events"))
-      .withColumn("total", sum("v_cents").over(Window.partitionBy()))
+      .agg(
+        nrows.as("n_users"),
+        sum("v_cents").as("v_cents"),
+        sum("n_events").as("n_events"),
+        max("__seg_sum").as("total"),
+      )
       .select(
         col("decile"),
         col("n_users"),
@@ -353,7 +360,11 @@ object Insights {
     * revenue reaches 80% (2·cum ≥ 8·total/10 in integers — the
     * weighted-median selection law), and report it with its ppm of the
     * customer base — "N% of customers produce 80% of revenue". Revenue
-    * pre-aggregates to customer grain before the per-segment rank window.
+    * pre-aggregates to customer grain, then rank / running sum / segment
+    * total all come from ONE [[ScaleRank.rankedFrame]] pass partitioned by
+    * segment: the r6 plan's five near-single-task per-segment windows
+    * (|customers|/5 rows each) are replaced by range-split local windows +
+    * broadcast prefix offsets, bit-identical by construction.
     */
   private def winParetoShare(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables
@@ -361,19 +372,13 @@ object Insights {
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("rev"))
-    val w = Window
-      .partitionBy("c_mktsegment")
-      .orderBy(col("rev").desc, col("c_custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cust
-      .withColumn("cum", sum("rev").over(w))
-      .withColumn("rn", asLong(row_number().over(Window.partitionBy("c_mktsegment").orderBy(col("rev").desc, col("c_custkey")))))
-      .withColumn("tot", sum("rev").over(Window.partitionBy("c_mktsegment")))
+    ScaleRank
+      .rankedFrame(cust, Seq("c_mktsegment"), Seq(col("rev").desc, col("c_custkey")), Some("rev"))
       .groupBy(col("c_mktsegment"))
       .agg(
         nrows.as("n_customers"),
-        max("tot").as("rev_cents"),
-        min(when(col("cum") * 10 >= col("tot") * 8, col("rn"))).as("n_top80"),
+        max("__seg_sum").as("rev_cents"),
+        min(when(col("__cum") * 10 >= col("__seg_sum") * 8, col("__rn"))).as("n_top80"),
       )
       .withColumn("top80_ppm", expr("n_top80 * 1000000 div n_customers"))
       .orderBy("c_mktsegment")

@@ -124,10 +124,11 @@ object Modeling {
     * the rank-biserial/AUC equivalence an ML team actually consumes).
     * Doubled midranks 2·rank keep everything integer: per distinct cent
     * value v, 2·midrank = 2·(#rows below v) + (#rows at v) + 1, so
-    * 2U1 = Σ n1_v·midrank2x − N1·(N1+1) is exact int64. The running window
-    * is VALUE-grain (distinct cents), not row-grain; the 100 TB seam is a
-    * two-stage prefix sum over value ranges (same algebra, broadcast
-    * offsets).
+    * 2U1 = Σ n1_v·midrank2x − N1·(N1+1) is exact int64. The prefix sum is
+    * VALUE-grain (distinct cents), not row-grain, and runs distributed
+    * through [[ScaleRank.rankedFrame]] (range-split local cumsum +
+    * broadcast prefix offsets), so even a cent domain in the 1e8s never
+    * funnels through a single-task window.
     */
   private def statsMannwhitneyAuc(s: SparkSession, dir: String): DataFrame = {
     val j = Tables
@@ -141,10 +142,9 @@ object Modeling {
         (col("c_mktsegment") === "BUILDING").cast("long").as("g1"),
       )
     val vals = j.groupBy("v").agg(nrows.as("n"), sum("g1").as("n1"))
-    val run = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    vals
-      .withColumn("cum", sum("n").over(run))
-      .withColumn("r2x", lit(2L) * (col("cum") - col("n")) + col("n") + lit(1L))
+    ScaleRank
+      .rankedFrame(vals, Nil, Seq(col("v")), Some("n"))
+      .withColumn("r2x", lit(2L) * (col("__cum") - col("n")) + col("n") + lit(1L))
       .agg(
         sum("n1").as("s1"),
         sum("n").as("sn"),

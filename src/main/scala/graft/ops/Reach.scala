@@ -304,19 +304,18 @@ object Reach {
     val scored = cust
       .crossJoin(broadcast(mx))
       .select(col("o_custkey"), datediff(col("max_day"), col("last_day")).cast("long").as("recency_days"), col("freq"), col("cents"))
-    val rq = Window.orderBy(col("recency_days"), col("o_custkey"))
-    val fq = Window.orderBy(col("freq").desc, col("o_custkey"))
-    val mq = Window.orderBy(col("cents").desc, col("o_custkey"))
-    // bounded: ntile windows run over the |customers|-grain pre-agg, with a
-    // total order; 100 TB seam = two-stage quantile-threshold bucketing
-    scored
-      .select(
-        col("o_custkey"),
-        col("cents"),
-        asLong(ntile(5).over(rq)).as("r_q"),
-        asLong(ntile(5).over(fq)).as("f_q"),
-        asLong(ntile(5).over(mq)).as("m_q"),
-      )
+    // three distributed quintile cuts (ScaleRank.withNtile: range-split rank
+    // + broadcast offsets + closed-form ntile) — the r6 plan ran three
+    // single-task `ntile OVER (ORDER BY)` windows over the customer frame;
+    // each cut is bit-identical to its window form and no task ever holds
+    // more than its range slice. The three range exchanges chain (each cut
+    // re-ranges by its own key), which is the same exchange count the three
+    // global sorts paid, minus the SinglePartition collapse.
+    val rq = ScaleRank.withNtile(scored, 5, Seq(col("recency_days"), col("o_custkey")), "r_q")
+    val fq = ScaleRank.withNtile(rq, 5, Seq(col("freq").desc, col("o_custkey")), "f_q")
+    val q3 = ScaleRank.withNtile(fq, 5, Seq(col("cents").desc, col("o_custkey")), "m_q")
+    q3
+      .select(col("o_custkey"), col("cents"), col("r_q"), col("f_q"), col("m_q"))
       .groupBy("r_q", "f_q", "m_q")
       .agg(nrows.as("n_cust"), sum("cents").as("total_cents"), expr("sum(cents) div count(*)").as("avg_cents"))
       .orderBy("r_q", "f_q", "m_q")

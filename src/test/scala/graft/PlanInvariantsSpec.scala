@@ -312,6 +312,55 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("In(event_type, [click,error])"), p.take(2000))
   }
 
+  test("catalog-wide: no unpartitioned WindowExec outside the provably-bounded allowlist") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // An unpartitioned window is an Exchange SinglePartition + one-task
+    // sort — the 100 TB scale-killer class the r6 verdict flagged. After
+    // the ScaleRank rework the declared catalog must not plan one EXCEPT
+    // where the window's input frame is bounded by construction (a
+    // constant-cardinality rollup, never data-sized). Each allowlist entry
+    // states its bound; growing this list requires the same proof.
+    // A window whose input subtree passes through a limit is k-bounded
+    // regardless of corpus size (orderBy+limit plans TakeOrderedAndProject;
+    // the ndcg/rrf re-rank windows run on ≤100-row top-k frames). This is a
+    // contains-check, not a per-path proof — the named allowlist carries the
+    // cases boundedness comes from a value grid / taxonomy instead.
+    def limitBounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
+        case _: org.apache.spark.sql.execution.GlobalLimitExec           => ()
+        case _: org.apache.spark.sql.execution.CollectLimitExec          => ()
+      }.isDefined
+    val allow: Map[String, String] = Map(
+      "agg_hdr_histogram"     -> "≤64 log2 magnitude buckets (len(bin(cents)))",
+      "agg_quantile_binned"   -> "fixed $100 price bins — |price domain|/100 rows at any sf",
+      "filter_surprisal_band" -> "1e-4 surprisal grid — ≤ ~4e5 distinct s4 values",
+      "corpus_mix_report"     -> "|sources|×|langs| mix cells (taxonomy-bounded)",
+      "ml_eval_pr_curve"      -> "11-value discount threshold grid",
+      "sample_mix_exact"      -> "|langs| quota frame",
+      "sample_temperature"    -> "|langs| share frame",
+      "stats_bootstrap_ci"    -> "B = const bootstrap replicates",
+      "stats_ks_test"         -> "fixed $1,000 price grid — ≤ ~600 bins",
+      "win_rank_movers"       -> "|brands| frame (25 on TPC-H)",
+    )
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow.contains)
+      .flatMap { name =>
+        // sparkPlan (pre-AQE physical plan) carries the full operator tree
+        // without executing the query, so this sweep stays cheap
+        val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+        val n = p.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
+        }.size
+        if (n > 0) Some(s"$name ($n)") else None
+      }
+    assert(
+      offenders.isEmpty,
+      s"unpartitioned WindowExec in: ${offenders.mkString(", ")} — " +
+        "use ScaleRank.rankedFrame/withNtile or prove the frame bounded and allowlist it",
+    )
+  }
+
   test("tokenizer_bpe_merge_round: the winning merge joins as a broadcast, never a shuffle") {
     val p = planString("tokenizer_bpe_merge_round")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
