@@ -578,7 +578,9 @@ object Events {
       .mkString(" + ")
     "SELECT event_id, user_id, value, " +
       s"($num) / ($den) AS ewma " +
-      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+      // µs grid + event_id, matching the Spark side's etime ordering (raw
+      // TIMESTAMP_NS could tie-break differently for events sharing a µs)
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) " +
       "ORDER BY event_id"
   }
 

@@ -262,8 +262,11 @@ object Health {
   }
 
   private val eventTransitionEntropySql =
+    // order the lead() on the µs grid + event_id exactly as the Spark side
+    // (ts div 1000): raw TIMESTAMP_NS ordering could tie-break differently
+    // for same-user events sharing a µs but differing at ns
     "WITH tr AS (SELECT event_type AS from_type, " +
-      "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events), " +
+      "lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS to_type FROM events), " +
       "cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM tr " +
       "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
       "tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from, CAST(count(*) AS BIGINT) AS n_dest " +
@@ -287,8 +290,15 @@ object Health {
     * and order-free: the exchange carries ONE row per table at any scale,
     * and two systems agree iff (n_rows, xor_sig) agree (modulo the usual
     * multiset-xor caveat, which the count plus min/max witnesses guard).
+    * Every field coalesces to a NULL sentinel BEFORE concat_ws:
+    * concat_ws silently skips NULL args, so without the sentinel two rows
+    * differing only in WHICH field is NULL (or NULL vs empty string)
+    * canonicalize identically and the checksum cannot see the difference.
     */
   private def dqTableChecksum(s: SparkSession, dir: String): DataFrame = {
+    // \u0001 prefix keeps the sentinel disjoint from any real value — a
+    // column literally containing the string "NULL" must not collide
+    def f(c: Column): Column = coalesce(c.cast("string"), lit("NULL"))
     def sig(df: DataFrame, table: String, canon: Column): DataFrame =
       df.select(conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h"))
         .agg(
@@ -303,12 +313,12 @@ object Health {
       "orders",
       concat_ws(
         "|",
-        col("o_orderkey"),
-        col("o_custkey"),
-        col("o_orderstatus"),
-        round(col("o_totalprice") * 100, 0).cast("long"),
-        unix_micros(col("o_orderdate").cast("timestamp")),
-        col("o_orderpriority"),
+        f(col("o_orderkey")),
+        f(col("o_custkey")),
+        f(col("o_orderstatus")),
+        f(round(col("o_totalprice") * 100, 0).cast("long")),
+        f(unix_micros(col("o_orderdate").cast("timestamp"))),
+        f(col("o_orderpriority")),
       ),
     )
     val l = sig(
@@ -316,17 +326,17 @@ object Health {
       "lineitem",
       concat_ws(
         "|",
-        col("l_orderkey"),
-        col("l_linenumber"),
-        col("l_partkey"),
-        col("l_suppkey"),
-        round(col("l_quantity"), 0).cast("long"),
-        round(col("l_extendedprice") * 100, 0).cast("long"),
-        round(col("l_discount") * 100, 0).cast("long"),
-        round(col("l_tax") * 100, 0).cast("long"),
-        col("l_returnflag"),
-        col("l_linestatus"),
-        unix_micros(col("l_shipdate").cast("timestamp")),
+        f(col("l_orderkey")),
+        f(col("l_linenumber")),
+        f(col("l_partkey")),
+        f(col("l_suppkey")),
+        f(round(col("l_quantity"), 0).cast("long")),
+        f(round(col("l_extendedprice") * 100, 0).cast("long")),
+        f(round(col("l_discount") * 100, 0).cast("long")),
+        f(round(col("l_tax") * 100, 0).cast("long")),
+        f(col("l_returnflag")),
+        f(col("l_linestatus")),
+        f(unix_micros(col("l_shipdate").cast("timestamp"))),
       ),
     )
     val c = sig(
@@ -334,35 +344,38 @@ object Health {
       "customer",
       concat_ws(
         "|",
-        col("c_custkey"),
-        col("c_name"),
-        col("c_nationkey"),
-        round(col("c_acctbal") * 100, 0).cast("long"),
-        col("c_mktsegment"),
+        f(col("c_custkey")),
+        f(col("c_name")),
+        f(col("c_nationkey")),
+        f(round(col("c_acctbal") * 100, 0).cast("long")),
+        f(col("c_mktsegment")),
       ),
     )
     o.unionByName(l).unionByName(c).orderBy("table_name")
   }
 
   private val dqTableChecksumSql = {
+    // mirror of the Spark-side f(): chr(1) || 'NULL' sentinel per field
+    def cf(x: String): String = s"coalesce(CAST($x AS VARCHAR), chr(1) || 'NULL')"
+    def cw(xs: String*): String = xs.map(cf).mkString("concat_ws('|', ", ", ", ")")
     def sig(table: String, canon: String): String =
       s"SELECT '$table' AS table_name, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(bit_xor(h) AS BIGINT) AS xor_sig, min(h) AS min_h, max(h) AS max_h FROM " +
         s"(SELECT ('0x' || substr(md5($canon), 1, 15))::BIGINT AS h FROM $table)"
     sig(
       "orders",
-      "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
-        "CAST(round(o_totalprice * 100, 0) AS BIGINT), epoch_us(o_orderdate), o_orderpriority)",
+      cw("o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT)", "epoch_us(o_orderdate)", "o_orderpriority"),
     ) + " UNION ALL " + sig(
       "lineitem",
-      "concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
-        "CAST(round(l_quantity, 0) AS BIGINT), CAST(round(l_extendedprice * 100, 0) AS BIGINT), " +
-        "CAST(round(l_discount * 100, 0) AS BIGINT), CAST(round(l_tax * 100, 0) AS BIGINT), " +
-        "l_returnflag, l_linestatus, epoch_us(l_shipdate))",
+      cw("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "CAST(round(l_quantity, 0) AS BIGINT)", "CAST(round(l_extendedprice * 100, 0) AS BIGINT)",
+        "CAST(round(l_discount * 100, 0) AS BIGINT)", "CAST(round(l_tax * 100, 0) AS BIGINT)",
+        "l_returnflag", "l_linestatus", "epoch_us(l_shipdate)"),
     ) + " UNION ALL " + sig(
       "customer",
-      "concat_ws('|', c_custkey, c_name, c_nationkey, " +
-        "CAST(round(c_acctbal * 100, 0) AS BIGINT), c_mktsegment)",
+      cw("c_custkey", "c_name", "c_nationkey",
+        "CAST(round(c_acctbal * 100, 0) AS BIGINT)", "c_mktsegment"),
     ) + " ORDER BY table_name"
   }
 

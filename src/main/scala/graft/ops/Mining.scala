@@ -182,7 +182,7 @@ object Mining {
 
   private val eventTransitionProbsSql =
     "WITH tr AS (SELECT event_type AS from_type, " +
-      "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
+      "lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS to_type " +
       "FROM events), " +
       "cnt AS (SELECT from_type, to_type, count(*) AS n FROM tr " +
       "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +

@@ -187,7 +187,10 @@ object Reach {
         col("fp"),
         col("fn"),
         expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
-        expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
+        // tp + fn = total positives: 0 on a corpus with no 'R' rows — guard
+        // so both engines emit 0 instead of engine-specific div-by-zero
+        // behavior (f1 is covered by its tp = 0 guard: tp+fn = 0 ⇒ tp = 0)
+        expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 div (tp + fn) END").as("recall_ppm"),
         expr("CASE WHEN tp = 0 THEN 0 ELSE 2 * (tp * 1000000 div (tp + fp)) * (tp * 1000000 div (tp + fn)) " +
           "div ((tp * 1000000 div (tp + fp)) + (tp * 1000000 div (tp + fn))) END").as("f1_ppm"),
       )
@@ -207,7 +210,7 @@ object Reach {
       "FROM b) " +
       "SELECT threshold, tp, fp, fn, " +
       "tp * 1000000 // (tp + fp) AS precision_ppm, " +
-      "tp * 1000000 // (tp + fn) AS recall_ppm, " +
+      "CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_ppm, " +
       "CASE WHEN tp = 0 THEN 0 ELSE 2 * (tp * 1000000 // (tp + fp)) * (tp * 1000000 // (tp + fn)) " +
       "// ((tp * 1000000 // (tp + fp)) + (tp * 1000000 // (tp + fn))) END AS f1_ppm " +
       "FROM c ORDER BY threshold"
