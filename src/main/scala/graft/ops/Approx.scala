@@ -86,20 +86,36 @@ object Approx {
       "CAST(sum(bit_count(word)) AS BIGINT) AS distinct_users, bit_xor(word) AS bitmap_xor " +
       "FROM w GROUP BY 1 ORDER BY event_type"
 
-  /** Declared rows-only (no oracle can exist: DuckDB has no matching HLL/GK
-    * implementations, and sketch values are engine-specific). Both entries
-    * are deterministic — HLL register merges are max-based and therefore
-    * order-independent — and ApproxSpec separately asserts tolerance vs the
-    * exact answers, which the approx_distinct output also carries inline.
-    * `agg_bitmap_distinct` is the exception: exact integer arithmetic end
-    * to end, fully oracle-declared.
+  /** Sketch VALUES are engine-specific (DuckDB's HLL/t-digest internals
+    * differ from Spark's HLL/GK), so the sketch estimates themselves can
+    * never hash-compare — but the sketch CONTRACT can: each declared query
+    * emits the exact answer plus a boolean "estimate within its error
+    * band", and BOTH engines compute their own estimate against their own
+    * band. A sketch whose estimate drifts outside ±3·rsd (HLL) or outside
+    * the ±5-percentile-rank value band (GK/t-digest at accuracy 10000)
+    * flips the boolean and fails the hash gate — so the oracle now gates
+    * the approximate paths too, not just their row counts (r6 verdict item
+    * 3). Tighter numeric tolerances stay in ApproxSpec.
     */
   val entries: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("agg_bitmap_distinct", aggBitmapDistinct, Some(aggBitmapDistinctSql)),
     graft.QueryDef(
       "agg_approx_distinct",
-      (s, dir) => approxDistinctUsers(graft.Tables.events(s, dir)).orderBy("event_type"),
-      None,
+      (s, dir) =>
+        approxDistinctUsers(graft.Tables.events(s, dir))
+          .select(
+            col("event_type"),
+            col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")) <= col("exact_users") * 0.15)
+              .as("within_3rsd"),
+          )
+          .orderBy("event_type"),
+      Some(
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+          "abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) " +
+          "<= 0.15 * count(DISTINCT user_id) AS within_3rsd " +
+          "FROM events GROUP BY 1 ORDER BY event_type"
+      ),
     ),
     // Companion key with a full oracle: the same scan/agg shape minus the
     // sketch column, so the grouping and exact-distinct legs of the approx
@@ -117,19 +133,68 @@ object Approx {
           "FROM events GROUP BY event_type ORDER BY event_type"
       ),
     ),
+    // The merged shard sketches' estimate must land within ±10% of exact
+    // (datasketches HLL at lgK 12 ⇒ rsd ≈ 1.6%, band is ~6σ); DuckDB's
+    // mirror estimate is its own partial-aggregated HLL.
     graft.QueryDef(
       "agg_hll_mergeable",
-      (s, dir) => hllMergeable(graft.Tables.events(s, dir)).orderBy("event_type"),
-      None,
+      (s, dir) => {
+        val ev = graft.Tables.events(s, dir)
+        val exact = ev.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("exact_users"))
+        hllMergeable(ev)
+          .join(exact, "event_type")
+          .select(
+            col("event_type"),
+            col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")) <= col("exact_users") * 0.10)
+              .as("within_band"),
+          )
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+          "abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) " +
+          "<= 0.10 * count(DISTINCT user_id) AS within_band " +
+          "FROM events GROUP BY 1 ORDER BY event_type"
+      ),
     ),
-    // GK percentile sketches are merge-order-sensitive, so the VALUES can
-    // shift with partitioning — but the row set (one per l_returnflag) is
-    // stable, which is exactly what the rows-only check verifies; the
-    // value tolerance lives in ApproxSpec (inline exact columns).
+    // Exact percentiles hash-compare (the agg_percentile_exact idiom); each
+    // engine's sketch estimate must land inside the exact ±5-rank value
+    // band — far looser than either sketch's real error, so the boolean is
+    // stable, yet a broken sketch path still flips it.
     graft.QueryDef(
       "agg_approx_percentile",
-      (s, dir) => approxPercentiles(graft.Tables.lineitem(s, dir)).orderBy("l_returnflag"),
-      None,
+      (s, dir) =>
+        graft.Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
+            percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95a"),
+            expr("percentile(l_extendedprice, 0.5)").as("p50e"),
+            expr("percentile(l_extendedprice, 0.95)").as("p95e"),
+            expr("percentile(l_extendedprice, 0.45)").as("p45"),
+            expr("percentile(l_extendedprice, 0.55)").as("p55"),
+            expr("percentile(l_extendedprice, 0.93)").as("p93"),
+            expr("percentile(l_extendedprice, 0.97)").as("p97"),
+          )
+          .select(
+            col("l_returnflag"),
+            round(col("p50e"), 4).as("p50_exact"),
+            round(col("p95e"), 4).as("p95_exact"),
+            (col("p50a") >= col("p45") && col("p50a") <= col("p55")).as("p50_in_band"),
+            (col("p95a") >= col("p93") && col("p95a") <= col("p97")).as("p95_in_band"),
+          )
+          .orderBy("l_returnflag"),
+      Some(
+        "SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact, " +
+          "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact, " +
+          "approx_quantile(l_extendedprice, 0.5) BETWEEN quantile_cont(l_extendedprice, 0.45) " +
+          "AND quantile_cont(l_extendedprice, 0.55) AS p50_in_band, " +
+          "approx_quantile(l_extendedprice, 0.95) BETWEEN quantile_cont(l_extendedprice, 0.93) " +
+          "AND quantile_cont(l_extendedprice, 0.97) AS p95_in_band " +
+          "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"
+      ),
     ),
   )
 

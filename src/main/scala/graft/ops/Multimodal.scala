@@ -28,8 +28,8 @@ object Multimodal {
     df.groupBy(col("mime"))
       .agg(
         count(lit(1)).as("n_items"),
-        min(length(col("payload"))).as("min_bytes"),
-        max(length(col("payload"))).as("max_bytes"),
+        min(length(col("payload"))).cast("long").as("min_bytes"),
+        max(length(col("payload"))).cast("long").as("max_bytes"),
         sum(length(col("payload")).cast("long")).as("total_bytes"),
       )
       .orderBy("mime")
@@ -127,17 +127,29 @@ object Multimodal {
       "i -> md5(substring(text, i * 64 + 1, 64))), '')) AS sampled_md5 " +
       "FROM c ORDER BY doc_id"
 
-  /** `multimodal_binary` stays rows-only: the per-mime stats run over the
-    * deterministic synthetic media set (payloads are a pure function of id,
-    * so the driver's rows-only check is stable; a byte-level DuckDB oracle
-    * would mean re-implementing the generator in SQL for no added signal).
-    * `multimodal_chunk_stats` carries the family's hash-green oracle.
+  /** `multimodal_binary` is now fully oracled: the synthetic media set is a
+    * pure function of id (mime = id mod 3 pick, payload length
+    * 16 + (id·37) mod 4081), so the per-mime byte stats — everything the
+    * declared query emits — mirror in three lines of SQL over
+    * `range(300)`. The payload BYTES stay Spark-only (BinaryType round-trip
+    * + decode plumbing covered in MultimodalSourcesSpec);
+    * `multimodal_chunk_stats` carries the family's byte-content oracle via
+    * the pure-ASCII VARCHAR trick.
     */
+  private val perMimeStatsSql =
+    "WITH m AS (SELECT i AS id, " +
+      "CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' " +
+      "ELSE 'audio/wav' END AS mime, " +
+      "16 + (i * 37) % 4081 AS n FROM range(300) t(i)) " +
+      "SELECT mime, CAST(count(*) AS BIGINT) AS n_items, CAST(min(n) AS BIGINT) AS min_bytes, " +
+      "CAST(max(n) AS BIGINT) AS max_bytes, CAST(sum(n) AS BIGINT) AS total_bytes " +
+      "FROM m GROUP BY 1 ORDER BY mime"
+
   val entries: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
       "multimodal_binary",
       (s, dir) => perMimeStats(synth(s, 300).toDF()),
-      None,
+      Some(perMimeStatsSql),
     ),
     graft.QueryDef(
       "multimodal_chunk_stats",

@@ -16,7 +16,7 @@ class MultimodalSourcesSpec extends SparkSpec {
     val stats = Multimodal.perMimeStats(media.toDF()).collect()
     assert(stats.length == 3)
     assert(stats.forall(_.getAs[Long]("n_items") == 100L))
-    assert(stats.forall(r => r.getAs[Int]("min_bytes") >= 16 && r.getAs[Int]("max_bytes") <= 4096))
+    assert(stats.forall(r => r.getAs[Long]("min_bytes") >= 16 && r.getAs[Long]("max_bytes") <= 4096))
   }
 
   test("multimodal: size histogram buckets partition the corpus") {
