@@ -158,10 +158,19 @@ object Insights {
       .select(col("l_orderkey"), col("l_partkey"))
       .distinct()
     val supp = items.groupBy("l_partkey").agg(nrows.as("n_i"))
-    val pairs = items
+    // basket-size cap (the hub cap for order-keyed pair fan-out): a basket
+    // of b items explodes b² pairs, so one degenerate mega-order would own
+    // one task's runtime; baskets need >= 2 items to pair at all and
+    // baskets above the cap are dropped from pair generation on BOTH
+    // engines (Modeling.PairDegreeCap doc; TPC-H orders hold <= 7 items,
+    // so declared outputs are unchanged). Item support for the cosine/
+    // jaccard denominators stays computed on the FULL item set.
+    val bounded = items
+      .join(Modeling.pairableKeys(items, "l_orderkey", Modeling.PairDegreeCap), Seq("l_orderkey"), "left_semi")
+    val pairs = bounded
       .as("a")
       .join(
-        items.as("b"),
+        bounded.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"),
       )
@@ -197,8 +206,11 @@ object Insights {
   private val recsItemNeighborsSql =
     "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
       "supp AS (SELECT l_partkey, count(*) AS n_i FROM items GROUP BY 1), " +
+      "okord AS (SELECT l_orderkey FROM items GROUP BY 1 " +
+      s"HAVING count(*) >= 2 AND count(*) <= ${Modeling.PairDegreeCap}), " +
+      "bi AS (SELECT items.l_orderkey, items.l_partkey FROM items JOIN okord USING (l_orderkey)), " +
       "pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab " +
-      "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      "FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
       s"GROUP BY 1, 2 HAVING count(*) >= $MinNeighborSupport), " +
       "sym AS (SELECT pa AS item, pb AS nbr, n_ab FROM pairs " +
       "UNION ALL SELECT pb, pa, n_ab FROM pairs), " +

@@ -51,6 +51,27 @@ import org.apache.spark.sql.functions._
   */
 object Modeling {
 
+  /** Upper-side degree cap for pair-generating self-joins (the hub cap —
+    * shared by graph_adamic_adar here and the jaccard/recs siblings): a key
+    * shared by d rows fans out d² pairs, so one hub key concentrates
+    * unbounded work in one task; keys hotter than this are dropped from
+    * pair generation on BOTH engines (mirrored in each oracle SQL). Far
+    * above any fixture degree, so declared outputs are unchanged;
+    * ScalingLawSpec's hub fixture exercises the binding case.
+    */
+  private[graft] val PairDegreeCap = 10000L
+
+  /** The two-sided support filter behind every capped pair join: keys with
+    * 2 ≤ group size ≤ cap. Hapax keys generate no pairs; keys above the cap
+    * would each fan out > cap² pairs into one task. Exposed so
+    * ScalingLawSpec can drive it with a synthetic hub fixture.
+    */
+  private[graft] def pairableKeys(df: DataFrame, key: String, cap: Long): DataFrame =
+    df.groupBy(key)
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= cap)
+      .select(key)
+
   // ------------------------------------------------------------------
   // stats_ks_test — binned two-sample Kolmogorov-Smirnov distance
   // ------------------------------------------------------------------
@@ -192,10 +213,17 @@ object Modeling {
     // sides and the df frame are the SAME distinct subtree, so its exchange
     // is planned once and AQE stage reuse feeds all three references.
     val sp = Tables.lineitem(s, dir).select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    // two-sided support: df >= 2 (hapax parts generate no pairs) AND
+    // df <= cap — the hub cap. A part shared by d suppliers fans out d²
+    // pairs; one planet-hot hub would put its whole d² in one task, while
+    // its AA weight 1/ln(d) → 0 makes it noise anyway. The cap bounds
+    // per-key pair work at cap² and is mirrored in the oracle SQL (never
+    // binds on TPC-H fixtures — outputs unchanged; ScalingLawSpec's hub
+    // fixture shows it binding).
     val pc = sp
       .groupBy("p")
       .agg(nrows.as("df"))
-      .filter(col("df") >= 2)
+      .filter(col("df") >= 2 && col("df") <= PairDegreeCap)
       .withColumn("w_ppm", round(lit(1000000.0) / log(col("df").cast("double")), 0).cast("long"))
     val b = sp
       .withColumnRenamed("sk", "s2")
@@ -210,7 +238,8 @@ object Modeling {
 
   private val graphAdamicAdarSql =
     "WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem), " +
-      "pc AS (SELECT p, CAST(count(*) AS BIGINT) AS df FROM sp GROUP BY 1 HAVING count(*) >= 2), " +
+      "pc AS (SELECT p, CAST(count(*) AS BIGINT) AS df FROM sp GROUP BY 1 " +
+      s"HAVING count(*) >= 2 AND count(*) <= ${graft.ops.Modeling.PairDegreeCap}), " +
       "pw AS (SELECT p, CAST(round(1000000.0 / ln(CAST(df AS DOUBLE)), 0) AS BIGINT) AS w_ppm FROM pc) " +
       "SELECT a.sk AS s1, b.sk AS s2, CAST(count(*) AS BIGINT) AS n_common, CAST(sum(w_ppm) AS BIGINT) AS aa_ppm " +
       "FROM sp a JOIN sp b ON a.p = b.p AND a.sk < b.sk JOIN pw ON pw.p = a.p " +

@@ -160,9 +160,15 @@ object Resampling {
   private def graphJaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
     val sp = Tables.lineitem(s, dir).select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
     val deg = sp.groupBy("sk").agg(nrows.as("d"))
-    val inter = sp
+    // two-sided support on the PAIR side only (degrees for the jaccard
+    // denominator stay computed on the full sp): df >= 2 keeps hapax parts
+    // off the pair shuffle entirely (they generate no pairs), df <= cap is
+    // the hub cap bounding per-key pair fan-out at cap² (Modeling
+    // .PairDegreeCap doc); both sides mirrored in the oracle SQL
+    val spb = sp.join(Modeling.pairableKeys(sp, "p", Modeling.PairDegreeCap), Seq("p"), "left_semi")
+    val inter = spb
       .withColumnRenamed("sk", "s2")
-      .join(sp, Seq("p"))
+      .join(spb, Seq("p"))
       .filter(col("sk") < col("s2"))
       .groupBy(col("sk").as("s1"), col("s2"))
       .agg(nrows.as("inter"))
@@ -182,8 +188,11 @@ object Resampling {
   private val graphJaccardNeighborsSql =
     "WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem), " +
       "deg AS (SELECT sk, CAST(count(*) AS BIGINT) AS d FROM sp GROUP BY 1), " +
+      "ok AS (SELECT p FROM sp GROUP BY 1 " +
+      s"HAVING count(*) >= 2 AND count(*) <= ${Modeling.PairDegreeCap}), " +
+      "spb AS (SELECT sp.p, sp.sk FROM sp JOIN ok ON sp.p = ok.p), " +
       "it AS (SELECT a.sk AS s1, b.sk AS s2, CAST(count(*) AS BIGINT) AS inter " +
-      "FROM sp a JOIN sp b ON a.p = b.p AND a.sk < b.sk GROUP BY 1, 2) " +
+      "FROM spb a JOIN spb b ON a.p = b.p AND a.sk < b.sk GROUP BY 1, 2) " +
       "SELECT s1, s2, inter, CAST(inter * 1000000 // (da.d + db.d - inter) AS BIGINT) AS jac_ppm " +
       "FROM it JOIN deg da ON da.sk = it.s1 JOIN deg db ON db.sk = it.s2 " +
       "ORDER BY jac_ppm DESC, s1, s2 LIMIT 50"

@@ -484,18 +484,28 @@ object Text {
     * and maximal runs of consecutive duplicated windows merge into spans
     * `(doc_id, span_start, span_len, n_windows)` via gaps-and-islands
     * (pos − row_number is constant exactly on consecutive-pos runs). Unlike
-    * the pair-join dedups above, duplication here needs NO pair join at
-    * all: one count window over hash(gram) — the same single-exchange shape
-    * as [[pairableShingles]] — decides every window, so cost is window
-    * count (≈ token count), never pairs. The second exchange (per-doc
-    * island merge) carries only the DUPLICATED windows, the small fraction
-    * at natural-text scale; at 100 TB the map-side
-    * [[pairableShinglesBloom]] prune applies verbatim to keep hapax windows
-    * off the first exchange too. Spark groups on xxhash64(gram) (8 B
-    * through the shuffle, never gram text); the oracle groups on the gram
-    * string itself — identical rows barring a 2^-64 collision.
+    * the pair-join dedups above, duplication needs NO pair join: the df per
+    * gram comes from a groupBy(hash) AGGREGATE — partial aggregation
+    * collapses even a planet-hot gram to one row per map task BEFORE the
+    * exchange (the r6 window formulation put a hot gram's whole df in one
+    * WindowExec task — the "hub" seam this redesign closes) — and dup
+    * membership re-attaches by a semi-join probe that Spark's runtime
+    * bloom/AQE machinery prunes map-side, so the probe exchange carries
+    * ~only true-dup windows. The df frame is TWO-SIDED: `2 ≤ df ≤ cap`.
+    * The upper side is the stop-gram cap — a gram hotter than
+    * [[SpanDfCap]] is boilerplate whose spans saturate anyway, and
+    * dropping it from the build side lets the runtime filter discard its
+    * windows before they ever shuffle. Spark groups on xxhash64(gram)
+    * (8 B through the shuffle, never gram text); the oracle groups on the
+    * gram string itself — identical rows barring a 2^-64 collision.
     */
   private val SpanK = 8
+
+  /** Stop-gram cap: ≫ any real df in the fixtures (so current outputs are
+    * bit-identical), binding only on degenerate boilerplate at corpus
+    * scale; mirrored verbatim in the oracle SQL so the contract is explicit.
+    */
+  private val SpanDfCap = 65536L
 
   private def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
     val wins = Tables
@@ -512,10 +522,14 @@ object Text {
         ).as(Seq("pos", "h")),
       )
       .select(col("doc_id"), asLong(col("pos")).as("pos"), col("h"))
+    val dupGrams = wins
+      .groupBy("h")
+      .agg(nrows.as("df"))
+      .filter(col("df") >= 2 && col("df") <= SpanDfCap)
+      .select("h")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     wins
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") >= 2)
+      .join(dupGrams, Seq("h"), "left_semi")
       .withColumn("isl", col("pos") - asLong(row_number().over(byDoc)))
       .groupBy("doc_id", "isl")
       .agg(
@@ -536,7 +550,7 @@ object Text {
       "f AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM g), " +
       "d AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS df FROM f), " +
       "r AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl " +
-      "FROM d WHERE df >= 2) " +
+      s"FROM d WHERE df >= 2 AND df <= $SpanDfCap) " +
       s"SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + $SpanK AS span_len, " +
       "count(*) AS n_windows FROM r GROUP BY doc_id, isl ORDER BY doc_id, span_start"
 

@@ -163,21 +163,30 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
-  test("dedup_substring_spans: no pair join, and the island merge reuses the doc partitioning") {
+  test("dedup_substring_spans: df via aggregate + semi-join, never a pair join or hot window") {
     val finalPlan = plan("dedup_substring_spans") match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
       case other                                                            => other
     }
-    // duplication is decided by a count WINDOW over hash(gram), never a
-    // self-join: any join at all means the design regressed to pair-land
-    assert(!finalPlan.toString.contains("Join"), finalPlan.toString.take(1500))
-    // exchanges: hash(h) for the df window, hash(doc_id) for the island
-    // window (the groupBy(doc_id, isl) rides that same partitioning —
-    // hash(doc_id) clusters every (doc_id, isl) group), final range sort
+    val s = finalPlan.toString
+    // duplication is decided by groupBy(h) df + ONE LeftSemi membership
+    // probe: partial aggregation collapses a hot gram map-side, where the
+    // r6 count-window formulation put its whole df in one WindowExec task.
+    // A non-semi join means the design regressed to pair-land; a Window
+    // partitioned by h means the hot-key seam came back.
+    assert(s.contains("LeftSemi"), s.take(1500))
+    assert(!s.contains("windowspecdefinition(h"), "df must not come from a per-gram window\n" + s.take(1500))
+    val joins = finalPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1, s"expected exactly the one semi probe, got ${joins.size}\n$s")
+    // exchanges: hash(h) for the df agg, hash(h) probe side of the semi
+    // join, hash(doc_id) for the island window (the groupBy(doc_id, isl)
+    // rides that same partitioning), final range sort
     val exchanges = finalPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(exchanges.length <= 3, s"${exchanges.length} exchanges\n$finalPlan")
+    assert(exchanges.length <= 4, s"${exchanges.length} exchanges\n$finalPlan")
   }
 
   test("ts_interpolate_linear: all four neighbour lookups share one user partitioning") {

@@ -110,6 +110,37 @@ class ScalingLawSpec extends SparkSpec {
     )
   }
 
+  test("hub cap: a synthetic planet-hot key is excluded from pair generation, normal keys untouched") {
+    // The fixture the r6 verdict asked for: one key hotter than the cap
+    // (the "hub" — a boilerplate 8-gram, a mega-basket, a super-connected
+    // part) among normal keys. Without the cap the hub alone fans out
+    // hot² pairs into ONE task; with the two-sided support filter the hub
+    // never reaches the pair join, so per-key pair work is bounded by cap²
+    // while every normal key's pairs survive bit-for-bit.
+    import org.apache.spark.sql.functions._
+    val cap = 50L
+    val hot = 500L // 10x the cap → would contribute ~125k pairs on its own
+    val normal = spark
+      .range(200)
+      .select((col("id") % 40).as("k"), col("id").as("m")) // 40 keys × degree 5
+    val hub = spark.range(hot).select(lit(9999L).as("k"), (col("id") + 1000L).as("m"))
+    val data = normal.unionByName(hub)
+    val kept = data.join(ops.Modeling.pairableKeys(data, "k", cap), Seq("k"), "left_semi")
+    val pairs = kept
+      .withColumnRenamed("m", "m2")
+      .join(kept, Seq("k"))
+      .filter(col("m") < col("m2"))
+    val nPairs = pairs.count()
+    // normal keys: 40 keys × C(5,2) = 400 pairs; the hub's C(500,2) =
+    // 124,750 pairs must be absent entirely
+    assert(nPairs == 400L, s"capped pair count $nPairs != 400 — hub leaked or normals dropped")
+    assert(pairs.filter(col("k") === 9999L).count() == 0L, "hub key generated pairs past the cap")
+    // and per-key pair work is provably bounded: max group degree after the
+    // filter never exceeds the cap
+    val maxDeg = kept.groupBy("k").agg(count(lit(1)).as("d")).agg(max("d")).collect()(0).getLong(0)
+    assert(maxDeg <= cap, s"a key with degree $maxDeg survived a cap of $cap")
+  }
+
   test("supplier-pair similarity keys track their pair-combinatorics model (quadratic by NATURE, not by bug)") {
     // graph_adamic_adar / graph_jaccard_neighbors emit Σ_p df·(df−1)/2 pair
     // rows AND aggregate onto a (s1,s2) key space that approaches C(|S|,2)
