@@ -6,16 +6,18 @@ import java.nio.file.{Files, Paths}
 /** Perf gate: times every declared query at SPARK_GRAFT_SF_DIR and prints one
   * JSON line (driver contract).
   *
-  * Each query runs three times — one untimed warm-up, then two timed warm
-  * passes of which the MINIMUM is reported. The warm-up discards one-off JIT
-  * compilation and codegen class-loading, which say nothing about plan
-  * quality; min-of-2 then guards against this host's documented
-  * multi-minute throttling windows (PERF.md: identical code has measured a
-  * query at 1.9 s and 10.9 s on consecutive passes) — with a single timed
-  * pass one spike lands straight in the reported sum. Min over warm passes
-  * is the standard steady-state estimator and corresponds to BASELINE.md's
-  * "warm session" numbers. The reported total is the sum of the reported
-  * per-query times; `"pass"` documents the policy.
+  * Pass discipline (r7): one untimed warm-up sweep over the whole catalog
+  * (JIT + codegen class-loading say nothing about plan quality), then THREE
+  * timed sweeps, each covering every query before any query runs again —
+  * so the three samples of one key are separated by minutes of other work.
+  * The reported per-key time is the MEDIAN of the three. Rationale: this
+  * host has documented multi-minute throttle windows (PERF.md: identical
+  * code measured at 1.9 s and 10.9 s on consecutive passes); with the old
+  * back-to-back min-of-2, one window could span BOTH passes of a key
+  * (r4 funnel_conversion: 4.0 s twice against a quiet-host 0.53 s; r6
+  * text_tfidf_topk: 1.83 s recorded vs 0.52 s quiet). Interleaving makes a
+  * window hit at most one sample per key, and the median discards that one
+  * outlier without the optimistic bias of a min.
   *
   * Failed queries are excluded from the total and counted in `"failures"`
   * (a broken query must not silently lower the perf metric). The JSON line
@@ -40,7 +42,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Shuffle-write bytes per query (measured on the LAST warm pass — byte
+    // Shuffle-write bytes per query (measured on the LAST timed pass — byte
     // counts, unlike times, are pass-invariant): the judge-facing scale
     // signal. A query whose time looks fine at sf0.1 but whose shuffle grows
     // super-linearly is the one that dies at 100 TB.
@@ -61,65 +63,52 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
       Some((System.nanoTime() - t0) / 1e9)
     }
-    val results: Seq[(String, Option[(Double, Double)], Option[Long])] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
-        timeOnce(fn) // warm-up pass: JIT + codegen cache
-        val a = timeOnce(fn)
-        settle(); shuffleAcc.set(0) // drain pass-a stages, then zero for pass b
-        val b = timeOnce(fn)
-        val bytes = if (b.isDefined) Some(settle()) else None
-        (name, for (x <- a; y <- b) yield (x, y), bytes)
+    val names = SparkEntry.queries.keys.toSeq
+    // warm-up sweep (untimed)
+    names.foreach(k => timeOnce(SparkEntry.queries(k)))
+    // three interleaved timed sweeps; shuffle bytes captured on the last
+    val passes = scala.collection.mutable.Map
+      .empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val bytesOf = scala.collection.mutable.Map.empty[String, Long]
+    (1 to 3).foreach { p =>
+      names.foreach { k =>
+        if (p == 3) { settle(); shuffleAcc.set(0) }
+        timeOnce(SparkEntry.queries(k)).foreach { t =>
+          passes(k) = passes(k) :+ t
+          if (p == 3) bytesOf(k) = settle()
+        }
       }
-    // End-of-run RE-MEASURE (r5): a throttle window spanning BOTH warm
-    // passes defeats the pass-ratio annotation below — r4's record showed
-    // funnel_conversion at 4.0 s on both passes inside one window against a
-    // quiet-host 0.53 s. Any query whose min-of-2 exceeds RemeasureSec gets
-    // one more pass HERE, minutes later in the run and almost surely
-    // outside the window; the reported time is then min-of-3. Genuinely
-    // expensive queries are unchanged (their third pass repeats the cost —
-    // a few extra seconds on the handful of slow keys); window-throttled
-    // ones self-heal, and a >3× improvement is recorded as throttle
-    // evidence.
-    val RemeasureSec = 2.0
-    val remeasure: Map[String, Double] = results.collect {
-      case (k, Some((a, b)), _) if math.min(a, b) > RemeasureSec =>
-        timeOnce(SparkEntry.queries(k)).map(k -> _)
-    }.flatten.toMap
-    def minTime(k: String, a: Double, b: Double): Double =
-      math.min(math.min(a, b), remeasure.getOrElse(k, Double.MaxValue))
-    val qs = results.map {
-      case (k, Some((a, b)), _) => "\"" + k + "\":" + minTime(k, a, b)
-      case (k, None, _)         => "\"" + k + "\":null"
-    }.mkString("{", ",", "}")
-    // all warm pass times, in run order (third entry = the re-measure
-    // pass): min can mask a bimodal plan (e.g. AQE alternating) — the
-    // spread makes that visible without changing the reported estimator
+    }
+    def median3(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val complete = names.filter(k => passes(k).size == 3)
+    val failed = names.filterNot(complete.contains)
+    val med = complete.map(k => k -> median3(passes(k))).toMap
     def r3(x: Double) = math.rint(x * 1000) / 1000
-    val ps = results.collect { case (k, Some((a, b)), _) =>
-      val tail = remeasure.get(k).map(c => "," + r3(c)).getOrElse("")
-      "\"" + k + "\":[" + r3(a) + "," + r3(b) + tail + "]"
+    val qs = names.map { k =>
+      if (med.contains(k)) "\"" + k + "\":" + med(k) else "\"" + k + "\":null"
     }.mkString("{", ",", "}")
-    val sb = results.collect { case (k, _, Some(bytes)) =>
-      "\"" + k + "\":" + bytes
+    val ps = complete.map { k =>
+      "\"" + k + "\":[" + passes(k).map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val ok = results.collect { case (k, Some((a, b)), _) => minTime(k, a, b) }
-    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
-    val total = ok.sum
-    // Self-annotating throttle evidence (r4 VERDICT #4): a >3× spread
-    // between any two passes of the SAME plan — including the end-of-run
-    // re-measure — is the signature of this host's multi-minute throttle
-    // windows, not a plan property; naming the affected queries in the
-    // record lets a reader discount their min/total without
-    // cross-referencing PERF.md.
-    val throttled = results.collect {
-      case (k, Some((a, b)), _)
-          if math.max(a, b) / minTime(k, a, b) > 3.0 => "\"" + k + "\""
+    val sb = complete.flatMap(k => bytesOf.get(k).map(b => "\"" + k + "\":" + b)).mkString("{", ",", "}")
+    val total = med.values.sum
+    // Self-annotating throttle evidence: a >3× spread between the fastest
+    // and slowest of a key's three interleaved samples is the signature of
+    // this host's throttle windows, not a plan property; with the median
+    // estimator the outlier is already discarded, the annotation just makes
+    // it visible without cross-referencing PERF.md.
+    // the 0.5 s floor keeps millisecond-scale scheduling jitter (tiny sf
+    // runs) from flooding the annotation — a real throttle window costs
+    // seconds, not tens of ms
+    val throttled = complete.collect {
+      case k if passes(k).max > 0.5 && passes(k).max / passes(k).min > 3.0 => "\"" + k + "\""
     }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","pass":"min of 2 warm passes (after 1 warm-up); slow keys re-measured at end of run","n_queries":${results.size},""" +
+        s""""sf":"$sfDir","pass":"median of 3 interleaved warm sweeps (after 1 warm-up sweep)","n_queries":${names.size},""" +
         s""""passes":$ps,"shuffle_bytes":$sb,"throttled":[${throttled.mkString(",")}],""" +
-        s""""failures":[${failed.mkString(",")}]}"""
+        s""""failures":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     // The driver records only the LAST 2000 chars of stdout and parses a JSON
     // line out of that window: the full per-query line above outgrew it every
@@ -127,27 +116,26 @@ object Bench {
     // only, and the one stdout line is a compact variant sized to fit —
     // BASELINE.md overlap keys first, then the slowest queries, as many as
     // a 1700-char budget allows.
-    val minTimes = results.collect { case (k, Some((a, b)), _) => k -> minTime(k, a, b) }.toMap
     val baselineKeys = Seq(
       "agg_groupby_pricing", "join_multiway_star", "win_topk_per_group",
       "stream_session_5m", "sim_topk_cosine")
     val prio =
-      (baselineKeys ++ minTimes.toSeq.sortBy { case (k, t) => (-t, k) }.map(_._1))
-        .distinct.filter(minTimes.contains)
+      (baselineKeys ++ med.toSeq.sortBy { case (k, t) => (-t, k) }.map(_._1))
+        .distinct.filter(med.contains)
     val head =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""n_queries":${results.size},"pass":"min of warm passes (slow keys re-measured)","detail":"bench.json",""" +
+        s""""n_queries":${names.size},"pass":"median of 3 interleaved warm sweeps","detail":"bench.json",""" +
         s""""throttled":[${throttled.mkString(",")}],""" +
-        s""""failures":[${failed.mkString(",")}],"queries":{"""
+        s""""failures":[${failed.map("\"" + _ + "\"").mkString(",")}],"queries":{"""
     val budget = 1700
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 40 // closing braces + queries_omitted suffix
     prio.foreach { k =>
-      val entry = "\"" + k + "\":" + r3(minTimes(k))
+      val entry = "\"" + k + "\":" + r3(med(k))
       if (len + entry.length + 1 <= budget) { kept += entry; len += entry.length + 1 }
     }
     val compact =
-      head + kept.mkString(",") + s"""},"queries_omitted":${minTimes.size - kept.size}}"""
+      head + kept.mkString(",") + s"""},"queries_omitted":${med.size - kept.size}}"""
     println(compact)
     spark.stop()
   }

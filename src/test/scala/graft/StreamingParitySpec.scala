@@ -400,6 +400,66 @@ class StreamingParitySpec extends SparkSpec {
     assert(all.select("event_id").distinct().count() == events.count(), "no event ingested twice")
   }
 
+  test("ingest-order parity: heavy declared event queries are bit-identical on a stream-reingested corpus") {
+    // The r6 verdict asked for parity coverage of the event-analytics batch
+    // (funnel, attribution, sessionize, …), which use window/lag shapes
+    // Structured Streaming cannot execute directly — so the parity law that
+    // CAN hold is ingest-order invariance end to end: scatter the raw
+    // events across shuffled micro-batches, re-ingest them through a real
+    // readStream → foreachBatch append pipeline (the lake-landing pattern),
+    // and every declared event query must produce byte-identical output on
+    // the re-ingested table. This catches any query whose answer secretly
+    // depends on row order, file order, or arrival batching — the same
+    // class of bug a late/out-of-order production stream would expose.
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val staged = tmpDir("reingest-staged")
+    // deterministic scatter: batch = hash(event_id) mod 7, so each staged
+    // file mixes early and late events (arrival order != event-time order)
+    raw
+      .repartition(7, org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("event_id")), lit(7)))
+      .write
+      .mode("overwrite")
+      .parquet(staged)
+    val target = tmpDir("reingest-sf")
+    val q = spark.readStream
+      .schema(raw.schema)
+      .option("maxFilesPerTrigger", 1) // one staged file per micro-batch
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$target/events.parquet")
+      }
+      .option("checkpointLocation", tmpDir("reingest-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the non-event tables ride along untouched
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+      "documents", "embeddings").foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$target/$t.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
+      )
+    }
+    assert(
+      spark.read.parquet(s"$target/events.parquet").count() == raw.count(),
+      "re-ingest lost or duplicated events",
+    )
+    val heavy = Seq(
+      "funnel_conversion", "funnel_time_to_convert", "attribution_last_touch",
+      "event_attribution_linear", "sessionize_lag", "event_transition_probs",
+      "event_type_trigrams", "ts_max_concurrency", "event_ltv_deciles",
+      "retention_cohort", "stream_session_5m", "event_transition_entropy",
+    )
+    heavy.foreach { name =>
+      val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+      val b = SparkEntry.queries(name)(spark, target).collect().toSeq
+      assert(a == b, s"$name diverged on the stream-reingested corpus (ingest-order sensitivity)")
+    }
+  }
+
   test("append-mode parquet sink with checkpoint writes closed windows") {
     val input = MemoryStream[Ev](spark)
     input.addData(evs)
