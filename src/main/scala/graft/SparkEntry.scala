@@ -27,7 +27,8 @@ object SparkEntry {
       ops.Insights.entries ++ ops.Stats.entries ++ ops.Robust.entries ++
       ops.Modeling.entries ++ ops.Resampling.entries ++ ops.Evaluation.entries ++
       ops.Integrity.entries ++ ops.Decision.entries ++ ops.Governance.entries ++
-      ops.Lexicon.entries ++ ops.Reach.entries ++ ops.Health.entries
+      ops.Lexicon.entries ++ ops.Reach.entries ++ ops.Health.entries ++
+      ops.SemDedup.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -105,13 +105,16 @@ object LshAnn {
   private val Bits = 4
   private val Dim = 64
 
+  /** The declared parameterization, shared with dedup_semantic. */
+  private[ops] def defaultPlanes: Array[Array[Array[Double]]] = hyperplanes(NTables, Bits, Dim)
+
   private def simAnnLsh(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val e = graft.Tables.embeddings(s, dir)
     val probes = e
       .filter(col("vec_id") < 100)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
     val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
-    annTopK(probes, corpus, k = 10, planes = hyperplanes(NTables, Bits, Dim))
+    annTopK(probes, corpus, k = 10, planes = defaultPlanes)
       .orderBy("probe_id", "rn")
   }
 
@@ -124,8 +127,12 @@ object LshAnn {
     * recall-vs-parameters stays a LshSpec concern, but the computed answer
     * is now a cross-engine contract.
     */
-  private val simAnnLshSql =
-    s"WITH comps AS (SELECT t.range AS tb, j.range AS bit, d.range AS dim, " +
+  /** Shared CTE chain ending in `b(vec_id, tb, bucket)` — the SQL mirror of
+    * [[bucketize]] under [[hyperplanes]]. Reused by dedup_semantic's oracle
+    * so the bucket definition cannot drift between the two declared keys.
+    */
+  private[ops] val lshBucketsCteSql: String =
+    s"comps AS (SELECT t.range AS tb, j.range AS bit, d.range AS dim, " +
       "CASE WHEN ('0x' || substr(md5('lshp#' || t.range || '#' || j.range || '#' || d.range), 1, 1))::INT % 2 = 0 " +
       "THEN 1.0 ELSE -1.0 END AS w " +
       s"FROM range($NTables) t, range($Bits) j, range($Dim) d), " +
@@ -133,7 +140,10 @@ object LshAnn {
       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "dots AS (SELECT vec_id, tb, bit, list_dot_product(v, plane) AS dot FROM e CROSS JOIN planes), " +
       "b AS (SELECT vec_id, tb, CAST(sum(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket " +
-      "FROM dots GROUP BY 1, 2), " +
+      "FROM dots GROUP BY 1, 2)"
+
+  private val simAnnLshSql =
+    s"WITH $lshBucketsCteSql, " +
       "cand AS (SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id AS cand_id " +
       "FROM b pb JOIN b cb ON pb.tb = cb.tb AND pb.bucket = cb.bucket " +
       "WHERE pb.vec_id < 100 AND pb.vec_id <> cb.vec_id), " +

@@ -285,6 +285,25 @@ class CatalogSpec extends SparkSpec {
     )
   }
 
+  test("dedup_semantic: min-id representatives, edges inside clusters, kept = one per cluster") {
+    val ds = SparkEntry.queries("dedup_semantic")(spark, sfDir)
+    assert(ds.filter(col("cluster_id") > col("vec_id")).count() == 0, "label must be a min")
+    assert(
+      ds.filter(col("kept") =!= (col("vec_id") === col("cluster_id"))).count() == 0,
+      "kept must mark exactly the representative",
+    )
+    assert(
+      ds.filter(col("kept")).count() == ds.select("cluster_id").distinct().count(),
+      "one keeper per cluster",
+    )
+    // both endpoints of every verified semantic edge land in one cluster
+    val pairs = ops.SemDedup.semanticPairs(spark, sfDir)
+    assert(pairs.count() > 0, "fixture must contain semantic near-dups for the op to have work")
+    val byA = ds.select(col("vec_id").as("id_a"), col("cluster_id").as("ca"))
+    val byB = ds.select(col("vec_id").as("id_b"), col("cluster_id").as("cb"))
+    assert(pairs.join(byA, "id_a").join(byB, "id_b").filter(col("ca") =!= col("cb")).count() == 0)
+  }
+
   test("rollup grand-total row equals table count") {
     val total = SparkEntry
       .queries("agg_rollup")(spark, sfDir)
