@@ -137,32 +137,144 @@ object IvfAnn {
     (row_number().over(w) - 1).as("cid")
   }
 
-  /** Declared rows-only (like sim_ann_lsh): centroid training is a float
-    * mean whose low bits depend on summation order, so no cross-engine hash
-    * can be promised — but seeding is deterministic (first-k corpus vectors),
-    * tie-breaks are pinned, returned scores are exact re-ranks, and the
-    * recall floor vs brute force is asserted in IvfSpec.
+  // ---------------------------------------------------------------------
+  // Integer-grid IVF — the DECLARED, fully-oracled variant
+  // ---------------------------------------------------------------------
+
+  private val GridK = 16
+  private val GridIters = 2
+  private val GridNprobe = 4
+  private val GridTopK = 10
+
+  /** Long-form grid view of the embeddings: (vec_id, dim, x6) with
+    * x6 = round(x·1e6) — the embed_dim_stats idiom, identical int64 in both
+    * engines. All k-means arithmetic then runs on this grid: squared-L2
+    * distances are exact int64 sums (|x6| ≤ ~1e6, 64 dims ⇒ ≤ 2.6e14), and
+    * the Lloyd mean is an integer `div` — so TRAINING ITSELF is
+    * bit-identical cross-engine, which is what lets the whole IVF path be
+    * hash-gated where the float-mean variant ([[train]]) could only ever be
+    * rows-only. The float variant stays as the raw-throughput path
+    * (IvfSpec); the declared query IS this grid variant.
     */
+  private def grid6(e: DataFrame): DataFrame =
+    e.select(
+      col("vec_id"),
+      posexplode(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))"))
+        .as(Seq("dim", "x6")),
+    ).select(col("vec_id"), col("dim").cast("long").as("dim"), col("x6"))
+
+  /** Exact nearest-centroid id per vector on the grid (ties → lower cid). */
+  private def gridAssign(g: DataFrame, cent: DataFrame): DataFrame =
+    g.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6"))).as("dist2"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cid"))
+
+  /** One exact Lloyd step: integer-mean (sum div count) per (cid, dim);
+    * a centroid whose list went empty keeps its previous position.
+    */
+  private def gridStep(g: DataFrame, cent: DataFrame): DataFrame = {
+    val upd = gridAssign(g, cent)
+      .join(g, "vec_id")
+      .groupBy("cid", "dim")
+      .agg(expr("sum(x6) div count(1)").as("c6n"))
+    cent
+      .join(upd, Seq("cid", "dim"), "left")
+      .select(col("cid"), col("dim"), coalesce(col("c6n"), col("c6")).as("c6"))
+  }
+
+  /** The declared IVF query, exact end to end: seed centroids = the k
+    * smallest vec_ids (cid in vec_id order), `GridIters` integer Lloyd
+    * steps, corpus assignment = the inverted lists, probes routed to their
+    * `GridNprobe` nearest lists, exact native-dot re-rank within them.
+    * The final centroid frame (k·dim = 1024 rows) localCheckpoints so the
+    * two consumers (corpus assign + probe routing) don't re-run training —
+    * and at 100 TB the corpus-sized `grid6` frame is what you'd persist.
+    */
+  private def simAnnIvfGrid(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = graft.Tables.embeddings(s, dir)
+    val g = grid6(e)
+    val seedW = Window.orderBy("vec_id") // bounded: runs on the k-row limit frame
+    val seedIds = e
+      .orderBy("vec_id")
+      .limit(GridK)
+      .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
+    val c0 = seedIds.join(g, "vec_id").select(col("cid"), col("dim"), col("x6").as("c6"))
+    val cent = (1 to GridIters)
+      .foldLeft(c0)((c, _) => gridStep(g, c))
+      .localCheckpoint()
+    val lists = gridAssign(g, cent).select(col("vec_id").as("cand_id"), col("cid"))
+    val pg = g.filter(col("vec_id") < 100)
+    val routeW = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
+    val routes = pg
+      .join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6"))).as("dist2"))
+      .withColumn("rnp", row_number().over(routeW))
+      .filter(col("rnp") <= GridNprobe)
+      .select(col("vec_id").as("probe_id"), col("cid"))
+    val pv = e.filter(col("vec_id") < 100).select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+    routes
+      .join(lists, "cid")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select("probe_id", "cand_id")
+      .distinct() // a candidate can sit in several routed lists
+      .join(pv, "probe_id")
+      .join(cv, "cand_id")
+      .withColumn("sim", round(Vectors.nativeDot(col("pvec"), col("cvec")), 4))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= GridTopK)
+      .select("probe_id", "cand_id", "sim", "rn")
+      .orderBy("probe_id", "rn")
+  }
+
+  /** Full oracle: DuckDB re-runs the SAME integer k-means (grid explode,
+    * exact int64 distances, integer-div Lloyd means, pinned tie-breaks) and
+    * the same route/re-rank — training, lists, routing, and scores all
+    * hash-check. The grid CTE mirrors [[grid6]]; `list_dot_product` is the
+    * established bit-identical mirror of the native re-rank kernel.
+    */
+  private val simAnnIvfGridSql = {
+    def step(gIn: String, cIn: String, out: String): String =
+      s"d_$out AS (SELECT g.vec_id, c.cid, sum((g.x6 - c.c6) * (g.x6 - c.c6)) AS dist2 " +
+        s"FROM $gIn g JOIN $cIn c ON g.dim = c.dim GROUP BY 1, 2), " +
+        s"a_$out AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d_$out) WHERE rn = 1), " +
+        s"u_$out AS (SELECT a.cid, g.dim, sum(g.x6) // count(*) AS c6n " +
+        s"FROM a_$out a JOIN g ON g.vec_id = a.vec_id GROUP BY 1, 2), " +
+        s"$out AS (SELECT c.cid, c.dim, coalesce(u.c6n, c.c6) AS c6 " +
+        s"FROM $cIn c LEFT JOIN u_$out u ON u.cid = c.cid AND u.dim = c.dim)"
+    "WITH g AS (SELECT vec_id, u.dim, u.x6 FROM (SELECT vec_id, " +
+      "unnest(list_transform(CAST(embedding AS DOUBLE[]), (x, i) -> " +
+      "{'dim': CAST(i - 1 AS BIGINT), 'x6': CAST(round(x * 1e6, 0) AS BIGINT)})) AS u FROM embeddings)), " +
+      s"seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid " +
+      s"FROM embeddings ORDER BY vec_id LIMIT $GridK), " +
+      "c0 AS (SELECT seed.cid, g.dim, g.x6 AS c6 FROM seed JOIN g ON g.vec_id = seed.vec_id), " +
+      step("g", "c0", "c1") + ", " +
+      step("g", "c1", "c2") + ", " +
+      "dl AS (SELECT g.vec_id, c.cid, sum((g.x6 - c.c6) * (g.x6 - c.c6)) AS dist2 " +
+      "FROM g JOIN c2 c ON g.dim = c.dim GROUP BY 1, 2), " +
+      "lists AS (SELECT vec_id AS cand_id, cid FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dl) WHERE rn = 1), " +
+      "routes AS (SELECT vec_id AS probe_id, cid FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dl WHERE vec_id < 100) " +
+      s"WHERE rn <= $GridNprobe), " +
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cand AS (SELECT DISTINCT probe_id, cand_id FROM routes JOIN lists USING (cid) " +
+      "WHERE probe_id <> cand_id), " +
+      "r AS (SELECT probe_id, cand_id, round(list_dot_product(pe.v, ce.v), 4) AS sim " +
+      "FROM cand JOIN e pe ON pe.vec_id = cand.probe_id JOIN e ce ON ce.vec_id = cand.cand_id), " +
+      "rk AS (SELECT probe_id, cand_id, sim, " +
+      "CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn FROM r) " +
+      s"SELECT probe_id, cand_id, sim, rn FROM rk WHERE rn <= $GridTopK ORDER BY probe_id, rn"
+  }
+
   val entries: Seq[graft.QueryDef] = Seq(
-    graft.QueryDef(
-      "sim_ann_ivf",
-      (s, dir) => {
-        val e = graft.Tables.embeddings(s, dir)
-        val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
-        val probes = e
-          .filter(col("vec_id") < 100)
-          .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
-        // the lazy centroid plan is referenced twice (corpus assign + probe
-        // routing) — persist the 16-row result so Lloyd training runs once.
-        // Cached per (session, dir): re-invoking the query builder (specs,
-        // interleaved bench passes, long-lived drivers) must not register a
-        // fresh persisted plan each call and leak block-manager entries.
-        val centroids = cachedCentroids(s, dir)(train(corpus, k = 16).persist())
-        ivfTopK(probes, corpus, centroids, nprobe = 4, k = 10)
-          .orderBy("probe_id", "rn")
-      },
-      None,
-    )
+    graft.QueryDef("sim_ann_ivf", simAnnIvfGrid, Some(simAnnIvfGridSql))
   )
 
   /** IVF top-k: assign corpus once (the inverted lists), route each probe to

@@ -10,12 +10,12 @@ class CatalogSpec extends SparkSpec {
   test("keys invariant: oracles cover all declared queries except the known rows-only set") {
     // oracle-less queries get only the driver's weaker rows-only check —
     // adding one must be a deliberate decision, recorded here.
-    // r7: the approx-sketch keys gained error-band boolean oracles, LSH ANN
-    // gained a full plane-regenerating oracle, multimodal_binary a
-    // generator-mirror oracle. Only IVF remains rows-only: its centroids
-    // are LEARNED by distributed Lloyd iterations — no closed-form SQL can
-    // reproduce them, and faking fixed centroids would stop testing the op.
-    val rowsOnly = Set("sim_ann_ivf")
+    // r7: every declared key now carries an oracle. The approx-sketch keys
+    // check error-band booleans, sim_ann_lsh regenerates its Rademacher
+    // planes in SQL, multimodal_binary mirrors its generator, and
+    // sim_ann_ivf's k-means runs on the exact 1e-6 integer grid so even
+    // TRAINING is bit-identical cross-engine (IvfAnn.simAnnIvfGrid).
+    val rowsOnly = Set.empty[String]
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.queries.nonEmpty)

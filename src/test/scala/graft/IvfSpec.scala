@@ -79,4 +79,37 @@ class IvfSpec extends SparkSpec {
       .count()
     assert(rescored == 0)
   }
+
+  test("declared grid IVF (the oracled variant): recall floor and exact returned scores") {
+    // the integer-grid k-means (IvfAnn.simAnnIvfGrid — bit-identical
+    // cross-engine, hence oracled) must remain a WORKING index, not just a
+    // reproducible one: recall vs brute force beats the blind nprobe/k scan
+    val ann = SparkEntry.queries("sim_ann_ivf")(spark, sfDir)
+    val annPairs = ann.select("probe_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p100 = Tables
+      .embeddings(spark, sfDir)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+    val truth = corpus
+      .crossJoin(p100)
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", round(Vectors.dot(col("pvec"), col("cvec")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("probe_id", "cand_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = truth.count(annPairs.contains).toDouble / truth.size
+    assert(recall >= 0.3, s"grid-IVF recall $recall below the blind-scan bar")
+    // exact-score law on the declared output
+    val bad = ann
+      .join(p100, "probe_id")
+      .join(corpus, "cand_id")
+      .withColumn("exact", round(Vectors.dot(col("pvec"), col("cvec")), 4))
+      .filter(col("sim") =!= col("exact"))
+      .count()
+    assert(bad == 0)
+  }
 }
