@@ -227,8 +227,9 @@ object CorpusPrep {
     *
     * Scale shape: text is hashed in the map stage and DROPPED — only
     * (batch_id, hash) ever shuffles; the manifest joins by hash (broadcast
-    * while it fits, shuffle-join on the same key when it doesn't), and the
-    * first-wins window reuses the hash partitioning the join established.
+    * while it fits, shuffle-join on the same key when it doesn't), and
+    * first-wins is a groupBy(k).min whose partial aggregation collapses a
+    * mass-duplicated hash map-side before its exchange.
     * This is bookmark-style incremental processing (cf. incremental_read)
     * applied to dedup.
     */
@@ -251,15 +252,18 @@ object CorpusPrep {
           .select((col("doc_id") + 2000).as("batch_id"), col("text"))
       )
       .select(col("batch_id"), md5(Text.normText(col("text"))).as("k"))
-    val firstWins = Window.partitionBy("k").orderBy("batch_id")
+    // first-wins via groupBy(k).min — partial aggregation collapses a
+    // mass-duplicated hash map-side, where the r6 row_number window over
+    // partitionBy(k) put every copy of the hot content in one task
+    val firstB = batch.groupBy("k").agg(min("batch_id").as("first_batch"))
     batch
       .join(seen, Seq("k"), "left")
-      .withColumn("rn", row_number().over(firstWins))
+      .join(firstB, "k")
       .select(
         col("batch_id"),
         col("k").as("content_md5"),
         when(col("seen_dup"), lit("dup_of_seen"))
-          .when(col("rn") > 1, lit("dup_in_batch"))
+          .when(col("batch_id") =!= col("first_batch"), lit("dup_in_batch"))
           .otherwise(lit("unique"))
           .as("status"),
       )
@@ -376,8 +380,16 @@ object CorpusPrep {
       .orderBy("doc_id")
 
   private def dedupLines(s: SparkSession, dir: String): DataFrame = {
-    val firstWins = Window.partitionBy("h").orderBy("doc_id", "line_no")
-    reassemble(linesFrame(s, dir).withColumn("kept", row_number().over(firstWins) === 1))
+    // first-wins via groupBy(h).min(struct) — a boilerplate line repeated
+    // across the whole corpus collapses map-side instead of funneling all
+    // its copies through one row_number-window task (r7 hub discipline)
+    val lf = linesFrame(s, dir)
+    val first = lf.groupBy("h").agg(min(struct(col("doc_id"), col("line_no"))).as("f"))
+    reassemble(
+      lf.join(first, "h")
+        .withColumn("kept", struct(col("doc_id"), col("line_no")) === col("f"))
+        .drop("f")
+    )
   }
 
   private val dedupLinesSql =
@@ -409,18 +421,24 @@ object CorpusPrep {
     * within ONE doc survives here but is deduped there).
     *
     * Scale shape: same narrow (doc_id, line_no, 32 B hash) rows as
-    * dedup_lines; the distinct-doc frequency comes from a collect_set
-    * window over the SAME hash partitioning the rows already need — one
-    * exchange for the gate, one for reassembly, text never shuffles. The
-    * per-hash doc set is bounded by the corpus's duplication factor, not
-    * corpus size (and a hash hot enough to overflow a set is boilerplate
-    * by any threshold — a count-gt-K early-out would cap it).
+    * dedup_lines; the distinct-doc frequency is a TWO-LEVEL aggregate
+    * (distinct (h, doc_id) map-side, then count per h) so the universal
+    * cookie-banner line collapses before any exchange — the r6 collect_set
+    * window put every copy of it in one task AND materialized its whole
+    * doc set in memory; the gate then joins back by hash. Text never
+    * shuffles anywhere.
     */
   private def filterBoilerplateLines(s: SparkSession, dir: String): DataFrame = {
-    val byHash = Window.partitionBy("h")
+    val lf = linesFrame(s, dir)
+    val freq = lf
+      .select("h", "doc_id")
+      .distinct()
+      .groupBy("h")
+      .agg(count(lit(1)).as("nd"))
     reassemble(
-      linesFrame(s, dir)
-        .withColumn("kept", size(collect_set(col("doc_id")).over(byHash)) < BoilerplateDocs)
+      lf.join(freq, "h")
+        .withColumn("kept", col("nd") < BoilerplateDocs)
+        .drop("nd")
     )
   }
 

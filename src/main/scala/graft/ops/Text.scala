@@ -442,12 +442,17 @@ object Text {
   /** Prefix n-gram novelty per document: the fraction of a doc's distinct
     * 3-shingles not seen in ANY lower-id document — the curriculum /
     * incremental-crawl signal ("how much new content does this doc add?").
-    * A sequential-sounding definition made relational: first-seer = min
-    * (doc_id) per shingle (count window's sibling over the same hash(sh)
-    * partitioning as the near-dup prune), then one per-doc aggregate. Two
-    * exchanges total at any corpus size; the rode-along n_sh keeps the
-    * map-side shingle subtree single-evaluation (same trick as
-    * dedup_near_jaccard). Novelty is a round(4) ratio of exact ints.
+    * A sequential-sounding definition made relational, with NO per-shingle
+    * window (r7: the min-over-partitionBy(sh) window shipped every row of
+    * a shingle to one task — a planet-hot shingle owns that task at corpus
+    * scale): first-seer = groupBy(sh).min(doc_id), whose partial
+    * aggregation collapses even a hot shingle to one row per map task
+    * BEFORE the exchange; novelty counts then come from a second
+    * aggregation of the |shingles|-grain firsts at doc grain, joined back
+    * onto the per-doc gram counts — every exchange carries collapsed
+    * grain, never the raw shingle stream. The shingle subtree is evaluated
+    * twice (counts + firsts), both map-side — cheaper than one full-stream
+    * exchange at any scale. Novelty is a round(4) ratio of exact ints.
     */
   private def textNovelty(s: SparkSession, dir: String): DataFrame = {
     val arr = shingleHashArrays(Tables.documents(s, dir))
@@ -456,12 +461,15 @@ object Text {
       size(col("shs")).cast("long").as("n_sh"),
       explode(col("shs")).as("sh"),
     )
-    sh.withColumn("first_doc", min("doc_id").over(Window.partitionBy("sh")))
-      .groupBy("doc_id")
-      .agg(
-        min("n_sh").as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"),
-      )
+    val counts = sh.groupBy("doc_id").agg(min("n_sh").as("n_grams"))
+    val novel = sh
+      .groupBy("sh")
+      .agg(min("doc_id").as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("nn"))
+    counts
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), coalesce(col("nn"), lit(0L)).as("n_novel"))
       .withColumn("novelty", round(col("n_novel").cast("double") / col("n_grams"), 4))
       .orderBy("doc_id")
   }

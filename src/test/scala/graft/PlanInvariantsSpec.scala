@@ -237,9 +237,13 @@ class PlanInvariantsSpec extends SparkSpec {
       "per-type med/mad frames are |event_type| rows and must broadcast")
   }
 
-  test("text_novelty: first-seer window and per-doc agg, no joins at all") {
+  test("text_novelty: first-seer via collapsed aggregates, no per-shingle window") {
     val p = planString("text_novelty")
-    assert(!p.contains("Join"), "novelty is window+agg by design; a join means a regression\n" + p.take(1500))
+    // r7: firsts come from groupBy(sh).min (map-side combine bounds a hot
+    // shingle) + doc-grain join — a Window in this plan means the hot-key
+    // seam came back
+    assert(!p.contains("Window"), "novelty must not plan a per-shingle window\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
   test("text_bm25_topk: top-k prunes map-side; df and stats broadcast, never sort-merge") {
