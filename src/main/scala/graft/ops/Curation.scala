@@ -148,8 +148,11 @@ object Curation {
     * position in the shard's token stream.
     */
   private def packSequences(s: SparkSession, dir: String): DataFrame = {
-    val win = Window.partitionBy("lang", "shard").orderBy("doc_id")
-    Tables
+    // running token offset per (lang, shard) via ScaleRank (range-split
+    // local cumsum + broadcast prefix offsets): a shard's whole token
+    // stream no longer rides one window task (r7 hub discipline — shard
+    // count × |langs| tasks was the old parallelism ceiling)
+    val base = Tables
       .documents(s, dir)
       .select(
         col("doc_id"),
@@ -157,7 +160,9 @@ object Curation {
         (Pipeline.hashBucket % 8).as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
       )
-      .withColumn("start_offset", sum(col("n_tokens")).over(win) - col("n_tokens"))
+    ScaleRank
+      .rankedFrame(base, Seq("lang", "shard"), Seq(col("doc_id")), Some("n_tokens"))
+      .withColumn("start_offset", col("__cum") - col("n_tokens"))
       .select(
         col("doc_id"),
         col("lang"),
@@ -187,11 +192,20 @@ object Curation {
     * to distinct doubles), so the >= 0.5 boundary is engine-independent.
     */
   private def filterQualityQuantile(s: SparkSession, dir: String): DataFrame = {
-    val win = Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))
-    Tables
+    // percent_rank ≡ (rn − 1)/(n − 1) under the strict (quality, doc_id)
+    // order, computed distributed via ScaleRank instead of a per-lang
+    // window task holding the language's whole corpus slice; the n = 1
+    // branch mirrors Spark/DuckDB's percent_rank-of-a-single-row = 0
+    val base = Tables
       .documents(s, dir)
       .select(col("doc_id"), col("lang"), TextQuality.qualityCol.as("quality"))
-      .withColumn("pr", percent_rank().over(win))
+    ScaleRank
+      .rankedFrame(base, Seq("lang"), Seq(col("quality"), col("doc_id")), None)
+      .withColumn(
+        "pr",
+        when(col("__seg_n") === 1, lit(0.0))
+          .otherwise((col("__rn") - 1).cast("double") / (col("__seg_n") - 1).cast("double")),
+      )
       .filter(col("pr") >= 0.5)
       .select(col("doc_id"), col("lang"), col("quality"), round(col("pr"), 4).as("pr"))
       .orderBy("doc_id")

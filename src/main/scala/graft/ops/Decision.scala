@@ -266,14 +266,16 @@ object Decision {
         expr("(tp - tv) div 1000000").as("latency_s"),
         (dayofweek(expr("timestamp_micros(tv)")) - 1).cast("long").as("cohort_dow"),
       )
-    val w = Window.partitionBy("cohort_dow").orderBy("latency_s", "user_id")
-    p.withColumn("rn", asLong(row_number().over(w)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("cohort_dow")))
+    // per-cohort latency rank + cohort size via ScaleRank — the r6 plan's
+    // 7 cohort window tasks each held |users|/7 rows; the percentile
+    // selection algebra is unchanged (type-1 positional at ceil(q·n))
+    ScaleRank
+      .rankedFrame(p, Seq("cohort_dow"), Seq(col("latency_s"), col("user_id")), None)
       .groupBy("cohort_dow")
       .agg(
         nrows.as("n_converted"),
-        max(when(col("rn") <= expr("(n + 1) div 2"), col("latency_s"))).as("p50_latency_s"),
-        max(when(col("rn") <= expr("(n * 9 + 9) div 10"), col("latency_s"))).as("p90_latency_s"),
+        max(when(col("__rn") <= expr("(__seg_n + 1) div 2"), col("latency_s"))).as("p50_latency_s"),
+        max(when(col("__rn") <= expr("(__seg_n * 9 + 9) div 10"), col("latency_s"))).as("p90_latency_s"),
       )
       .orderBy("cohort_dow")
   }

@@ -154,10 +154,19 @@ object Governance {
       .groupBy("l_returnflag")
       .agg(nrows.as("nc"))
       .agg(min("nc").as("k"))
-    val w = Window.partitionBy("l_returnflag").orderBy(col("prio"), col("l_orderkey"), col("l_linenumber"))
-    li.withColumn("rn", asLong(row_number().over(w)))
+    // per-class priority rank via ScaleRank — k is data-derived (min class
+    // count), so the rank filter can't map-side-prune like a literal top-k
+    // (no WindowGroupLimit), and the r6 per-class window task held the
+    // whole class; the range-split rank removes that ceiling
+    ScaleRank
+      .rankedFrame(
+        li,
+        Seq("l_returnflag"),
+        Seq(col("prio"), col("l_orderkey"), col("l_linenumber")),
+        None,
+      )
       .join(broadcast(kmin)) // 1-row class-minimum frame
-      .filter(col("rn") <= col("k"))
+      .filter(col("__rn") <= col("k"))
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
       .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
   }

@@ -105,10 +105,17 @@ object Insights {
       Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey").as("nationkey")),
       col("o_custkey") === col("c_custkey"),
     )
-    val w = Window.partitionBy("nationkey").orderBy(col("cents"), col("o_custkey"))
-    j.withColumn("i", asLong(row_number().over(w)))
+    // per-nation spend rank via ScaleRank — a populous nation's whole
+    // customer list no longer sorts in one window task (r7 hub discipline)
+    ScaleRank
+      .rankedFrame(
+        j.select(col("nationkey"), col("o_custkey"), col("cents")),
+        Seq("nationkey"),
+        Seq(col("cents"), col("o_custkey")),
+        None,
+      )
       .groupBy("nationkey")
-      .agg(nrows.as("n"), sum("cents").as("sx"), sum(col("i") * col("cents")).as("sxi"))
+      .agg(nrows.as("n"), sum("cents").as("sx"), sum(col("__rn") * col("cents")).as("sxi"))
       .select(
         col("nationkey"),
         col("n").as("n_cust"),

@@ -244,15 +244,16 @@ object Mixes {
     */
   private def sampleEpochShuffle(s: SparkSession, dir: String): DataFrame = {
     val prio = hash52("ep#", concat_ws("#", col("epoch"), col("doc_id")))
-    Tables
+    // per-epoch position via ScaleRank — each epoch previously sorted the
+    // WHOLE corpus in one window task; the hash stays the portable
+    // contract (scaladoc above), the rank now materializes distributed
+    val base = Tables
       .documents(s, dir)
       .select(col("doc_id"), explode(array(lit(0L), lit(1L), lit(2L))).as("epoch"))
       .withColumn("prio", prio)
-      .withColumn(
-        "position",
-        asLong(row_number().over(Window.partitionBy("epoch").orderBy(col("prio"), col("doc_id")))),
-      )
-      .select("epoch", "doc_id", "prio", "position")
+    ScaleRank
+      .rankedFrame(base, Seq("epoch"), Seq(col("prio"), col("doc_id")), None)
+      .select(col("epoch"), col("doc_id"), col("prio"), col("__rn").as("position"))
       .orderBy("epoch", "position")
   }
 
@@ -353,15 +354,18 @@ object Mixes {
       // otherwise (and the cap is declared, not an accident of rk <= t)
       .withColumn("target_docs", least(expr("(w4 * budget) div 10000"), col("n_docs")))
       .select(col("lang"), col("target_docs"))
-    val rk = row_number().over(Window.partitionBy("lang").orderBy("h", "doc_id"))
-    Tables
+    // per-lang priority rank via ScaleRank — the quota is data-derived, so
+    // no literal-top-k map-side prune applies, and the r6 per-lang window
+    // task held the language's whole corpus slice
+    val base = Tables
       .documents(s, dir)
       .select(col("doc_id"), col("lang"))
       .withColumn("h", hash52("mix#", col("doc_id")))
-      .withColumn("rk", asLong(rk))
+    ScaleRank
+      .rankedFrame(base, Seq("lang"), Seq(col("h"), col("doc_id")), None)
       .join(broadcast(targets), "lang")
-      .filter(col("rk") <= col("target_docs"))
-      .select(col("doc_id"), col("lang"), col("rk"))
+      .filter(col("__rn") <= col("target_docs"))
+      .select(col("doc_id"), col("lang"), col("__rn").as("rk"))
       .orderBy("doc_id")
   }
 
@@ -384,19 +388,24 @@ object Mixes {
     * Determinism: the split is seedless md5 arithmetic on the
     * representative id (hash52 in [0, 2^52)), compared against INTEGER
     * thresholds floor(0.8·2^52) and floor(0.9·2^52) — no double compare,
-    * no tie. Scale shape: text is hashed and dropped map-side; one
-    * exchange on the 32 B norm key feeds both the representative window
-    * and nothing else; split assignment is pure per-row arithmetic.
+    * no tie. Scale shape: text is hashed and dropped map-side; the
+    * representative is a groupBy(k).min whose partial aggregation collapses
+    * a mass-duplicated hash before its exchange, joined back by the 32 B
+    * key; split assignment is pure per-row arithmetic.
     */
   private def sampleGroupSplit(s: SparkSession, dir: String): DataFrame = {
     val TrainCut = 3602879701896396L // floor(0.8 * 2^52)
     val ValidCut = 4053239664633446L // floor(0.9 * 2^52)
     val norm = lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f\\x0B]+", " ")))
     val h = hash52("gs#", col("rep_id"))
-    Tables
+    // representative via groupBy(k).min + join — a mass-duplicated content
+    // hash collapses map-side instead of pushing every copy through one
+    // min-window task (the dedup_lines r7 discipline)
+    val keyed = Tables
       .documents(s, dir)
       .select(col("doc_id"), md5(norm).as("k"))
-      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("k"))))
+    keyed
+      .join(keyed.groupBy("k").agg(min("doc_id").as("rep_id")), "k")
       .select(
         col("doc_id"),
         col("rep_id"),

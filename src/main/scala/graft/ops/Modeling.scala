@@ -258,11 +258,15 @@ object Modeling {
     * pins the exact membership, not just the sizes.
     */
   private def sampleKfoldAssign(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy(col("prio"), col("doc_id"))
-    Tables
+    // per-stratum rank via ScaleRank — the round-robin deal needs a full
+    // rank (no top-k prune applies), and the r6 per-lang window task held
+    // the stratum's whole corpus slice
+    val base = Tables
       .documents(s, dir)
       .select(col("lang"), col("doc_id"), hash52("kf#", col("doc_id")).as("prio"))
-      .withColumn("fold", (asLong(row_number().over(w)) - lit(1L)) % lit(5L))
+    ScaleRank
+      .rankedFrame(base, Seq("lang"), Seq(col("prio"), col("doc_id")), None)
+      .withColumn("fold", (col("__rn") - lit(1L)) % lit(5L))
       .groupBy("lang", "fold")
       .agg(nrows.as("n_docs"), sum("doc_id").as("id_sum"), min("doc_id").as("min_doc"))
       .orderBy("lang", "fold")

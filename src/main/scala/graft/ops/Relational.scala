@@ -419,20 +419,29 @@ object Relational {
 
   /** ntile / percent_rank / cume_dist per market segment. The rank ratios
     * are exact small-int divisions — bit-identical across engines, no
-    * rounding needed. Partitioned by segment (a global window would
-    * single-task at scale).
+    * rounding needed. r7: computed through ScaleRank (range-split rank +
+    * broadcast offsets) — a segment is |customers|/5 rows, so the per-
+    * segment window task was the same single-task sort the win_pareto_share
+    * fix removed. Under the strict (c_acctbal, c_custkey) order rank ≡
+    * row_number, so percent_rank = (rn−1)/(n−1) (0 when n = 1, both
+    * engines' convention) and cume_dist = rn/n, exactly the window
+    * functions' values.
     */
   private def winNtilePct(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables
+    val base = Tables
       .customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+    ScaleRank
+      .rankedFrame(base, Seq("c_mktsegment"), Seq(col("c_acctbal"), col("c_custkey")), None)
       .select(
         col("c_mktsegment"),
         col("c_custkey"),
         col("c_acctbal"),
-        asLong(ntile(4).over(w)).as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"),
+        ScaleRank.ntileOf(4).as("quartile"),
+        when(col("__seg_n") === 1, lit(0.0))
+          .otherwise((col("__rn") - 1).cast("double") / (col("__seg_n") - 1).cast("double"))
+          .as("pct_rank"),
+        (col("__rn").cast("double") / col("__seg_n").cast("double")).as("cume"),
       )
       .orderBy("c_mktsegment", "c_custkey")
   }
