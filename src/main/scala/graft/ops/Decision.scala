@@ -161,20 +161,19 @@ object Decision {
     * declared median is a raw stored double — no arithmetic touches it.
     */
   private def aggWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val w = Window
-      .partitionBy("p_type")
-      .orderBy("p_retailprice", "p_partkey")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables
+    // per-type running weight + type total via ScaleRank (the
+    // win_pareto_share algebra): each type's whole part list no longer
+    // sorts in one window task
+    val base = Tables
       .part(s, dir)
       .select(col("p_type"), col("p_partkey"), col("p_retailprice"), col("p_size").cast("long").as("wt"))
-      .withColumn("cum", sum("wt").over(w))
-      .withColumn("tot", sum("wt").over(Window.partitionBy("p_type")))
+    ScaleRank
+      .rankedFrame(base, Seq("p_type"), Seq(col("p_retailprice"), col("p_partkey")), Some("wt"))
       .groupBy("p_type")
       .agg(
         nrows.as("n_parts"),
-        max("tot").as("total_weight"),
-        min(when(col("cum") * 2 >= col("tot"), col("p_retailprice"))).as("wmedian_price"),
+        max("__seg_sum").as("total_weight"),
+        min(when(col("__cum") * 2 >= col("__seg_sum"), col("p_retailprice"))).as("wmedian_price"),
       )
       .orderBy("p_type")
   }

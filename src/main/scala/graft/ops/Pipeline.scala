@@ -216,16 +216,20 @@ object Pipeline {
       .join(b, col("p_brand") === col("bb") && col("p_size") === col("bs") && col("a_key") =!= col("b_key"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= 5)
-    val byA = Window.partitionBy("a_key")
+    // best-match selection as a min_by AGGREGATE instead of the r6
+    // rn=1-window: partial aggregation collapses a key's candidate list
+    // map-side, so a hub key (huge fuzzy block) never owns one window task
     pairs
-      .withColumn("rn", row_number().over(byA.orderBy(col("dist"), col("b_key"))))
-      .withColumn("n_fuzzy", count(lit(1)).over(byA))
-      .filter(col("rn") === 1)
+      .groupBy("a_key")
+      .agg(
+        count(lit(1)).as("n_fuzzy"),
+        min_by(struct(col("b_key"), col("dist")), struct(col("dist"), col("b_key"))).as("best"),
+      )
       .select(
         col("a_key"),
-        col("n_fuzzy").cast("long").as("n_fuzzy"),
-        col("b_key").as("best_key"),
-        col("dist").cast("long").as("best_dist"),
+        col("n_fuzzy"),
+        col("best.b_key").as("best_key"),
+        col("best.dist").cast("long").as("best_dist"),
       )
       .orderBy("a_key")
   }
