@@ -77,10 +77,15 @@ object ScaleRank {
     // pre-aggregated frame materializes exactly once (the graph_kcore
     // pattern); on a real cluster swap localCheckpoint for a reliable
     // checkpoint dir to survive executor loss.
+    // eager = false: the checkpoint materializes inside the query's own
+    // first job instead of a separate build-time job per invocation — both
+    // consumers still read ONE frozen copy (the RDD object is shared, so
+    // the range shuffle and its sampled boundaries are computed once per
+    // execution regardless)
     val parted = df
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val segPid = (seg :+ "__pid").map(col)
 
     // local rank/cumsum — each task ranks only its own range split
