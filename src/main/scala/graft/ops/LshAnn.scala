@@ -83,8 +83,15 @@ object LshAnn {
     import org.apache.spark.sql.expressions.Window
     val pb = bucketize(probes.select(col("probe_id"), col("pvec").as("v")), "probe_id", "v", planes)
     val cb = bucketize(corpus.select(col("cand_id"), col("cvec").as("v")), "cand_id", "v", planes)
+    // occupancy cap: per-cell corpus counts collapse map-side; overfull
+    // cells leave candidate generation entirely (see BucketOccupancyCap)
+    val ok = cb
+      .groupBy("table", "bucket")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= BucketOccupancyCap)
+      .select("table", "bucket")
     val cands = pb
-      .join(cb, Seq("table", "bucket"))
+      .join(cb.join(ok, Seq("table", "bucket"), "left_semi"), Seq("table", "bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select("probe_id", "cand_id")
       .distinct()
@@ -127,7 +134,22 @@ object LshAnn {
     * recall-vs-parameters stays a LshSpec concern, but the computed answer
     * is now a cross-engine contract.
     */
-  /** Shared CTE chain ending in `b(vec_id, tb, bucket)` — the SQL mirror of
+  /** Bucket-occupancy cap — the ANN family's hub cap (Modeling
+    * .PairDegreeCap doc): a (table, bucket) cell holding more than this
+    * many corpus vectors fans out occupancy² candidate work in one task
+    * while contributing almost no signal (a cell that coarse ranks barely
+    * above random), so overfull cells are dropped from candidate
+    * generation on BOTH engines. Sign-LSH redundancy makes the recall cost
+    * negligible: a true near pair agrees on most tables, so losing one
+    * hot cell rarely loses the pair. Far above any fixture occupancy —
+    * declared outputs unchanged; the binding case is the
+    * planet-scale-corpus regime where `Bits` should also grow with
+    * log(corpus) to keep cells informative.
+    */
+  private[ops] val BucketOccupancyCap = 100000L
+
+  /** Shared CTE chain ending in `b(vec_id, tb, bucket)` plus
+    * `okb(tb, bucket)` (the occupancy-capped cells) — the SQL mirror of
     * [[bucketize]] under [[hyperplanes]]. Reused by dedup_semantic's oracle
     * so the bucket definition cannot drift between the two declared keys.
     */
@@ -140,12 +162,14 @@ object LshAnn {
       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "dots AS (SELECT vec_id, tb, bit, list_dot_product(v, plane) AS dot FROM e CROSS JOIN planes), " +
       "b AS (SELECT vec_id, tb, CAST(sum(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket " +
-      "FROM dots GROUP BY 1, 2)"
+      "FROM dots GROUP BY 1, 2), " +
+      s"okb AS (SELECT tb, bucket FROM b GROUP BY 1, 2 HAVING count(*) <= $BucketOccupancyCap)"
 
   private val simAnnLshSql =
     s"WITH $lshBucketsCteSql, " +
       "cand AS (SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id AS cand_id " +
       "FROM b pb JOIN b cb ON pb.tb = cb.tb AND pb.bucket = cb.bucket " +
+      "JOIN okb ON okb.tb = cb.tb AND okb.bucket = cb.bucket " +
       "WHERE pb.vec_id < 100 AND pb.vec_id <> cb.vec_id), " +
       "r AS (SELECT probe_id, cand_id, round(list_dot_product(pe.v, ce.v), 4) AS sim " +
       "FROM cand JOIN e pe ON pe.vec_id = cand.probe_id JOIN e ce ON ce.vec_id = cand.cand_id), " +

@@ -40,12 +40,20 @@ object SemDedup {
   private[graft] def semanticPairs(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val bk = LshAnn.bucketize(
+    val bk0 = LshAnn.bucketize(
       e.select(col("vec_id"), col("embedding").as("v")),
       "vec_id",
       "v",
       LshAnn.defaultPlanes,
     )
+    // occupancy cap (LshAnn.BucketOccupancyCap): overfull cells leave the
+    // self-join — the ANN family's hub cap, mirrored in the oracle's okb
+    val ok = bk0
+      .groupBy("table", "bucket")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= LshAnn.BucketOccupancyCap)
+      .select("table", "bucket")
+    val bk = bk0.join(ok, Seq("table", "bucket"), "left_semi")
     val cand = bk
       .select(col("vec_id").as("id_a"), col("table"), col("bucket"))
       .join(bk.select(col("vec_id").as("id_b"), col("table"), col("bucket")), Seq("table", "bucket"))
@@ -77,7 +85,8 @@ object SemDedup {
   private val dedupSemanticSql =
     s"WITH RECURSIVE ${LshAnn.lshBucketsCteSql}, " +
       "cand AS (SELECT DISTINCT pa.vec_id AS id_a, pb.vec_id AS id_b " +
-      "FROM b pa JOIN b pb ON pa.tb = pb.tb AND pa.bucket = pb.bucket AND pa.vec_id < pb.vec_id), " +
+      "FROM b pa JOIN b pb ON pa.tb = pb.tb AND pa.bucket = pb.bucket AND pa.vec_id < pb.vec_id " +
+      "JOIN okb ON okb.tb = pa.tb AND okb.bucket = pa.bucket), " +
       "edges0 AS (SELECT id_a, id_b FROM cand " +
       "JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b " +
       s"WHERE list_dot_product(ea.v, eb.v) >= $SemThreshold), " +
