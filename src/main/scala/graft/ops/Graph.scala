@@ -251,7 +251,7 @@ object Graph {
     val e0 = pairs
       .select(col("pa").as("u"), col("pb").as("v"))
       .unionByName(pairs.select(col("pb").as("u"), col("pa").as("v")))
-      .localCheckpoint()
+      .transform(Checkpoints.stable(_))
     val eFinal = (1 to KCoreRounds).foldLeft(e0) { (e, round) =>
       val keep = e.groupBy("u").agg(nrows.as("deg")).filter(col("deg") >= KCoreK).select("u")
       val pruned = e
@@ -259,7 +259,7 @@ object Graph {
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
       // the LAST round's frame is referenced once (the final degree agg),
       // so its checkpoint would be a pure materialization tax
-      if (round < KCoreRounds) pruned.localCheckpoint() else pruned
+      if (round < KCoreRounds) pruned.transform(Checkpoints.stable(_)) else pruned
     }
     eFinal
       .groupBy("u")

@@ -290,15 +290,23 @@ object Health {
     * and order-free: the exchange carries ONE row per table at any scale,
     * and two systems agree iff (n_rows, xor_sig) agree (modulo the usual
     * multiset-xor caveat, which the count plus min/max witnesses guard).
-    * Every field coalesces to a NULL sentinel BEFORE concat_ws:
+    * Every field coalesces to a \u0001NULL sentinel BEFORE concat_ws:
     * concat_ws silently skips NULL args, so without the sentinel two rows
     * differing only in WHICH field is NULL (or NULL vs empty string)
     * canonicalize identically and the checksum cannot see the difference.
     */
+  /** Per-field canonicalization for the checksum: the \u0001 prefix keeps
+    * the sentinel disjoint from any real value — a column literally
+    * containing the string "NULL" must not collide, and two rows differing
+    * only in WHICH field is NULL must not either. Mirrored verbatim by the
+    * DuckDB oracle's `chr(1) || 'NULL'` (dqTableChecksumSql below);
+    * HealthSpec exercises the NULL-bearing cases both engines must agree
+    * on even though the TPC-H fixtures are NULL-free.
+    */
+  def checksumField(c: Column): Column = coalesce(c.cast("string"), lit("\u0001NULL"))
+
   private def dqTableChecksum(s: SparkSession, dir: String): DataFrame = {
-    // \u0001 prefix keeps the sentinel disjoint from any real value — a
-    // column literally containing the string "NULL" must not collide
-    def f(c: Column): Column = coalesce(c.cast("string"), lit("NULL"))
+    def f(c: Column): Column = checksumField(c)
     def sig(df: DataFrame, table: String, canon: Column): DataFrame =
       df.select(conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h"))
         .agg(

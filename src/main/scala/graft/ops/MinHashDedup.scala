@@ -167,9 +167,9 @@ object MinHashDedup {
     * rounds where plain propagation would need 1M. The working set is only
     * nodes that HAVE an edge (at 100 TB: the dup fraction of the corpus,
     * not the corpus); singletons join back at the end with themselves as
-    * cluster. `localCheckpoint` truncates the growing lineage so round k
-    * doesn't replay rounds 1..k-1 (on a cluster, `checkpoint` to durable
-    * storage instead). The per-round driver action is a changed-label COUNT
+    * cluster. [[Checkpoints.stable]] truncates the growing lineage so round
+    * k doesn't replay rounds 1..k-1 (localCheckpoint by default; config-
+    * switched to a durable checkpoint dir on a real cluster). The per-round driver action is a changed-label COUNT
     * (a scalar — not a collect of data). The fixpoint is unique, so the
     * result is deterministic no matter how rounds schedule. If maxRounds is
     * ever hit (diameter > 2^maxRounds — not a reachable corpus shape), the
@@ -181,12 +181,12 @@ object MinHashDedup {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .transform(Checkpoints.stable(_))
     var labels = edges
       .select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+      .transform(Checkpoints.stable(_))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -203,7 +203,7 @@ object MinHashDedup {
         .select(col("doc_id"), col("cluster_id").as("old"))
         .join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"), least(col("old"), col("nbr_min")).as("cluster_id"), col("old"))
-        .localCheckpoint()
+        .transform(Checkpoints.stable(_))
       // pointer jump: cluster_id := label(cluster_id). Every label IS a
       // node id in the edge set (initial labels are self, updates are mins
       // of such labels), so the inner join is total; label(label(v)) <=
@@ -214,7 +214,7 @@ object MinHashDedup {
           Seq("cluster_id"),
         )
         .select(col("doc_id"), col("jump").as("cluster_id"), col("old"))
-        .localCheckpoint()
+        .transform(Checkpoints.stable(_))
       changed = next.filter(col("cluster_id") =!= col("old")).count()
       labels = next.select("doc_id", "cluster_id")
       round += 1

@@ -75,8 +75,10 @@ object ScaleRank {
     // the lifted ranks drift (caught by the DuckDB oracle on
     // stats_mannwhitney_auc). The checkpoint also truncates lineage, so the
     // pre-aggregated frame materializes exactly once (the graph_kcore
-    // pattern); on a real cluster swap localCheckpoint for a reliable
-    // checkpoint dir to survive executor loss.
+    // pattern); Checkpoints.stable config-switches to a reliable checkpoint
+    // dir on a real cluster to survive executor loss, and cleanup of the
+    // per-invocation blocks rides Spark's ContextCleaner — the RDD becomes
+    // unreachable after the query's terminal action (LEAKCHECK tracks this).
     // eager = false: the checkpoint materializes inside the query's own
     // first job instead of a separate build-time job per invocation — both
     // consumers still read ONE frozen copy (the RDD object is shared, so
@@ -85,7 +87,7 @@ object ScaleRank {
     val parted = df
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint(eager = false)
+      .transform(Checkpoints.stable(_, eager = false))
     val segPid = (seg :+ "__pid").map(col)
 
     // local rank/cumsum — each task ranks only its own range split

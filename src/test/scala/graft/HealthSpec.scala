@@ -141,4 +141,31 @@ class HealthSpec extends SparkSpec {
     // sensitivity: flipping one row flips the signature
     assert((expXor ^ h60(cust.head + "x")) != expXor)
   }
+
+  test("dq_table_checksum: NULL sentinel matches the DuckDB mirror and stays collision-free") {
+    import spark.implicits._
+    // the exact cases ADVICE flagged: a genuine NULL field, a literal
+    // "NULL" string value, an empty string, and two rows differing only
+    // in WHICH field is NULL — all must canonicalize distinctly, and the
+    // Spark-side sentinel must equal the oracle's chr(1) || 'NULL'.
+    val df = Seq(
+      (Option.empty[String], Option("b")),   // (NULL, b)
+      (Option("NULL"), Option("b")),         // literal string "NULL"
+      (Option(""), Option("b")),             // empty string
+      (Option("a"), Option.empty[String]),   // (a, NULL)
+      (Option.empty[String], Option("a")),   // (NULL, a) — field swap of above
+    ).toDF("x", "y")
+    val canon = df
+      .select(concat_ws("|", ops.Health.checksumField(col("x")), ops.Health.checksumField(col("y"))).as("c"))
+      .collect()
+      .map(_.getString(0))
+    // all five rows canonicalize to distinct strings (no sentinel collisions)
+    assert(canon.distinct.length == canon.length)
+    // the sentinel is byte-identical to the DuckDB mirror: chr(1) || 'NULL'
+    val sentinel = "\u0001NULL"
+    assert(canon(0) == s"$sentinel|b")
+    assert(canon(1) == "NULL|b") // a real "NULL" value keeps no prefix
+    assert(canon(3) == s"a|$sentinel")
+    assert(canon(4) == s"$sentinel|a")
+  }
 }
