@@ -12,7 +12,29 @@ import org.apache.spark.sql.functions._
   * filters/projections into the Parquet scan per query.
   */
 object Tables {
-  private def p(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Build-time read probe: while a [[recordReads]] body runs on this
+    * thread, every loader that resolves a table path logs its table name.
+    * Exists for catalog enumeration (e.g. StreamingParitySpec finding every
+    * event-input key mechanically) — `inputFiles` can't do it because
+    * checkpoint-truncated plans (ScaleRank, the fixpoint loops) replace the
+    * file relations with a LogicalRDD. Thread-local and nil-cost when no
+    * recording is active.
+    */
+  private val readLog = new ThreadLocal[scala.collection.mutable.Set[String]]
+
+  /** Record which tables `body` requests through these loaders. */
+  def recordReads[A](body: => A): Set[String] = {
+    val acc = scala.collection.mutable.Set.empty[String]
+    readLog.set(acc)
+    try { body; acc.toSet }
+    finally readLog.remove()
+  }
+
+  private def p(dir: String, name: String): String = {
+    Option(readLog.get()).foreach(_ += name)
+    s"$dir/$name.parquet"
+  }
 
   def region(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "region"))
   def nation(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "nation"))

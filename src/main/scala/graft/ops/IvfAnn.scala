@@ -184,16 +184,13 @@ object IvfAnn {
       .select(col("cid"), col("dim"), coalesce(col("c6n"), col("c6")).as("c6"))
   }
 
-  /** The declared IVF query, exact end to end: seed centroids = the k
-    * smallest vec_ids (cid in vec_id order), `GridIters` integer Lloyd
-    * steps, corpus assignment = the inverted lists, probes routed to their
-    * `GridNprobe` nearest lists, exact native-dot re-rank within them.
-    * The final centroid frame (k·dim = 1024 rows) localCheckpoints so the
-    * two consumers (corpus assign + probe routing) don't re-run training —
-    * and at 100 TB the corpus-sized `grid6` frame is what you'd persist.
+  /** Exact grid k-means training: seed centroids = the k smallest vec_ids
+    * (cid in vec_id order), `GridIters` integer Lloyd steps, checkpointed so
+    * downstream consumers never replay training lineage. Pure plan builder —
+    * callers decide whether to cache it ([[gridCentroids]]) or rebuild per
+    * execution (the self-contained fused key).
     */
-  private def simAnnIvfGrid(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
+  private def trainGridCentroids(s: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables.embeddings(s, dir)
     val g = grid6(e)
     val seedW = Window.orderBy("vec_id") // bounded: runs on the k-row limit frame
@@ -202,9 +199,30 @@ object IvfAnn {
       .limit(GridK)
       .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
     val c0 = seedIds.join(g, "vec_id").select(col("cid"), col("dim"), col("x6").as("c6"))
-    val cent = (1 to GridIters)
+    (1 to GridIters)
       .foldLeft(c0)((c, _) => gridStep(g, c))
-      .localCheckpoint()
+      .transform(Checkpoints.stable(_))
+  }
+
+  /** Build-once centroids: the trained grid index, cached per
+    * (session, dir) through the same weak cache as the float path — the
+    * FIRST consumer in a session trains and checkpoints, every later
+    * `sim_ann_ivf_probe` execution reuses the materialized 1024-row frame
+    * without touching the corpus. This is the deployment shape of a real
+    * vector-search index (build once, probe many); the fused `sim_ann_ivf`
+    * key deliberately bypasses this cache to stay self-contained.
+    */
+  def gridCentroids(s: SparkSession, dir: String): DataFrame =
+    cachedCentroids(s, "grid6:" + dir)(trainGridCentroids(s, dir))
+
+  /** Probe stage shared by the fused and split keys: corpus assignment =
+    * the inverted lists, probes routed to their `GridNprobe` nearest lists,
+    * exact native-dot re-rank within them.
+    */
+  private def gridProbeStage(s: SparkSession, dir: String, cent: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val e = graft.Tables.embeddings(s, dir)
+    val g = grid6(e)
     val lists = gridAssign(g, cent).select(col("vec_id").as("cand_id"), col("cid"))
     val pg = g.filter(col("vec_id") < 100)
     val routeW = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
@@ -232,13 +250,51 @@ object IvfAnn {
       .orderBy("probe_id", "rn")
   }
 
+  /** The declared fused IVF query, exact end to end — retrains inside every
+    * execution so the whole path (training included) hash-checks against
+    * the DuckDB oracle with zero session state. The deployment shape is the
+    * split pair below.
+    */
+  private def simAnnIvfGrid(s: SparkSession, dir: String): DataFrame =
+    gridProbeStage(s, dir, trainGridCentroids(s, dir))
+
+  /** Index-build key: the trained centroid grid joined with its
+    * inverted-list occupancy — (cid, dim, c6, list_n), 16×64 rows. This IS
+    * the persisted index a deployment writes once; `list_n` is the balance
+    * stat that decides whether the quantizer needs retraining. Trains (or
+    * reuses) the session-cached centroids.
+    */
+  private def simAnnIvfBuild(s: SparkSession, dir: String): DataFrame = {
+    val cent = gridCentroids(s, dir)
+    val g = grid6(graft.Tables.embeddings(s, dir))
+    val ln = gridAssign(g, cent).groupBy("cid").agg(count(lit(1)).as("list_n"))
+    cent
+      .join(ln, Seq("cid"), "left")
+      .select(col("cid"), col("dim"), col("c6"), coalesce(col("list_n"), lit(0L)).as("list_n"))
+      .orderBy("cid", "dim")
+  }
+
+  /** Probe key: consumes the session-cached index from [[gridCentroids]] —
+    * after the first execution (or a prior `sim_ann_ivf_build`) has
+    * materialized the checkpointed centroids, every probe run skips
+    * training entirely and pays only routing + re-rank. Row-identical to
+    * the fused key by construction (IvfSpec pins the law), so it shares its
+    * oracle.
+    */
+  private def simAnnIvfProbe(s: SparkSession, dir: String): DataFrame =
+    gridProbeStage(s, dir, gridCentroids(s, dir))
+
   /** Full oracle: DuckDB re-runs the SAME integer k-means (grid explode,
     * exact int64 distances, integer-div Lloyd means, pinned tie-breaks) and
     * the same route/re-rank — training, lists, routing, and scores all
     * hash-check. The grid CTE mirrors [[grid6]]; `list_dot_product` is the
     * established bit-identical mirror of the native re-rank kernel.
     */
-  private val simAnnIvfGridSql = {
+  /** Shared training CTE chain (g → seed → c0 → c1 → c2 → dl → lists):
+    * everything up to the trained centroids and their inverted lists, used
+    * verbatim by the fused, build, and probe oracles.
+    */
+  private val gridTrainCte = {
     def step(gIn: String, cIn: String, out: String): String =
       s"d_$out AS (SELECT g.vec_id, c.cid, sum((g.x6 - c.c6) * (g.x6 - c.c6)) AS dist2 " +
         s"FROM $gIn g JOIN $cIn c ON g.dim = c.dim GROUP BY 1, 2), " +
@@ -259,7 +315,11 @@ object IvfAnn {
       "dl AS (SELECT g.vec_id, c.cid, sum((g.x6 - c.c6) * (g.x6 - c.c6)) AS dist2 " +
       "FROM g JOIN c2 c ON g.dim = c.dim GROUP BY 1, 2), " +
       "lists AS (SELECT vec_id AS cand_id, cid FROM (SELECT vec_id, cid, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dl) WHERE rn = 1), " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dl) WHERE rn = 1)"
+  }
+
+  private val simAnnIvfGridSql =
+    gridTrainCte + ", " +
       "routes AS (SELECT vec_id AS probe_id, cid FROM (SELECT vec_id, cid, " +
       "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dl WHERE vec_id < 100) " +
       s"WHERE rn <= $GridNprobe), " +
@@ -271,10 +331,20 @@ object IvfAnn {
       "rk AS (SELECT probe_id, cand_id, sim, " +
       "CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn FROM r) " +
       s"SELECT probe_id, cand_id, sim, rn FROM rk WHERE rn <= $GridTopK ORDER BY probe_id, rn"
-  }
+
+  /** Build oracle: the trained centroid grid + per-list occupancy. */
+  private val simAnnIvfBuildSql =
+    gridTrainCte + ", " +
+      "ln AS (SELECT cid, CAST(count(*) AS BIGINT) AS list_n FROM lists GROUP BY 1) " +
+      "SELECT c.cid, c.dim, CAST(c.c6 AS BIGINT) AS c6, coalesce(ln.list_n, 0) AS list_n " +
+      "FROM c2 c LEFT JOIN ln USING (cid) ORDER BY cid, dim"
 
   val entries: Seq[graft.QueryDef] = Seq(
-    graft.QueryDef("sim_ann_ivf", simAnnIvfGrid, Some(simAnnIvfGridSql))
+    graft.QueryDef("sim_ann_ivf", simAnnIvfGrid, Some(simAnnIvfGridSql)),
+    graft.QueryDef("sim_ann_ivf_build", simAnnIvfBuild, Some(simAnnIvfBuildSql)),
+    // the probe key's result is row-identical to the fused key (IvfSpec
+    // law), so it shares the fused oracle verbatim
+    graft.QueryDef("sim_ann_ivf_probe", simAnnIvfProbe, Some(simAnnIvfGridSql)),
   )
 
   /** IVF top-k: assign corpus once (the inverted lists), route each probe to

@@ -76,9 +76,11 @@ object ScaleRank {
     // stats_mannwhitney_auc). The checkpoint also truncates lineage, so the
     // pre-aggregated frame materializes exactly once (the graph_kcore
     // pattern); Checkpoints.stable config-switches to a reliable checkpoint
-    // dir on a real cluster to survive executor loss, and cleanup of the
+    // dir on a real cluster to survive executor loss. Cleanup of the
     // per-invocation blocks rides Spark's ContextCleaner — the RDD becomes
-    // unreachable after the query's terminal action (LEAKCHECK tracks this).
+    // unreachable after the query's terminal action and the cleaner
+    // unpersists it on GC; CheckpointSpec pins that repeated builds do not
+    // accumulate persistent RDDs.
     // eager = false: the checkpoint materializes inside the query's own
     // first job instead of a separate build-time job per invocation — both
     // consumers still read ONE frozen copy (the RDD object is shared, so

@@ -34,12 +34,29 @@ object SemDedup {
   /** Same gate as dedup_embedding: vectors this similar are "the same
     * content" for curation purposes on the synthetic corpus.
     */
-  private val SemThreshold = 0.4
+  private[graft] val SemThreshold = 0.4
 
-  /** LSH-candidate pairs that pass the exact-dot gate (id_a < id_b). */
-  private[graft] def semanticPairs(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
+  /** LSH-candidate pairs that pass the exact-dot gate (id_a < id_b), over
+    * an arbitrary (vec_id, embedding) frame. The cap parameter exists so
+    * SemDedupSpec can exercise the over-cap exclusion path with a synthetic
+    * hub bucket (the production cap of 100k is unreachable at test sf);
+    * every production caller uses the default.
+    *
+    * End-to-end recall law (SemDedupSpec, sf0.001): with 8 tables × 4 bits,
+    * a ≥ [[SemThreshold]]-cosine pair collides in at least one table with
+    * p = 1-(1-(1-θ/π)⁴)⁸ ≈ 0.75 at cos = 0.4, rising steeply with cosine
+    * (≈ 0.95 at 0.7, ≈ 1 at 0.9) — measured 0.712 overall and ~1 on the
+    * ≥ 0.65 band at sf0.001. The pinned floors are ≥ 0.6 overall and
+    * ≥ 0.85 on the strong band: borderline-threshold pairs are the
+    * documented banding trade-off, while the near-identical content the
+    * deduper exists for is recovered nearly losslessly. Precision is
+    * exactly 1 because every candidate is re-verified with the exact dot.
+    */
+  private[graft] def semanticPairsOf(
+      e: DataFrame,
+      cap: Long = LshAnn.BucketOccupancyCap,
+  ): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
     val bk0 = LshAnn.bucketize(
       e.select(col("vec_id"), col("embedding").as("v")),
       "vec_id",
@@ -51,7 +68,7 @@ object SemDedup {
     val ok = bk0
       .groupBy("table", "bucket")
       .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") <= LshAnn.BucketOccupancyCap)
+      .filter(col("occ") <= cap)
       .select("table", "bucket")
     val bk = bk0.join(ok, Seq("table", "bucket"), "left_semi")
     val cand = bk
@@ -66,6 +83,9 @@ object SemDedup {
       .filter(Vectors.nativeDot(col("va"), col("vb")) >= SemThreshold)
       .select("id_a", "id_b")
   }
+
+  private[graft] def semanticPairs(s: SparkSession, dir: String): DataFrame =
+    semanticPairsOf(Tables.embeddings(s, dir))
 
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)

@@ -44,6 +44,31 @@ class CheckpointSpec extends SparkSpec {
     assert(reliableClusters.toSeq == localClusters.toSeq)
   }
 
+  test("repeated ScaleRank builds do not accumulate persistent checkpoint RDDs") {
+    // ADVICE r7: rankedFrame localCheckpoints the full range-partitioned
+    // frame on every invocation and never unpersists — acceptable ONLY if
+    // ContextCleaner reclaims the blocks once the frame is unreachable.
+    // Build + run the same ScaleRank-backed key several times, drop the
+    // references, force GC, and require the persistent-RDD census to come
+    // back down instead of growing by one frame per build.
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    (1 to 5).foreach { _ => rows("feature_rfm"); () }
+    val peak = persisted()
+    var settled = peak
+    var tries = 0
+    while (settled > 2 && tries < 40) {
+      System.gc()
+      Thread.sleep(250) // ContextCleaner unpersists asynchronously post-GC
+      settled = persisted()
+      tries += 1
+    }
+    info(s"persistent RDDs: peak=$peak settled=$settled after $tries GC rounds")
+    // feature_rfm chains 3 rankedFrame calls per build; 5 builds = 15
+    // checkpointed frames if nothing were reclaimed
+    assert(settled < peak || peak <= 2, s"ContextCleaner reclaimed nothing (peak=$peak)")
+    assert(settled <= 6, s"persistent RDD census did not settle: $settled still live")
+  }
+
   test("stable() falls back to localCheckpoint when the conf is set but no dir exists") {
     // a fresh session context would have no checkpoint dir; here the dir may
     // linger from the previous test, so assert the conf-off path instead:

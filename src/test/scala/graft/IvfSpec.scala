@@ -112,4 +112,27 @@ class IvfSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("build+probe split: probe ≡ fused key, build exposes the full index, centroids cached") {
+    // the deployment-shape law: sim_ann_ivf_probe (cached build-once index)
+    // returns exactly the rows of the self-contained fused sim_ann_ivf
+    val fused = SparkEntry.queries("sim_ann_ivf")(spark, sfDir).collect().toSeq
+    val probe = SparkEntry.queries("sim_ann_ivf_probe")(spark, sfDir).collect().toSeq
+    assert(probe == fused)
+
+    // the build key is the persisted index itself: k×dims centroid rows,
+    // each carrying its inverted-list occupancy, lists partition the corpus
+    val build = SparkEntry.queries("sim_ann_ivf_build")(spark, sfDir).collect()
+    val dims = Tables.embeddings(spark, sfDir).select(size(col("embedding"))).head.getInt(0)
+    assert(build.length == 16 * dims)
+    val listTotals = build.groupBy(_.getAs[Long]("cid")).view.mapValues(_.map(_.getAs[Long]("list_n")).distinct).toMap
+    assert(listTotals.values.forall(_.size == 1), "list_n must be constant within a cid")
+    assert(listTotals.values.map(_.head).sum == Tables.embeddings(spark, sfDir).count())
+
+    // build-once: the second request for the index returns the SAME cached
+    // frame (no retraining) — reference equality through the weak cache
+    val c1 = IvfAnn.gridCentroids(spark, sfDir)
+    val c2 = IvfAnn.gridCentroids(spark, sfDir)
+    assert(c1 eq c2)
+  }
 }

@@ -447,13 +447,25 @@ class StreamingParitySpec extends SparkSpec {
       spark.read.parquet(s"$target/events.parquet").count() == raw.count(),
       "re-ingest lost or duplicated events",
     )
-    val heavy = Seq(
+    // Enumerate the event-input keys FROM THE CATALOG (r7 verdict #6): any
+    // declared query whose builder requests the events table gets the
+    // bit-identical-on-reingest guarantee — a hand list goes stale the
+    // round someone adds an event key. Tables.recordReads is the probe
+    // (inputFiles misses ScaleRank/fixpoint keys whose checkpoint truncates
+    // the plan to a LogicalRDD with no file relations).
+    val eventKeys = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      Tables.recordReads(SparkEntry.queries(name)(spark, sfDir)).contains("events")
+    }
+    // sanity: enumeration must cover (at least) the r6 hand list
+    val r6Hand = Set(
       "funnel_conversion", "funnel_time_to_convert", "attribution_last_touch",
       "event_attribution_linear", "sessionize_lag", "event_transition_probs",
       "event_type_trigrams", "ts_max_concurrency", "event_ltv_deciles",
       "retention_cohort", "stream_session_5m", "event_transition_entropy",
     )
-    heavy.foreach { name =>
+    assert(r6Hand.subsetOf(eventKeys.toSet), s"enumeration missed: ${r6Hand -- eventKeys.toSet}")
+    info(s"ingest-order parity over ${eventKeys.size} event-input keys: ${eventKeys.mkString(", ")}")
+    eventKeys.foreach { name =>
       val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
       val b = SparkEntry.queries(name)(spark, target).collect().toSeq
       assert(a == b, s"$name diverged on the stream-reingested corpus (ingest-order sensitivity)")
