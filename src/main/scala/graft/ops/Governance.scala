@@ -252,11 +252,87 @@ object Governance {
       "SELECT l, CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(n_orders) AS BIGINT) AS n_orders, " +
       "l < 3 AS homogeneous_risk FROM qi GROUP BY l ORDER BY l"
 
+  /** t-closeness audit — the third rung of the privacy-audit ladder after
+    * privacy_k_anonymity (group size) and privacy_l_diversity (distinct
+    * sensitive values): a group can be large AND diverse yet still leak if
+    * its sensitive-value DISTRIBUTION differs sharply from the corpus
+    * (e.g. 90% URGENT where the corpus is 20%). Same QI (nation, market
+    * segment, balance band), sensitive = order priority. Per group,
+    * t = total-variation distance between the group's priority distribution
+    * and the global one — for categorical attributes TVD is the standard
+    * EMD instance: t = ½·Σ_v |p_g(v) − p(v)|. All arithmetic is integer
+    * ppm (n·1e6 div N — identical truncation in both engines), the value
+    * domain is completed per group (absent priorities contribute |0 − p|)
+    * by a broadcast cross join with the 5-row priority frame, and the
+    * output is the t-distribution: groups bucketed by TVD decile with the
+    * t > 0.3 breach flag. Scale: every aggregate is QI- or
+    * |priorities|-grain with map-side combine; the domain completion is
+    * |QI|×5 via broadcast — nothing row-grain survives the first groupBy.
+    */
+  private def privacyTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val oc = Tables
+      .orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+        col("o_orderpriority").as("prio"),
+      )
+    val qi = Seq("c_nationkey", "c_mktsegment", "bal_band")
+    val gv = oc.groupBy((qi :+ "prio").map(col): _*).agg(nrows.as("n_gv"))
+    val g = oc.groupBy(qi.map(col): _*).agg(nrows.as("n_g"))
+    val v = oc
+      .groupBy("prio")
+      .agg(nrows.as("n_v"))
+      .crossJoin(broadcast(oc.agg(nrows.as("n_all"))))
+      .select(col("prio"), expr("n_v * 1000000 div n_all").as("p_ppm"))
+    val dom = g.crossJoin(broadcast(v)) // |QI| × 5 — the completed domain
+    val tvd = dom
+      .join(gv, qi :+ "prio", "left")
+      .select(
+        (qi.map(col) :+ col("n_g") :+
+          abs(expr("coalesce(n_gv, 0) * 1000000 div n_g") - col("p_ppm")).as("dev")): _*
+      )
+      .groupBy((qi :+ "n_g").map(col): _*)
+      .agg(expr("sum(dev) div 2").as("t_ppm"))
+    tvd
+      .groupBy(expr("t_ppm div 100000").as("t_decile"))
+      .agg(
+        nrows.as("n_groups"),
+        sum("n_g").as("n_orders"),
+        max("t_ppm").as("max_t_ppm"),
+      )
+      .withColumn("breach_03", col("max_t_ppm") > 300000L)
+      .orderBy("t_decile")
+  }
+
+  private val privacyTClosenessSql =
+    "WITH oc AS (SELECT c_nationkey, c_mktsegment, " +
+      "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band, o_orderpriority AS prio " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+      "gv AS (SELECT c_nationkey, c_mktsegment, bal_band, prio, CAST(count(*) AS BIGINT) AS n_gv " +
+      "FROM oc GROUP BY 1, 2, 3, 4), " +
+      "g AS (SELECT c_nationkey, c_mktsegment, bal_band, CAST(count(*) AS BIGINT) AS n_g " +
+      "FROM oc GROUP BY 1, 2, 3), " +
+      "nall AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM oc), " +
+      "v AS (SELECT prio, CAST(count(*) * 1000000 // n_all AS BIGINT) AS p_ppm " +
+      "FROM oc, nall GROUP BY prio, n_all), " +
+      "tvd AS (SELECT g.c_nationkey, g.c_mktsegment, g.bal_band, g.n_g, " +
+      "CAST(sum(abs(coalesce(gv.n_gv, 0) * 1000000 // g.n_g - v.p_ppm)) // 2 AS BIGINT) AS t_ppm " +
+      "FROM g CROSS JOIN v LEFT JOIN gv ON gv.c_nationkey = g.c_nationkey " +
+      "AND gv.c_mktsegment = g.c_mktsegment AND gv.bal_band = g.bal_band AND gv.prio = v.prio " +
+      "GROUP BY 1, 2, 3, 4) " +
+      "SELECT CAST(t_ppm // 100000 AS BIGINT) AS t_decile, CAST(count(*) AS BIGINT) AS n_groups, " +
+      "CAST(sum(n_g) AS BIGINT) AS n_orders, CAST(max(t_ppm) AS BIGINT) AS max_t_ppm, " +
+      "max(t_ppm) > 300000 AS breach_03 FROM tvd GROUP BY 1 ORDER BY t_decile"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("dq_uniqueness", dqUniqueness, Some(dqUniquenessSql)),
     QueryDef("corpus_mix_report", corpusMixReport, Some(corpusMixReportSql)),
     QueryDef("sample_balanced_class", sampleBalancedClass, Some(sampleBalancedClassSql)),
     QueryDef("fn_url_parse", fnUrlParse, Some(fnUrlParseSql)),
     QueryDef("privacy_l_diversity", privacyLDiversity, Some(privacyLDiversitySql)),
+    QueryDef("privacy_t_closeness", privacyTCloseness, Some(privacyTClosenessSql)),
   )
 }

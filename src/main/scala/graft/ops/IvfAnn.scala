@@ -284,6 +284,62 @@ object IvfAnn {
   private def simAnnIvfProbe(s: SparkSession, dir: String): DataFrame =
     gridProbeStage(s, dir, gridCentroids(s, dir))
 
+  /** Embedding-cluster topic balance — the SemDeDup-adjacent curation
+    * report: assign every vector to its grid cluster (the cached IVF
+    * index), join the document metadata, and report each cluster's
+    * language mix against the corpus mix. `skew_ppm` is the per-cell
+    * imbalance signal a curation pipeline acts on (a cluster whose lang
+    * share is far from the corpus share is a topic the mix over/under-
+    * samples). Scale: cluster assignment is the broadcast-centroid pass
+    * (corpus never shuffles for it), the mix is a (k × |langs|)-bounded
+    * aggregate with map-side combine, and corpus totals are |langs|-row
+    * broadcasts. All integer-ppm arithmetic — fully hash-oracled on the
+    * shared training CTE.
+    */
+  private def corpusClusterMix(s: SparkSession, dir: String): DataFrame = {
+    val cent = gridCentroids(s, dir)
+    val g = grid6(graft.Tables.embeddings(s, dir))
+    val dd = gridAssign(g, cent)
+      .join(
+        graft.Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("lang")),
+        "vec_id",
+      )
+      .select("cid", "lang")
+    val m = dd.groupBy("cid", "lang").agg(count(lit(1)).as("n_docs"))
+    val ct = m.groupBy("cid").agg(sum("n_docs").as("cid_docs"))
+    val cl = dd.groupBy("lang").agg(count(lit(1)).as("lang_docs"))
+    val nn = dd.agg(count(lit(1)).as("n"))
+    m.join(ct, "cid")
+      .join(broadcast(cl), "lang")
+      .crossJoin(broadcast(nn))
+      .select(
+        col("cid"),
+        col("lang"),
+        col("n_docs"),
+        col("cid_docs"),
+        expr("n_docs * 1000000 div cid_docs").as("share_ppm"),
+        expr("lang_docs * 1000000 div n").as("corpus_ppm"),
+        expr("n_docs * 1000000 div cid_docs - lang_docs * 1000000 div n").as("skew_ppm"),
+      )
+      .orderBy("cid", "lang")
+  }
+
+  // lazy: gridTrainCte is defined further down the file; a strict val here
+  // would capture null at object init (entries initializes last, so the
+  // lazy resolves after gridTrainCte exists)
+  private lazy val corpusClusterMixSql =
+    gridTrainCte + ", " +
+      "dd AS (SELECT l.cid, d.lang FROM lists l JOIN documents d ON d.doc_id = l.cand_id), " +
+      "m AS (SELECT cid, lang, CAST(count(*) AS BIGINT) AS n_docs FROM dd GROUP BY 1, 2), " +
+      "ct AS (SELECT cid, CAST(sum(n_docs) AS BIGINT) AS cid_docs FROM m GROUP BY 1), " +
+      "cl AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs FROM dd GROUP BY 1), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dd) " +
+      "SELECT m.cid, m.lang, m.n_docs, ct.cid_docs, " +
+      "CAST(m.n_docs * 1000000 // ct.cid_docs AS BIGINT) AS share_ppm, " +
+      "CAST(cl.lang_docs * 1000000 // nn.n AS BIGINT) AS corpus_ppm, " +
+      "CAST(m.n_docs * 1000000 // ct.cid_docs - cl.lang_docs * 1000000 // nn.n AS BIGINT) AS skew_ppm " +
+      "FROM m JOIN ct USING (cid) JOIN cl USING (lang), nn ORDER BY cid, lang"
+
   /** Full oracle: DuckDB re-runs the SAME integer k-means (grid explode,
     * exact int64 distances, integer-div Lloyd means, pinned tie-breaks) and
     * the same route/re-rank — training, lists, routing, and scores all
@@ -345,6 +401,7 @@ object IvfAnn {
     // the probe key's result is row-identical to the fused key (IvfSpec
     // law), so it shares the fused oracle verbatim
     graft.QueryDef("sim_ann_ivf_probe", simAnnIvfProbe, Some(simAnnIvfGridSql)),
+    graft.QueryDef("corpus_cluster_mix", corpusClusterMix, Some(corpusClusterMixSql)),
   )
 
   /** IVF top-k: assign corpus once (the inverted lists), route each probe to

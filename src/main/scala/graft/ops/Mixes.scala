@@ -428,7 +428,75 @@ object Mixes {
       "WHEN h < 4053239664633446 THEN 'valid' ELSE 'test' END AS split " +
       "FROM h ORDER BY doc_id"
 
+  /** Token-budget mix assembly — the op that actually BUILDS a training mix
+    * once `sample_temperature` has priced it: spend a global token budget
+    * (⅓ of the corpus here) across languages in temperature proportion,
+    * filling each language's budget with documents in deterministic
+    * hash-priority order and stopping at the first document that starts at
+    * or past the budget line. Doc-level mixes (`sample_mix_exact`) get the
+    * COUNT right; training cares about TOKENS — a lang of long documents
+    * must contribute fewer docs for the same share.
+    *
+    * Determinism route: budgets are pure integers — s6i = sqrt(n_docs)
+    * rounded to the 1e-6 grid × 1e6 (exact BIGINT), w_ppm = s6i·1e6 div
+    * Σs6i, budget = (total_tokens div 3)·w_ppm div 1e6 (this order keeps
+    * every intermediate < 2^63 even at 1e13 corpus tokens). Selection rule:
+    * keep iff cum − n_tokens < budget (the doc STARTS inside the budget),
+    * so low-resource langs whose budget exceeds their stock keep
+    * everything — upsampling is the consumer's next step.
+    *
+    * Scale doctrine: the per-lang running token sum is
+    * [[ScaleRank.rankedFrame]] with lang segments — a language NEVER
+    * collapses into one task the way `Window.partitionBy(lang)` would
+    * (languages are the canonical skew key: one lang can be half the
+    * corpus). Budgets are a |langs|-row broadcast. This key is the
+    * segmented-ScaleRank showcase.
+    */
+  private def sampleTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        hash52("tokbudget#", col("doc_id")).as("pri"),
+      )
+    val counts = toks.groupBy("lang").agg(nrows.as("n_docs"), sum("n_tokens").as("lang_tokens"))
+    // the sample_temperature determinism route: double -> 1e-6-grid
+    // DECIMAL (deterministic scalar cast in both engines) -> exact integer
+    val s6i = (round(sqrt(col("n_docs")), 6).cast(DecimalType(18, 6)) * 1000000).cast("long")
+    val budgets = counts
+      .select(col("lang"), s6i.as("s6i"))
+      .crossJoin(broadcast(counts.agg(sum(s6i).as("ssum"))))
+      .crossJoin(broadcast(toks.agg(sum("n_tokens").as("total"))))
+      .select(
+        col("lang"),
+        expr("(total div 3) * (s6i * 1000000 div ssum) div 1000000").as("budget_tokens"),
+      )
+    ScaleRank
+      .rankedFrame(toks, Seq("lang"), Seq(col("pri"), col("doc_id")), Some("n_tokens"))
+      .join(broadcast(budgets), "lang")
+      .filter(col("__cum") - col("n_tokens") < col("budget_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("__cum").as("cum_tokens"), col("budget_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val sampleTokenBudgetSql =
+    "WITH t AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      hash52Sql("tokbudget#", "doc_id") + " AS pri FROM documents), " +
+      "c AS (SELECT lang, count(*) AS n_docs, sum(n_tokens) AS lang_tokens FROM t GROUP BY 1), " +
+      "s AS (SELECT lang, CAST(CAST(round(sqrt(n_docs), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s6i FROM c), " +
+      "tot AS (SELECT CAST(sum(s6i) AS BIGINT) AS ssum FROM s), " +
+      "n AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t), " +
+      "b AS (SELECT lang, CAST((total // 3) * (s6i * 1000000 // ssum) // 1000000 AS BIGINT) AS budget_tokens " +
+      "FROM s, tot, n), " +
+      "r AS (SELECT t.*, CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY pri, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t) " +
+      "SELECT doc_id, lang, n_tokens, cum_tokens, budget_tokens " +
+      "FROM r JOIN b USING (lang) WHERE cum_tokens - n_tokens < budget_tokens ORDER BY doc_id"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("sample_token_budget", sampleTokenBudget, Some(sampleTokenBudgetSql)),
     QueryDef("sample_group_split", sampleGroupSplit, Some(sampleGroupSplitSql)),
     QueryDef("sample_mix_exact", sampleMixExact, Some(sampleMixExactSql)),
     QueryDef("sample_negative_pairs", sampleNegativePairs, Some(sampleNegativePairsSql)),

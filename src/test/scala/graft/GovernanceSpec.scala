@@ -110,4 +110,46 @@ class GovernanceSpec extends SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("n_orders")).sum == totalOrders)
   }
+
+  test("privacy_t_closeness: TVD deciles reconcile with the exact in-memory recompute") {
+    import org.apache.spark.sql.functions.{col, floor}
+    val out = SparkEntry.queries("privacy_t_closeness")(spark, sfDir).collect()
+    val oc = Tables
+      .orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+        col("o_orderpriority"),
+      )
+      .collect()
+      .map(r => ((r.get(0), r.getString(1), r.getLong(2)), r.getString(3)))
+    val nAll = oc.length.toLong
+    val pGlobal = oc.groupBy(_._2).map { case (v, xs) => v -> xs.length.toLong * 1000000L / nAll }
+    val tOf = oc.groupBy(_._1).map { case (g, xs) =>
+      val nG = xs.length.toLong
+      val byV = xs.groupBy(_._2).map { case (v, ys) => v -> ys.length.toLong }
+      val dev = pGlobal.map { case (v, p) => math.abs(byV.getOrElse(v, 0L) * 1000000L / nG - p) }.sum
+      g -> (nG, dev / 2)
+    }
+    val expected = tOf.values
+      .groupBy(_._2 / 100000L)
+      .map { case (band, xs) =>
+        band -> (xs.size.toLong, xs.map(_._1).sum, xs.map(_._2).max)
+      }
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val band = r.getAs[Long]("t_decile")
+      val (nGroups, nOrders, maxT) = expected(band)
+      assert(r.getAs[Long]("n_groups") == nGroups, s"band $band group count")
+      assert(r.getAs[Long]("n_orders") == nOrders, s"band $band order count")
+      assert(r.getAs[Long]("max_t_ppm") == maxT, s"band $band max t")
+      assert(r.getAs[Boolean]("breach_03") == (maxT > 300000L))
+      assert(maxT >= 0L && maxT <= 1000000L, "TVD is a [0,1] distance")
+    }
+    // all QI groups are accounted for exactly once
+    assert(out.map(_.getAs[Long]("n_groups")).sum == tOf.size.toLong)
+    assert(out.map(_.getAs[Long]("n_orders")).sum == nAll)
+  }
 }

@@ -135,4 +135,35 @@ class IvfSpec extends SparkSpec {
     val c2 = IvfAnn.gridCentroids(spark, sfDir)
     assert(c1 eq c2)
   }
+
+  test("corpus_cluster_mix: shares partition each cluster and reconcile with corpus totals") {
+    val out = SparkEntry.queries("corpus_cluster_mix")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val nVecDocs = Tables
+      .documents(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir), col("doc_id") === col("vec_id"))
+      .count()
+    // clusters partition the vector-bearing docs
+    val byCid = out.groupBy(_.getAs[Long]("cid"))
+    assert(byCid.values.map(_.head.getAs[Long]("cid_docs")).sum == nVecDocs)
+    byCid.foreach { case (cid, rows) =>
+      val cidDocs = rows.head.getAs[Long]("cid_docs")
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == cidDocs, s"cid $cid cells don't sum")
+      // truncated integer shares: sum within |langs| ppm of 1e6
+      val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+      assert(shareSum > 1000000L - rows.length && shareSum <= 1000000L, s"cid $cid share sum $shareSum")
+      rows.foreach { r =>
+        assert(
+          r.getAs[Long]("skew_ppm") == r.getAs[Long]("share_ppm") - r.getAs[Long]("corpus_ppm"))
+      }
+    }
+    // corpus_ppm is constant per lang and reconciles with the global mix
+    val langPpm = out.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      val ppms = rs.map(_.getAs[Long]("corpus_ppm")).distinct
+      assert(ppms.length == 1, s"lang $l corpus_ppm not constant")
+      l -> ppms.head
+    }
+    val corpusSum = langPpm.values.sum
+    assert(corpusSum > 1000000L - langPpm.size && corpusSum <= 1000000L)
+  }
 }

@@ -263,4 +263,58 @@ class MixesSpec extends SparkSpec {
     assert(trainFrac > 0.65 && trainFrac < 0.95, s"train fraction $trainFrac")
     assert(groups.exists(_ != "train"), "eval side must be non-empty")
   }
+
+  test("sample_token_budget: selection equals the in-memory greedy fill; budgets are the temperature split") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val out = SparkEntry.queries("sample_token_budget")(spark, sfDir).collect()
+    // in-memory reference: per-lang docs in (md5-priority, doc_id) order,
+    // keep while the doc STARTS inside the lang's token budget
+    val docs = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def pri(docId: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s"tokbudget#$docId".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(13),
+        16,
+      )
+    }
+    val total = docs.map(_._3).sum
+    val s6i = docs
+      .groupBy(_._2)
+      .map { case (l, ds) =>
+        l -> (BigDecimal(math.sqrt(ds.length.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong
+      }
+    val ssum = s6i.values.sum
+    val budget = s6i.map { case (l, v) => l -> (total / 3) * (v * 1000000L / ssum) / 1000000L }
+    val expected = docs
+      .groupBy(_._2)
+      .toSeq
+      .flatMap { case (l, ds) =>
+        var cum = 0L
+        ds.sortBy(d => (pri(d._1), d._1)).toSeq.flatMap { d =>
+          val keep = cum < budget(l)
+          cum += d._3
+          if (keep) Some((d._1, l, d._3, cum, budget(l))) else None
+        }
+      }
+      .toSet
+    val got = out.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("budget_tokens"))).toSet
+    assert(got == expected, s"selection mismatch: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    // the fill property: per lang, either the whole stock is kept (budget
+    // exceeds it) or the kept tokens reach the budget line
+    out.groupBy(_.getAs[String]("lang")).foreach { case (l, rows) =>
+      val keptTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+      val stock = docs.filter(_._2 == l).map(_._3).sum
+      assert(
+        keptTokens >= budget(l) || rows.length == docs.count(_._2 == l),
+        s"lang $l underfilled: kept=$keptTokens budget=${budget(l)} stock=$stock",
+      )
+    }
+  }
 }

@@ -47,6 +47,8 @@ class ScalingLawSpec extends SparkSpec {
     "tokenizer_bpe_merge_round" -> "vocabulary-grain merge round: shuffle bounded by |vocab| growth, sublinear in corpus rows",
     "event_ltv_deciles" -> "user-grain decile window: the events exchange must collapse to |users| rows map-side",
     "funnel_time_to_convert" -> "per-user min-reductions then |users| percentile window: exchanges carry user grain",
+    "sample_token_budget" -> "segmented ScaleRank token fill: one row-grain range exchange (linear); budgets must stay a |langs| broadcast",
+    "corpus_cluster_mix" -> "broadcast-centroid assignment: exchange is ~k rows per vector after map-side combine, linear with constant k",
   )
 
   test("shuffle bytes grow at most 3x-linear from sf0.01 to sf0.1 for scale-risk probes") {
