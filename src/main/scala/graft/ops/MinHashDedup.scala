@@ -178,15 +178,23 @@ object MinHashDedup {
     * valid over-segmentation (some clusters split, none merged wrongly).
     */
   def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // every checkpoint in this loop is NON-EAGER (the ScaleRank rationale):
+    // eager would run a separate materialization job per checkpoint — three
+    // jobs per round — where non-eager lets the round's one driver action
+    // (the changed-count) materialize prop and next inside the same job.
+    // Within that job the two references to prop share its shuffle stages,
+    // and the blocks land exactly as with eager=true, so round k+1 still
+    // builds on materialized blocks, never replayed lineage. Measured at
+    // sf0.1: dedup_semantic 5.7 -> see PERF.md r8 loop-eagerness note.
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .transform(Checkpoints.stable(_))
+      .transform(Checkpoints.stable(_, eager = false))
     var labels = edges
       .select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .transform(Checkpoints.stable(_))
+      .transform(Checkpoints.stable(_, eager = false))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -203,7 +211,7 @@ object MinHashDedup {
         .select(col("doc_id"), col("cluster_id").as("old"))
         .join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"), least(col("old"), col("nbr_min")).as("cluster_id"), col("old"))
-        .transform(Checkpoints.stable(_))
+        .transform(Checkpoints.stable(_, eager = false))
       // pointer jump: cluster_id := label(cluster_id). Every label IS a
       // node id in the edge set (initial labels are self, updates are mins
       // of such labels), so the inner join is total; label(label(v)) <=
@@ -214,7 +222,7 @@ object MinHashDedup {
           Seq("cluster_id"),
         )
         .select(col("doc_id"), col("jump").as("cluster_id"), col("old"))
-        .transform(Checkpoints.stable(_))
+        .transform(Checkpoints.stable(_, eager = false))
       changed = next.filter(col("cluster_id") =!= col("old")).count()
       labels = next.select("doc_id", "cluster_id")
       round += 1

@@ -209,6 +209,42 @@ object Streaming {
       )
   }
 
+  /** Watermarked stream-stream interval join — the canonical two-stream
+    * correlation (impression ⋈ click, request ⋈ response): a right-side
+    * event joins every left-side event of the same user whose time is in
+    * (r_time − horizon, r_time]. BOTH inputs carry watermarks and the join
+    * condition carries the time bound — the combination Structured
+    * Streaming requires to bound state in append mode: the left buffer
+    * holds only rows younger than (right watermark − horizon), the right
+    * buffer only rows the left watermark hasn't passed, so an unbounded
+    * two-stream join runs forever at fixed memory. Without the time bound
+    * Spark must buffer one side indefinitely — the classic streaming-join
+    * OOM at corpus scale. StreamingParitySpec pins result ≡ the identical
+    * batch join and that both state stores stay watermark-bounded.
+    */
+  def intervalJoinStreams(
+      left: DataFrame, // (user_id, l_id, l_time)
+      right: DataFrame, // (user_id, r_id, r_time)
+      horizon: String = "30 minutes",
+      delay: String = "10 minutes",
+  ): DataFrame = {
+    val l = left.withWatermark("l_time", delay).alias("l")
+    val r = right.withWatermark("r_time", delay).alias("r")
+    l.join(
+        r,
+        expr(
+          s"l.user_id = r.user_id AND r_time >= l_time AND r_time < l_time + INTERVAL $horizon"
+        ),
+      )
+      .select(
+        col("l.user_id").as("user_id"),
+        col("l_id"),
+        col("l_time"),
+        col("r_id"),
+        col("r_time"),
+      )
+  }
+
   /** Windowed agg → append-mode parquet sink with checkpoint: the
     * fault-tolerant file-sink pattern (results commit exactly once per
     * window close).

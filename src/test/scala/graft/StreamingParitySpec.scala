@@ -472,6 +472,60 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join: equals the batch join; state stays watermark-bounded") {
+    import java.sql.Timestamp
+    // impressions (left) and clicks (right), out of order, with pairs both
+    // inside and outside the 30-minute horizon and a click with no impression
+    val lrows = Seq((1L, 101L, ts(0)), (1L, 102L, ts(40)), (2L, 201L, ts(10)))
+    val rrows = Seq((1L, 901L, ts(20)), (1L, 902L, ts(55)), (2L, 903L, ts(45)), (3L, 904L, ts(25)))
+    val lIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    val rIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    lIn.addData(lrows)
+    rIn.addData(rrows)
+    val joined = Streaming.intervalJoinStreams(
+      lIn.toDF().toDF("user_id", "l_id", "l_time"),
+      rIn.toDF().toDF("user_id", "r_id", "r_time"),
+    )
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("ssjoin_parity")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("ssjoin_parity")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("l_id"), r.getAs[Long]("r_id")))
+        .toSet
+      // exact expectation: 901@20 ∈ [0, 30) after 101@0; 902@55 ∈ [40, 70)
+      // after 102@40 (but 55-0 ≥ 30 excludes 101); 903@45 − 201@10 ≥ 30; no
+      // impression for user 3
+      assert(streamed == Set((1L, 101L, 901L), (1L, 102L, 902L)))
+      // parity with the identical batch join
+      val batch = Streaming
+        .intervalJoinStreams(
+          lrows.toDF("user_id", "l_id", "l_time"),
+          rrows.toDF("user_id", "r_id", "r_time"),
+        )
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("l_id"), r.getAs[Long]("r_id")))
+        .toSet
+      assert(batch == streamed)
+      // state boundedness: push the watermark far past every original row
+      // (two nudge batches — eviction uses the previous batch's watermark)
+      lIn.addData((99L, 998L, ts(600)))
+      rIn.addData((99L, 999L, ts(600)))
+      q.processAllAvailable()
+      lIn.addData((98L, 997L, ts(610)))
+      rIn.addData((98L, 996L, ts(610)))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val totalFed = (lrows.size + rrows.size + 4).toLong
+      assert(stateRows < totalFed, s"join state never evicts: $stateRows rows buffered")
+    } finally q.stop()
+  }
+
   test("append-mode parquet sink with checkpoint writes closed windows") {
     val input = MemoryStream[Ev](spark)
     input.addData(evs)
