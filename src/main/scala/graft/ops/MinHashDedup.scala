@@ -78,20 +78,26 @@ object MinHashDedup {
     * shuffle lands one bucket's rows in one reduce partition too) — LSH
     * banding is what keeps buckets small, not the join strategy.
     */
+  /** (doc_id, bucket) banded-bucket manifest of a signature frame — the
+    * bucket = xxhash64(band, the band's `rows` signature slots) hashed as
+    * raw longs (no slice allocation, no per-band string building). This IS
+    * the LSH state an incremental pipeline persists between crawl shards:
+    * 32 longs per doc, joinable by bucket.
+    */
+  def bandBuckets(sigs: DataFrame, bands: Int = 32, rows: Int = 4): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      explode(
+        expr(
+          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b" +
+            (1 to rows).map(r => s", element_at(sig, b * $rows + $r)").mkString +
+            "))"
+        )
+      ).as("bucket"),
+    )
+
   def candidatePairs(sigs: DataFrame, bands: Int = 32, rows: Int = 4): DataFrame =
-    sigs
-      .select(
-        col("doc_id"),
-        // bucket = xxhash64(band, the band's `rows` signature slots) hashed
-        // as raw longs — no slice allocation, no per-band string building
-        explode(
-          expr(
-            s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b" +
-              (1 to rows).map(r => s", element_at(sig, b * $rows + $r)").mkString +
-              "))"
-          )
-        ).as("bucket"),
-      )
+    bandBuckets(sigs, bands, rows)
       .groupBy("bucket")
       .agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -322,9 +328,109 @@ object MinHashDedup {
       "max(quality) AS best_quality " +
       "FROM t GROUP BY cluster_id ORDER BY cluster_id"
 
+  /** Incremental NEAR-dup dedup — `dedup_incremental`'s continuous-ingest
+    * shape lifted from exact content hashes to MinHash near-duplicates: a
+    * new crawl shard is checked against the persisted LSH bucket manifest
+    * ([[bandBuckets]]) of everything already ingested, then first-wins
+    * near-dup'd within itself. Batch synthesis mirrors dedup_incremental
+    * (new docs ∪ replays of seen docs ∪ within-batch replays) so every
+    * status branch is exercised with jaccard-1 pairs on top of the
+    * corpus's natural near-dups.
+    *
+    * Scale shape — the reason this key exists: per-shard cost is
+    * |batch| signatures (map-side native kernel) + ONE bucket equi-join
+    * against the manifest (only buckets the batch touches flow; the seen
+    * corpus is never re-scanned, its state is 32 longs/doc) + exact
+    * verify on candidates + an LSH pass within the batch itself. Statuses:
+    * dup_of_seen ≻ dup_in_batch (an earlier near-dup neighbor in the same
+    * batch — pair-grain first-wins; cluster-grain keeping is
+    * dedup_keep_best's job) ≻ unique.
+    *
+    * Oracle: the exact cross/within Jaccard formulation — the
+    * dedup_minhash_lsh recall argument (a banding miss at j ≥ 0.8 is
+    * ~5e-8, far below the accepted 64-bit hash-collision floor).
+    */
+  private def dedupIncrementalMinhash(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val seen = docs.filter(col("doc_id") < 250)
+    val batch = docs
+      .filter(col("doc_id") >= 250)
+      .select(col("doc_id").as("batch_id"), col("text"))
+      .unionByName(
+        docs.filter(col("doc_id") < 50).select((col("doc_id") + 1000).as("batch_id"), col("text"))
+      )
+      .unionByName(
+        docs
+          .filter(col("doc_id") >= 250 && col("doc_id") < 260)
+          .select((col("doc_id") + 2000).as("batch_id"), col("text"))
+      )
+    val batchDocs = batch.select(col("batch_id").as("doc_id"), col("text"))
+    val batchSigs = signaturesNative(batchDocs)
+    // cross candidates: batch buckets ⋈ the seen manifest — cost ∝ batch
+    val seenManifest = bandBuckets(signaturesNative(seen))
+      .select(col("doc_id").as("seen_id"), col("bucket"))
+    val crossCand = bandBuckets(batchSigs)
+      .join(seenManifest, "bucket")
+      .select(col("doc_id").as("id_a"), col("seen_id").as("id_b"))
+      .distinct()
+    // id spaces are disjoint (seen < 250; batch ≥ 250), so one shingle
+    // frame serves both verify passes
+    val shBatch = shingleSet(batchDocs)
+    val shAll = shBatch.unionByName(shingleSet(seen))
+    val dupSeen = verifyPairs(crossCand, shAll)
+      .filter(round(col("jaccard"), 4) >= 0.8)
+      .select(col("id_a").as("batch_id"))
+      .distinct()
+      .withColumn("seen_dup", lit(true))
+    val laterDup = verifyPairs(candidatePairs(batchSigs), shBatch)
+      .filter(round(col("jaccard"), 4) >= 0.8)
+      .select(col("id_b").as("batch_id")) // candidatePairs emits id_a < id_b
+      .distinct()
+      .withColumn("later_dup", lit(true))
+    batch
+      .select("batch_id")
+      .join(dupSeen, Seq("batch_id"), "left")
+      .join(laterDup, Seq("batch_id"), "left")
+      .select(
+        col("batch_id"),
+        when(col("seen_dup"), lit("dup_of_seen"))
+          .when(col("later_dup"), lit("dup_in_batch"))
+          .otherwise(lit("unique"))
+          .as("status"),
+      )
+      .orderBy("batch_id")
+  }
+
+  private val dedupIncrementalMinhashSql =
+    "WITH seen AS (SELECT doc_id, text FROM documents WHERE doc_id < 250), " +
+      "batch AS (SELECT doc_id AS batch_id, text FROM documents WHERE doc_id >= 250 " +
+      "UNION ALL SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50 " +
+      "UNION ALL SELECT doc_id + 2000, text FROM documents WHERE doc_id >= 250 AND doc_id < 260), " +
+      "allx AS (SELECT batch_id AS doc_id, text FROM batch UNION ALL SELECT doc_id, text FROM seen), " +
+      "ws AS (SELECT doc_id, " +
+      "string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS w FROM allx), " +
+      "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM ws WHERE len(w) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "jac AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.doc_id = id_a " +
+      "JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8), " +
+      "ds AS (SELECT DISTINCT id_b AS batch_id FROM jac WHERE id_a < 250 AND id_b >= 250), " +
+      "di AS (SELECT DISTINCT id_b AS batch_id FROM jac WHERE id_a >= 250) " +
+      "SELECT b.batch_id, CASE WHEN ds.batch_id IS NOT NULL THEN 'dup_of_seen' " +
+      "WHEN di.batch_id IS NOT NULL THEN 'dup_in_batch' ELSE 'unique' END AS status " +
+      "FROM batch b LEFT JOIN ds USING (batch_id) LEFT JOIN di USING (batch_id) ORDER BY batch_id"
+
   val entries: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("dedup_minhash_lsh", dedupMinhashLsh, Some(Text.nearJaccardOracleSql)),
     graft.QueryDef("dedup_clusters", dedupClusters, Some(clustersOracleSql)),
     graft.QueryDef("dedup_keep_best", dedupKeepBest, Some(keepBestOracleSql)),
+    graft.QueryDef(
+      "dedup_incremental_minhash",
+      dedupIncrementalMinhash,
+      Some(dedupIncrementalMinhashSql),
+    ),
   )
 }

@@ -270,6 +270,31 @@ class CatalogSpec extends SparkSpec {
     assert(kb.filter(col("n_members") > 1).count() > 0)
   }
 
+  test("dedup_incremental_minhash: replay branches land in the right statuses") {
+    val out = SparkEntry.queries("dedup_incremental_minhash")(spark, sfDir).collect()
+    val byId = out.map(r => r.getAs[Long]("batch_id") -> r.getAs[String]("status")).toMap
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // batch = new docs (>= 250) + 50 seen replays + 10 within-batch replays
+    assert(out.length.toLong == (nDocs - 250) + 50 + 10)
+    // every seen replay (jaccard 1 against the manifest) is dup_of_seen
+    (1000L until 1050L).foreach { id =>
+      assert(byId(id) == "dup_of_seen", s"replay $id: ${byId(id)}")
+    }
+    // every within-batch replay has an earlier identical twin; it can only
+    // be dup_in_batch — or dup_of_seen if the shared text also near-dups a
+    // seen doc (precedence)
+    (2250L until 2260L).foreach { id =>
+      assert(byId(id) != "unique", s"within-batch replay $id escaped as unique")
+      // and its twin's status decides: if the twin is dup_of_seen the
+      // replay must be too (same text, same cross pairs)
+      if (byId(id - 2000) == "dup_of_seen") assert(byId(id) == "dup_of_seen")
+    }
+    // fresh new docs dominate: uniques exist
+    assert(out.count(_.getAs[String]("status") == "unique") > 0)
+    val statuses = out.map(_.getAs[String]("status")).toSet
+    assert(statuses.subsetOf(Set("unique", "dup_of_seen", "dup_in_batch")))
+  }
+
   test("multimodal_chunk_stats: chunk arithmetic and digests reconcile") {
     val c = SparkEntry.queries("multimodal_chunk_stats")(spark, sfDir)
     assert(c.filter(col("n_chunks") =!= expr("(n_bytes + 63) div 64")).count() == 0)

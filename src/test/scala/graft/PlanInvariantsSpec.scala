@@ -379,6 +379,23 @@ class PlanInvariantsSpec extends SparkSpec {
     )
   }
 
+  test("sample_token_budget: budgets broadcast; the only row-grain exchange is the range split") {
+    val p = planString("sample_token_budget")
+    // the |langs|-row budget frame must broadcast onto the ranked stream
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the doc stream reaches ScaleRank through ONE range repartition; a
+    // SortMergeJoin would mean the budget frame lost its broadcast
+    assert(!p.contains("SortMergeJoin"), "budget join degraded to sort-merge")
+    assert(p.contains("rangepartitioning"), "ScaleRank range split missing")
+  }
+
+  test("corpus_cluster_mix: centroids broadcast onto the grid; corpus never sort-merges") {
+    val p = planString("corpus_cluster_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // cached centroids arrive as a materialized RDD scan, not a retrain
+    assert(p.contains("Scan ExistingRDD"), "probe must consume the cached index")
+  }
+
   test("tokenizer_bpe_merge_round: the winning merge joins as a broadcast, never a shuffle") {
     val p = planString("tokenizer_bpe_merge_round")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
