@@ -49,6 +49,7 @@ class ScalingLawSpec extends SparkSpec {
     "funnel_time_to_convert" -> "per-user min-reductions then |users| percentile window: exchanges carry user grain",
     "sample_token_budget" -> "segmented ScaleRank token fill: one row-grain range exchange (linear); budgets must stay a |langs| broadcast",
     "corpus_cluster_mix" -> "broadcast-centroid assignment: exchange is ~k rows per vector after map-side combine, linear with constant k",
+    "dedup_incremental_minhash" -> "shard-vs-manifest near-dup: cost must track the batch (signatures + bucket equi-join), never re-scan the seen corpus",
   )
 
   test("shuffle bytes grow at most 3x-linear from sf0.01 to sf0.1 for scale-risk probes") {
