@@ -77,26 +77,62 @@ object Bench {
       "agg_groupby_pricing", "join_multiway_star", "win_topk_per_group",
       "stream_session_5m", "sim_topk_cosine")
     val canaryQuietRef = 1.599 // sum of the five quiet-window medians above
-    def canarySweep(): Double =
-      canaryKeys.flatMap(k => timeOnce(SparkEntry.queries(k))).sum
+    // Per-key canary timings (r8 ADVICE): a canary that fails or goes
+    // missing must be VISIBLE (null in the JSON) and must disable
+    // normalization — the old flatMap(...).sum silently dropped it and
+    // deflated run_canary, skewing every normalized number.
+    def canarySweep(): Map[String, Option[Double]] =
+      canaryKeys.map(k => k -> SparkEntry.queries.get(k).flatMap(timeOnce)).toMap
     // warm-up sweep (untimed)
     names.foreach(k => timeOnce(SparkEntry.queries(k)))
-    val canaryStart = canarySweep()
-    // three interleaved timed sweeps; shuffle bytes captured on the last
-    val passes = scala.collection.mutable.Map
-      .empty[String, List[Double]]
-      .withDefaultValue(Nil)
-    val bytesOf = scala.collection.mutable.Map.empty[String, Long]
-    (1 to 3).foreach { p =>
-      names.foreach { k =>
-        if (p == 3) { settle(); shuffleAcc.set(0) }
-        timeOnce(SparkEntry.queries(k)).foreach { t =>
-          passes(k) = passes(k) :+ t
-          if (p == 3) bytesOf(k) = settle()
+
+    /** One full measurement: start canary, 3 interleaved sweeps, end canary. */
+    case class Attempt(
+        canaryStart: Map[String, Option[Double]],
+        canaryEnd: Map[String, Option[Double]],
+        passes: Map[String, List[Double]],
+        bytesOf: Map[String, Long]) {
+      val canaryOk: Boolean =
+        (canaryStart.values ++ canaryEnd.values).forall(_.isDefined)
+      val canaryStartSum: Double = canaryStart.values.flatten.sum
+      val canaryEndSum: Double = canaryEnd.values.flatten.sum
+      // normalization is only meaningful against the sf0.1 quiet reference
+      // (exact basename match — r8 ADVICE: substring matched sf0.125 etc.)
+      // and only when every canary key succeeded at both ends
+      val driftFactor: Option[Double] =
+        if (new java.io.File(sfDir).getName == "sf0.1" && canaryOk)
+          Some(((canaryStartSum + canaryEndSum) / 2) / canaryQuietRef)
+        else None
+    }
+    def measure(): Attempt = {
+      val canaryStart = canarySweep()
+      val passes = scala.collection.mutable.Map
+        .empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      val bytesOf = scala.collection.mutable.Map.empty[String, Long]
+      (1 to 3).foreach { p =>
+        names.foreach { k =>
+          if (p == 3) { settle(); shuffleAcc.set(0) }
+          timeOnce(SparkEntry.queries(k)).foreach { t =>
+            passes(k) = passes(k) :+ t
+            if (p == 3) bytesOf(k) = settle()
+          }
         }
       }
+      Attempt(canaryStart, canarySweep(), passes.toMap.withDefaultValue(Nil), bytesOf.toMap)
     }
-    val canaryEnd = canarySweep()
+    // Canary-gated retry (r8 verdict #7): a drift factor > 1.3 means the
+    // host was in a documented slow window for the whole record — re-run the
+    // timed sweeps once and keep the quieter attempt. Both drifts are
+    // recorded so a double-slow run is still visible.
+    val first = measure()
+    val attempts =
+      if (first.driftFactor.exists(_ > 1.3)) List(first, measure()) else List(first)
+    val best = attempts.minBy(_.driftFactor.getOrElse(1.0))
+    val passes = best.passes
+    val bytesOf = best.bytesOf
+    val canaryStart = best.canaryStartSum
+    val canaryEnd = best.canaryEndSum
     def median3(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
     val complete = names.filter(k => passes(k).size == 3)
     val failed = names.filterNot(complete.contains)
@@ -121,21 +157,21 @@ object Bench {
     val throttled = complete.collect {
       case k if passes(k).max > 0.5 && passes(k).max / passes(k).min > 3.0 => "\"" + k + "\""
     }
-    // normalization is only meaningful against the sf0.1 quiet reference;
-    // at other scales the canary times are still recorded but no factor is
-    // applied (drift_factor null → normalized == raw)
-    val driftFactor: Option[Double] =
-      if (sfDir.contains("sf0.1")) Some(((canaryStart + canaryEnd) / 2) / canaryQuietRef)
-      else None
+    val driftFactor: Option[Double] = best.driftFactor
     val normOf: Double => Double = t => driftFactor.fold(t)(f => t / f)
     val qsNorm = complete.map { k =>
       "\"" + k + "\":" + r3(normOf(med(k)))
     }.mkString("{", ",", "}")
+    def optJson(o: Option[Double]) = o.map(f => r3(f).toString).getOrElse("null")
+    val perKeyCanary = canaryKeys.map { k =>
+      "\"" + k + "\":[" + optJson(best.canaryStart(k)) + "," + optJson(best.canaryEnd(k)) + "]"
+    }.mkString("{", ",", "}")
     val canaryJson =
       s"""{"keys":[${canaryKeys.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""start_sec":${r3(canaryStart)},"end_sec":${r3(canaryEnd)},""" +
-        s""""quiet_ref_sec":$canaryQuietRef,""" +
-        s""""drift_factor":${driftFactor.map(f => r3(f).toString).getOrElse("null")}}"""
+        s""""quiet_ref_sec":$canaryQuietRef,"per_key":$perKeyCanary,""" +
+        s""""attempt_drifts":[${attempts.map(a => optJson(a.driftFactor)).mkString(",")}],""" +
+        s""""drift_factor":${optJson(driftFactor)}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","pass":"median of 3 interleaved warm sweeps (after 1 warm-up sweep)","n_queries":${names.size},""" +

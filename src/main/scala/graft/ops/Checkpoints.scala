@@ -35,7 +35,9 @@ object Checkpoints {
   /** Truncate `df`'s lineage with the configured checkpoint flavor. */
   def stable(df: DataFrame, eager: Boolean = true): DataFrame = {
     val s = df.sparkSession
-    val reliable = s.conf.getOption(ConfKey).exists(_.toBoolean) &&
+    // tolerant parse: anything other than exactly "true" (case-insensitive)
+    // falls back to localCheckpoint instead of throwing at query time
+    val reliable = s.conf.getOption(ConfKey).exists(_.equalsIgnoreCase("true")) &&
       s.sparkContext.getCheckpointDir.isDefined
     if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
   }

@@ -244,12 +244,12 @@ object CorpusPrep {
       .filter(col("doc_id") >= 250)
       .select(col("doc_id").as("batch_id"), col("text"))
       .unionByName(
-        docs.filter(col("doc_id") < 50).select((col("doc_id") + 1000).as("batch_id"), col("text"))
+        docs.filter(col("doc_id") < 50).select((col("doc_id") + 10000000L).as("batch_id"), col("text"))
       )
       .unionByName(
         docs
           .filter(col("doc_id") >= 250 && col("doc_id") < 260)
-          .select((col("doc_id") + 2000).as("batch_id"), col("text"))
+          .select((col("doc_id") + 20000000L).as("batch_id"), col("text"))
       )
       .select(col("batch_id"), md5(Text.normText(col("text"))).as("k"))
     // first-wins via groupBy(k).min — partial aggregation collapses a
@@ -274,8 +274,8 @@ object CorpusPrep {
     "WITH seen AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS k " +
       "FROM documents WHERE doc_id < 250), " +
       "batch AS (SELECT doc_id AS batch_id, text FROM documents WHERE doc_id >= 250 " +
-      "UNION ALL SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50 " +
-      "UNION ALL SELECT doc_id + 2000, text FROM documents WHERE doc_id >= 250 AND doc_id < 260), " +
+      "UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 50 " +
+      "UNION ALL SELECT doc_id + 20000000, text FROM documents WHERE doc_id >= 250 AND doc_id < 260), " +
       "h AS (SELECT batch_id, md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS k FROM batch), " +
       "j AS (SELECT batch_id, k, (k IN (SELECT k FROM seen)) AS seen_dup, " +
       "row_number() OVER (PARTITION BY k ORDER BY batch_id) AS rn FROM h) " +

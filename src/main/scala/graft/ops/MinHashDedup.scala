@@ -357,12 +357,12 @@ object MinHashDedup {
       .filter(col("doc_id") >= 250)
       .select(col("doc_id").as("batch_id"), col("text"))
       .unionByName(
-        docs.filter(col("doc_id") < 50).select((col("doc_id") + 1000).as("batch_id"), col("text"))
+        docs.filter(col("doc_id") < 50).select((col("doc_id") + 10000000L).as("batch_id"), col("text"))
       )
       .unionByName(
         docs
           .filter(col("doc_id") >= 250 && col("doc_id") < 260)
-          .select((col("doc_id") + 2000).as("batch_id"), col("text"))
+          .select((col("doc_id") + 20000000L).as("batch_id"), col("text"))
       )
     val batchDocs = batch.select(col("batch_id").as("doc_id"), col("text"))
     val batchSigs = signaturesNative(batchDocs)
@@ -404,8 +404,8 @@ object MinHashDedup {
   private val dedupIncrementalMinhashSql =
     "WITH seen AS (SELECT doc_id, text FROM documents WHERE doc_id < 250), " +
       "batch AS (SELECT doc_id AS batch_id, text FROM documents WHERE doc_id >= 250 " +
-      "UNION ALL SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50 " +
-      "UNION ALL SELECT doc_id + 2000, text FROM documents WHERE doc_id >= 250 AND doc_id < 260), " +
+      "UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 50 " +
+      "UNION ALL SELECT doc_id + 20000000, text FROM documents WHERE doc_id >= 250 AND doc_id < 260), " +
       "allx AS (SELECT batch_id AS doc_id, text FROM batch UNION ALL SELECT doc_id, text FROM seen), " +
       "ws AS (SELECT doc_id, " +
       "string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ') AS w FROM allx), " +

@@ -277,17 +277,17 @@ class CatalogSpec extends SparkSpec {
     // batch = new docs (>= 250) + 50 seen replays + 10 within-batch replays
     assert(out.length.toLong == (nDocs - 250) + 50 + 10)
     // every seen replay (jaccard 1 against the manifest) is dup_of_seen
-    (1000L until 1050L).foreach { id =>
+    (10000000L until 10000050L).foreach { id =>
       assert(byId(id) == "dup_of_seen", s"replay $id: ${byId(id)}")
     }
     // every within-batch replay has an earlier identical twin; it can only
     // be dup_in_batch — or dup_of_seen if the shared text also near-dups a
     // seen doc (precedence)
-    (2250L until 2260L).foreach { id =>
+    (20000250L until 20000260L).foreach { id =>
       assert(byId(id) != "unique", s"within-batch replay $id escaped as unique")
       // and its twin's status decides: if the twin is dup_of_seen the
       // replay must be too (same text, same cross pairs)
-      if (byId(id - 2000) == "dup_of_seen") assert(byId(id) == "dup_of_seen")
+      if (byId(id - 20000000L) == "dup_of_seen") assert(byId(id) == "dup_of_seen")
     }
     // fresh new docs dominate: uniques exist
     assert(out.count(_.getAs[String]("status") == "unique") > 0)
