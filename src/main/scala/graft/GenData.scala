@@ -91,7 +91,7 @@ object GenData {
       // day-grain timestamps over 1995-01-01 .. 2001-08-01 (2404 days)
       date_add(to_date(lit("1995-01-01")),
         pmod(xxhash64(lit("odt"), col("id")), lit(2405L)).cast("int"))
-        .cast("timestamp").as("o_orderdate"),
+        .cast("timestamp_ntz").as("o_orderdate"),
       pick("opri", Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), col("id"))
         .as("o_orderpriority"))
 
@@ -116,7 +116,7 @@ object GenData {
         pick("lls", Seq("F", "O"), k, ln).as("l_linestatus"),
         date_add(to_date(lit("1995-01-02")),
           pmod(xxhash64(lit("lsd"), k, ln), lit(2499L)).cast("int"))
-          .cast("timestamp").as("l_shipdate"))
+          .cast("timestamp_ntz").as("l_shipdate"))
   }
 
   /** Strictly ts-monotonic in event_id over 30 days of 2024-01. */
@@ -127,7 +127,8 @@ object GenData {
     s.range(n).select(
       col("id").as("event_id"),
       timestamp_micros(lit(startUs) + col("id") * gap +
-        pmod(xxhash64(lit("ets"), col("id")), lit(math.max(gap, 1L)))).as("ts"),
+        pmod(xxhash64(lit("ets"), col("id")), lit(math.max(gap, 1L))))
+        .cast("timestamp_ntz").as("ts"),
       pmod(xxhash64(lit("eus"), col("id")), lit(nUsers)).as("user_id"),
       pick("ety", Seq("view", "click", "purchase", "signup", "error"), col("id"))
         .as("event_type"),
@@ -156,7 +157,7 @@ object GenData {
       pick("dlg", Seq("en", "en", "en", "en", "en", "en", "en", "en",
         "zh", "zh", "zh", "es", "es", "es", "fr", "fr", "fr", "de", "de", "de"), id).as("lang"),
       concat(lit("src"), pmod(id, lit(20L))).as("source"))
-      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
   /** Unit-norm 64-dim floats around 10 hashed centroids. */

@@ -63,9 +63,15 @@ def main():
     key_filter = sys.argv[3] if len(sys.argv) > 3 else None
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver testdata is a single file; GenData (sf1 scale-stress) writes
+        # Spark directories — glob the parts in that case
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if key_filter and key_filter not in name:
