@@ -128,7 +128,11 @@ object Bench {
     val first = measure()
     val attempts =
       if (first.driftFactor.exists(_ > 1.3)) List(first, measure()) else List(first)
-    val best = attempts.minBy(_.driftFactor.getOrElse(1.0))
+    // r9 ADVICE: prefer canary-ok attempts — an attempt whose canary failed
+    // (driftFactor None) must not beat a normalizable drifted one, else the
+    // record silently loses normalization
+    val best = attempts.minBy(a =>
+      (if (a.canaryOk) 0 else 1, a.driftFactor.getOrElse(Double.MaxValue)))
     val passes = best.passes
     val bytesOf = best.bytesOf
     val canaryStart = best.canaryStartSum

@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   *   - documents: the same 31-word vocabulary, 10..100 words/doc,
   *     source = src{id%20}, lang mix ~40% en / 15% each zh-es-fr-de,
   *     plus injected exact dups (~0.2%, copy of previous doc) and
-  *     near-dups (~3%, previous doc + one appended word → j≈0.95) so the
-  *     dedup family has real work at every sf;
+  *     near-dups (~3%, previous doc + one appended out-of-vocab token →
+  *     word-set jaccard m/(m+1), m = 10..100 words) so the dedup family
+  *     has real work at every sf; a dup flag is suppressed when the
+  *     predecessor is itself flagged, so every injected dup pairs with a
+  *     real document (the injected rates dilute by ~3.2% accordingly);
   *   - embeddings: unit-norm 64-dim floats around 10 hashed label
   *     centroids (clusterable for knn/ivf), vec_id-keyed;
   *   - events: ts strictly monotonic in event_id (matches driver data; the
@@ -140,9 +143,19 @@ object GenData {
   def documents(s: SparkSession, n: Long): DataFrame = {
     val id = col("id")
     // dup structure: ~0.2% exact copies of the previous doc, ~3% near-dups
-    // of the previous doc (same words + one appended → j ≈ (m-2)/(m+1))
-    val exactDup = id > 0 && pmod(xxhash64(lit("dxd"), id), lit(500L)) === 0
-    val nearDup = id > 0 && pmod(xxhash64(lit("dnd"), id), lit(33L)) === 0
+    // of the previous doc (same words + one appended OOV token → word-set
+    // jaccard m/(m+1) ∈ [0.91, 0.99]). r9 ADVICE fixes: (a) a dup flag is
+    // suppressed when the PREDECESSOR is itself flagged — otherwise the
+    // copy reproduces the predecessor's BASE text, not its actual text, and
+    // matches no real document; (b) the appended token is out-of-vocab
+    // ("zzgraftzz"), so a base doc can never already contain it and the
+    // near-dup jaccard is exactly m/(m+1), never 1.0.
+    def flaggedDup(i: Column): Column =
+      i > 0 && (pmod(xxhash64(lit("dxd"), i), lit(500L)) === 0 ||
+        pmod(xxhash64(lit("dnd"), i), lit(33L)) === 0)
+    val predClean = !flaggedDup(id - 1)
+    val exactDup = predClean && id > 0 && pmod(xxhash64(lit("dxd"), id), lit(500L)) === 0
+    val nearDup = predClean && id > 0 && pmod(xxhash64(lit("dnd"), id), lit(33L)) === 0
     val tid = when(exactDup || nearDup, id - 1).otherwise(id)
     val vocabArr = array(vocab.map(lit): _*)
     val nWords = (pmod(xxhash64(lit("dnw"), tid), lit(91L)) + 10).cast("int")
@@ -150,7 +163,7 @@ object GenData {
       transform(sequence(lit(1), nWords),
         i => element_at(vocabArr,
           (pmod(xxhash64(lit("dwd"), tid, i), lit(vocab.size.toLong)) + 1).cast("int"))))
-    val text = when(nearDup && !exactDup, concat(baseText, lit(" spark"))).otherwise(baseText)
+    val text = when(nearDup && !exactDup, concat(baseText, lit(" zzgraftzz"))).otherwise(baseText)
     s.range(n).select(
       id.as("doc_id"),
       text.as("text"),

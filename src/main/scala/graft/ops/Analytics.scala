@@ -794,7 +794,7 @@ object Analytics {
     val orphans = li
       .join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(nrows.as("bad"))
-      .crossJoin(li.agg(nrows.as("all")))
+      .crossJoin(broadcast(li.agg(nrows.as("all"))))
       .select(viol("lineitem.orderkey_in_orders", col("all"), col("bad")).as("r"))
     liChecks
       .unionByName(ordChecks)

@@ -33,6 +33,24 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPrep {
 
+  /** Synthetic replay-id offsets for the incremental-dedup fixtures (here
+    * and in [[MinHashDedup]]). Real doc_ids must sit strictly below the
+    * first offset or replay ids would collide with them (r9 ADVICE:
+    * GenData's 50k docs/sf crosses doc_id ≥ 10M at sf ≈ 200, inside the
+    * 100 TB ambition). [[guardedDocId]] wraps the REAL-batch leg so a
+    * future scale run fails loudly at execution time instead of silently
+    * merging shingle sets; the replay legs are bounded (< 260) and cannot
+    * collide with each other.
+    */
+  private[ops] val ReplaySeenOffset = 10000000L
+  private[ops] val ReplayBatchOffset = 20000000L
+  private[ops] def guardedDocId(id: Column): Column =
+    when(id >= lit(ReplaySeenOffset),
+      raise_error(concat(
+        lit("incremental-dedup replay-id guard: doc_id "), id.cast("string"),
+        lit(s" >= replay offset $ReplaySeenOffset — raise the offsets before running at this scale"))))
+      .otherwise(id)
+
   // ---------------------------------------------------------------- URLs
 
   /** The corpus has no URL column, so one is synthesized deterministically
@@ -242,14 +260,15 @@ object CorpusPrep {
       .withColumn("seen_dup", lit(true))
     val batch = docs
       .filter(col("doc_id") >= 250)
-      .select(col("doc_id").as("batch_id"), col("text"))
+      .select(guardedDocId(col("doc_id")).as("batch_id"), col("text"))
       .unionByName(
-        docs.filter(col("doc_id") < 50).select((col("doc_id") + 10000000L).as("batch_id"), col("text"))
+        docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + ReplaySeenOffset).as("batch_id"), col("text"))
       )
       .unionByName(
         docs
           .filter(col("doc_id") >= 250 && col("doc_id") < 260)
-          .select((col("doc_id") + 20000000L).as("batch_id"), col("text"))
+          .select((col("doc_id") + ReplayBatchOffset).as("batch_id"), col("text"))
       )
       .select(col("batch_id"), md5(Text.normText(col("text"))).as("k"))
     // first-wins via groupBy(k).min — partial aggregation collapses a

@@ -355,14 +355,15 @@ object MinHashDedup {
     val seen = docs.filter(col("doc_id") < 250)
     val batch = docs
       .filter(col("doc_id") >= 250)
-      .select(col("doc_id").as("batch_id"), col("text"))
+      .select(CorpusPrep.guardedDocId(col("doc_id")).as("batch_id"), col("text"))
       .unionByName(
-        docs.filter(col("doc_id") < 50).select((col("doc_id") + 10000000L).as("batch_id"), col("text"))
+        docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + CorpusPrep.ReplaySeenOffset).as("batch_id"), col("text"))
       )
       .unionByName(
         docs
           .filter(col("doc_id") >= 250 && col("doc_id") < 260)
-          .select((col("doc_id") + 20000000L).as("batch_id"), col("text"))
+          .select((col("doc_id") + CorpusPrep.ReplayBatchOffset).as("batch_id"), col("text"))
       )
     val batchDocs = batch.select(col("batch_id").as("doc_id"), col("text"))
     val batchSigs = signaturesNative(batchDocs)

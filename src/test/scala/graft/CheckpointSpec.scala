@@ -67,7 +67,26 @@ class CheckpointSpec extends SparkSpec {
       }
       census
     }
-    val baseline = settle(0)
+    // r9 ADVICE: settle the baseline by plateau detection, not target 0 —
+    // persistent RDDs legitimately left by earlier tests would make a
+    // target-0 loop burn the full 40×250 ms AND capture a still-decaying
+    // census that overstates the later allowance. Stop once the census
+    // stops decreasing across two consecutive GC rounds.
+    def settlePlateau(): Int = {
+      var census = persisted()
+      var stable = 0
+      var tries = 0
+      while (census > 0 && stable < 2 && tries < 40) {
+        System.gc()
+        Thread.sleep(250)
+        val next = persisted()
+        if (next < census) stable = 0 else stable += 1
+        census = next
+        tries += 1
+      }
+      census
+    }
+    val baseline = settlePlateau()
     (1 to 5).foreach { _ => rows("feature_rfm"); () }
     val peak = persisted()
     val settled = settle(baseline + 2)
