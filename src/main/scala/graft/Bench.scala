@@ -63,7 +63,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
       Some((System.nanoTime() - t0) / 1e9)
     }
-    val names = SparkEntry.queries.keys.toSeq
+    // Optional key filter (r10, for the sf1 scale-stress): a comma-separated
+    // SPARK_GRAFT_BENCH_KEYS restricts the run to a subset — benching all
+    // 240 keys at sf1 would take hours; the growth study needs only the
+    // top-shuffle ~25. Unset (the driver contract) = full catalog.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_KEYS") match {
+      case Some(ks) =>
+        val want = ks.split(',').map(_.trim).filter(_.nonEmpty)
+        val unknown = want.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown bench keys: ${unknown.mkString(",")}")
+        want.toSeq
+      case None => SparkEntry.queries.keys.toSeq
+    }
     // Drift canary (r8): the BENCH totals moved 81 → 109 s across two rounds
     // on plan-identical code because this host settles into documented slow
     // states (PERF.md "Host-drift evidence"). The fix is protocol, not plans:

@@ -27,6 +27,31 @@ object Bucketing {
   def joinBucketed(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** Persist a frame as a PARTITIONED managed catalog table — the
+    * Glue-style metastore surface (partition directories + a catalog entry
+    * recording the partition columns). This is the layout dynamic partition
+    * pruning plans against: a runtime `dynamicpruning` subquery on the
+    * fact scan's partition filters skips whole directories when a joined
+    * dim's selective filter resolves (PartitionPruningSpec pins the DPP
+    * subquery in-plan AND the file-skip, measured, against a table written
+    * through this helper). At 100 TB a date-/source-partitioned fact in
+    * the metastore is the norm; `overwrite` keeps re-registration
+    * idempotent across sessions sharing a warehouse dir.
+    */
+  def writeCatalogTable(df: DataFrame, table: String, partCols: String*): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy(partCols: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Catalog read — the partition-pruning-capable path (`spark.table`, not
+    * `spark.read.parquet(dir)`: only the catalog carries the partition-
+    * column metadata a DPP filter needs).
+    */
+  def readCatalogTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** True when a physical plan contains no shuffle exchange of any kind
     * (hash, range, or single-partition) — the property bucketed co-location
     * buys. Walks the plan (unwrapping AQE) rather than string-matching, so

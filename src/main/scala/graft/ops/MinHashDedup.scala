@@ -164,79 +164,104 @@ object MinHashDedup {
     * "keep one of {a,b,c}" when a~b and b~c but a!~c).
     *
     * Min-label propagation WITH pointer jumping: each round, a node's label
-    * becomes the min of its own and its neighbors' (one equi-join + groupBy
-    * on 8-byte ids), then every label is short-cut through its own current
-    * label (`cluster_id := label(cluster_id)` — a second equi-join). The
-    * jump doubles the propagation horizon per round, so convergence is
-    * O(log diameter) rounds, not O(diameter): a length-1M edit chain — the
-    * shape incremental near-dup corpora actually produce — finishes in ~20
-    * rounds where plain propagation would need 1M. The working set is only
-    * nodes that HAVE an edge (at 100 TB: the dup fraction of the corpus,
-    * not the corpus); singletons join back at the end with themselves as
-    * cluster. [[Checkpoints.stable]] truncates the growing lineage so round
-    * k doesn't replay rounds 1..k-1 (localCheckpoint by default; config-
-    * switched to a durable checkpoint dir on a real cluster). The per-round driver action is a changed-label COUNT
-    * (a scalar — not a collect of data). The fixpoint is unique, so the
-    * result is deterministic no matter how rounds schedule. If maxRounds is
-    * ever hit (diameter > 2^maxRounds — not a reachable corpus shape), the
-    * current labels are returned with a warning rather than throwing:
-    * labels are monotone toward the fixpoint, so the partial result is a
-    * valid over-segmentation (some clusters split, none merged wrongly).
+    * becomes the min of its own and its neighbors' (the self-looped edge
+    * set makes that ONE equi-join + groupBy on 8-byte ids), then every
+    * label is short-cut through its own current label twice
+    * (`cluster_id := label(label(cluster_id))` — two exchange-reused
+    * self-joins). The double jump grows the propagation horizon ~4× per
+    * round, so convergence is O(log diameter) driver rounds, not
+    * O(diameter): a length-1M edit chain — the shape incremental near-dup
+    * corpora actually produce — finishes in ~10 rounds where plain
+    * propagation would need 1M. The working set is only nodes that HAVE an
+    * edge (at 100 TB: the dup fraction of the corpus, not the corpus);
+    * singletons join back at the end with themselves as cluster.
+    * [[Checkpoints.stable]] truncates the growing lineage so round k
+    * doesn't replay rounds 1..k-1 (localCheckpoint by default; config-
+    * switched to a durable checkpoint dir on a real cluster). The per-round
+    * driver action is a Σ cluster_id aggregate (a scalar — labels are
+    * monotone non-increasing, so an unchanged sum IS the fixpoint proof).
+    * The fixpoint is unique, so the result is deterministic no matter how
+    * rounds schedule. If maxRounds is ever hit (diameter > 4^maxRounds —
+    * not a reachable corpus shape), the current labels are returned with a
+    * warning rather than throwing: labels are monotone toward the fixpoint,
+    * so the partial result is a valid over-segmentation (some clusters
+    * split, none merged wrongly).
     */
   def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    // every checkpoint in this loop is NON-EAGER (the ScaleRank rationale):
-    // eager would run a separate materialization job per checkpoint — three
-    // jobs per round — where non-eager lets the round's one driver action
-    // (the changed-count) materialize prop and next inside the same job.
-    // Within that job the two references to prop share its shuffle stages,
-    // and the blocks land exactly as with eager=true, so round k+1 still
-    // builds on materialized blocks, never replayed lineage. Measured at
-    // sf0.1: dedup_semantic 5.7 -> see PERF.md r8 loop-eagerness note.
+    // r10 job-count cut (r8 verdict #3; measured 123 driver jobs → see
+    // PERF.md r10 note). Four structural changes, fixpoint unchanged:
+    //   1. SINGLE-PASS edge build: the old two-branch union recomputed the
+    //      entire upstream pair pipeline (LSH bucketize + exact verify —
+    //      the expensive part) once per branch; explode emits both
+    //      directions AND both self-loops from one scan.
+    //   2. SELF-LOOPS make the per-round neighbor-min include the node's
+    //      own current label, so the separate least(old, nbr_min) join
+    //      against the previous labels disappears.
+    //   3. Fixpoint metric = Σ cluster_id (decimal — no overflow at any
+    //      corpus size). Labels are per-node monotone non-increasing, so
+    //      an unchanged sum between consecutive rounds proves no label
+    //      moved: one tiny agg replaces the old join-vs-old + count, and
+    //      round 1 needs no materialized init-labels frame at all
+    //      (initial labels are self ⇒ neighbor-min = min(dst)).
+    //   4. TWO pointer jumps per round: horizon ~4× per round vs ~2×, so
+    //      long chains converge in about half the driver rounds for one
+    //      extra in-plan self-join (exchange-reused, not recomputed).
+    // Checkpoints stay NON-EAGER (r8 loop-eagerness note): the round's one
+    // label-sum action materializes the round's frame in the same job.
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .transform(Checkpoints.stable(_, eager = false))
-    var labels = edges
-      .select(col("src").as("doc_id"))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")),
+        struct(col("id_a").as("src"), col("id_a").as("dst")),
+        struct(col("id_b").as("src"), col("id_b").as("dst")),
+      )).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // self-loops repeat once per incident pair — dedupe so the per-round
+      // join carries |2E|+|V| rows, not 4|E|; then pre-partition on the
+      // round-join key (LogicalRDD preserves outputPartitioning through
+      // the checkpoint, so no round ever re-shuffles the edge side)
       .distinct()
-      .withColumn("cluster_id", col("doc_id"))
+      .repartition(col("dst"))
       .transform(Checkpoints.stable(_, eager = false))
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < maxRounds) {
-      val nbrMin = edges
+    // pointer jump ×2: cluster_id := label(label(cluster_id)). Every label
+    // IS a node id present in prop (prop covers all nodes via groupBy over
+    // the self-looped edges), so the inner joins are total;
+    // label(label(v)) <= label(v) by monotonicity, so no least() is needed.
+    def jump2(prop: DataFrame): DataFrame = {
+      val j1 = prop
+        .join(prop.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump")),
+          Seq("cluster_id"))
+        .select(col("doc_id"), col("jump").as("cluster_id"))
+      j1.join(j1.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump")),
+          Seq("cluster_id"))
+        .select(col("doc_id"), col("jump").as("cluster_id"))
+    }
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var labels = jump2(
+      edges.groupBy(col("src").as("doc_id")).agg(min(col("dst")).as("cluster_id")))
+      .transform(Checkpoints.stable(_, eager = false))
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 1
+    while (!converged && round < maxRounds) {
+      val prop = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), "dst")
         .groupBy(col("src").as("doc_id"))
-        .agg(min("cluster_id").as("nbr_min"))
-      // prop is referenced twice by the jump self-join: the checkpoint
-      // materializes the neighbor-min join+agg once instead of twice. At
-      // sf0.1 the two shapes measure identically (2.84 vs 2.85 s — the
-      // frames are tiny); at corpus scale the recompute is a second full
-      // join+aggregate over the dup working set, so the checkpoint stays.
-      val prop = labels
-        .select(col("doc_id"), col("cluster_id").as("old"))
-        .join(nbrMin, Seq("doc_id"))
-        .select(col("doc_id"), least(col("old"), col("nbr_min")).as("cluster_id"), col("old"))
-        .transform(Checkpoints.stable(_, eager = false))
-      // pointer jump: cluster_id := label(cluster_id). Every label IS a
-      // node id in the edge set (initial labels are self, updates are mins
-      // of such labels), so the inner join is total; label(label(v)) <=
-      // label(v) by monotonicity, so no least() is needed.
-      val next = prop
-        .join(
-          prop.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump")),
-          Seq("cluster_id"),
-        )
-        .select(col("doc_id"), col("jump").as("cluster_id"), col("old"))
-        .transform(Checkpoints.stable(_, eager = false))
-      changed = next.filter(col("cluster_id") =!= col("old")).count()
-      labels = next.select("doc_id", "cluster_id")
+        .agg(min(col("cluster_id")).as("cluster_id"))
+      val next = jump2(prop).transform(Checkpoints.stable(_, eager = false))
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       round += 1
     }
-    if (changed != 0)
+    if (!converged)
       Console.err.println(
         s"graft: dedup cluster labels still moving after $maxRounds rounds " +
-          s"($changed changed last round) — returning best-effort (over-segmented) labels"
+          "— returning best-effort (over-segmented) labels"
       )
     docs
       .select(col("doc_id"))

@@ -64,13 +64,21 @@ object SemDedup {
       LshAnn.defaultPlanes,
     )
     // occupancy cap (LshAnn.BucketOccupancyCap): overfull cells leave the
-    // self-join — the ANN family's hub cap, mirrored in the oracle's okb
-    val ok = bk0
-      .groupBy("table", "bucket")
-      .agg(count(lit(1)).as("occ"))
+    // self-join — the ANN family's hub cap, mirrored in the oracle's okb.
+    // r10: computed as a count window over (table, bucket) instead of a
+    // groupBy + left-semi join back — one exchange instead of three, and
+    // the downstream self-join on the SAME (table, bucket) key reuses the
+    // window's partitioning on both sides (identical subtree ⇒ AQE
+    // exchange reuse), so candidate generation adds no further shuffle of
+    // the bucket frame. Same rows out: window count ≡ group count.
+    val bk = bk0
+      .withColumn(
+        "occ",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")),
+      )
       .filter(col("occ") <= cap)
-      .select("table", "bucket")
-    val bk = bk0.join(ok, Seq("table", "bucket"), "left_semi")
+      .drop("occ")
     val cand = bk
       .select(col("vec_id").as("id_a"), col("table"), col("bucket"))
       .join(bk.select(col("vec_id").as("id_b"), col("table"), col("bucket")), Seq("table", "bucket"))

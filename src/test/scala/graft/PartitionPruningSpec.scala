@@ -72,10 +72,34 @@ class PartitionPruningSpec extends SparkSpec {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
 
+  /** events persisted as a partitioned MANAGED CATALOG table (r9 verdict
+    * #4: the Glue-defining surface — partition metadata lives in the
+    * metastore, not just the directory layout). Idempotent across JVMs
+    * sharing the warehouse dir, like CboSpec's fixtures.
+    */
+  private lazy val catalogFact: Unit = {
+    spark.sql("DROP TABLE IF EXISTS dpp_events")
+    val loc = new java.io.File("spark-warehouse/dpp_events")
+    if (loc.exists()) {
+      java.nio.file.Files
+        .walk(loc.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    ops.Bucketing.writeCatalogTable(Tables.events(spark, sfDir), "dpp_events", "event_type")
+  }
+
+  private def dppCatalogJoin(): DataFrame =
+    ops.Bucketing
+      .readCatalogTable(spark, "dpp_events")
+      .join(dimFiltered, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+
   /** Files read by the partitioned fact scan, from the executed plan's own
     * scan metrics (AQE-aware: unwrap to the final physical plan first).
     */
-  private def factFilesRead(df: DataFrame): Long = {
+  private def factFilesRead(df: DataFrame, marker: String = "dpp-fact"): Long = {
     // AQE wraps executed subtrees in QueryStageExec LEAVES — plain collect
     // stops there, so recurse through stage boundaries explicitly.
     def scans(p: SparkPlan): Seq[FileSourceScanExec] =
@@ -85,7 +109,7 @@ class PartitionPruningSpec extends SparkSpec {
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
       }.flatten
     val fact = scans(df.queryExecution.executedPlan)
-      .filter(_.relation.location.rootPaths.exists(_.toString.contains("dpp-fact")))
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(marker)))
     assert(fact.nonEmpty,
       "partitioned fact scan not found in plan:\n" + df.queryExecution.executedPlan)
     fact.map(_.metrics("numFiles").value).sum
@@ -109,6 +133,37 @@ class PartitionPruningSpec extends SparkSpec {
         s"DPP did not reduce files read: $pruned with vs $total without",
       )
     }
+  }
+
+  test("DPP fires against a partitioned METASTORE table and skips partition files (measured)") {
+    catalogFact
+    withConfs("spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val df = dppCatalogJoin()
+      df.collect()
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(
+        planStr.contains("dynamicpruning"),
+        "no dynamicpruning filter on the catalog scan:\n" + planStr.take(3000),
+      )
+      val pruned = factFilesRead(df, marker = "dpp_events")
+      val total = withConfs("spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "false") {
+        val off = dppCatalogJoin()
+        off.collect()
+        factFilesRead(off, marker = "dpp_events")
+      }
+      assert(total >= 5, s"expected >=5 files across 5 partitions without DPP, read $total")
+      assert(pruned < total, s"DPP did not reduce catalog-table files read: $pruned with vs $total without")
+    }
+  }
+
+  test("catalog-table DPP answer matches the path-based answer") {
+    catalogFact
+    val viaCatalog = withConfs("spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      dppCatalogJoin().orderBy("event_type").collect().toSeq
+    }
+    val viaPath = dppJoin().orderBy("event_type").collect().toSeq
+    assert(viaCatalog == viaPath, "catalog-table join diverged from path-based join")
+    assert(viaCatalog.nonEmpty && viaCatalog.head.getAs[Long]("n") > 0, "join matched nothing — fixture broken")
   }
 
   test("results are identical with and without dynamic partition pruning") {

@@ -526,6 +526,106 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-sink RESTART on the same checkpoint resumes exactly-once (file source)") {
+    // r9 verdict #5: the production recovery claim — stop a checkpointed
+    // query mid-stream, start a NEW query object on the SAME checkpoint
+    // dir with more data landed, and the final sink must equal the batch
+    // answer over everything, with no window emitted twice. File source +
+    // parquet sink is the fault-tolerant pair (replayable offsets in the
+    // checkpoint, committed batches in the sink's _spark_metadata).
+    val src = tmpDir("restart-src")
+    val out = tmpDir("restart-out")
+    val ckpt = tmpDir("restart-ckpt")
+    val schema = evs.toDF().schema
+    // hours 0+1 land first; the hour-2 event arrives after the restart
+    val batch1 = evs.filter(_.etime.getTime < ts(120).getTime)
+    val batch2 = evs.filterNot(_.etime.getTime < ts(120).getTime)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+      val q = Streaming.startAppendSink(
+        Streaming.tumblingWithWatermark(stream, "0 seconds"), out, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+    batch1.toDF().coalesce(1).write.mode("append").parquet(src)
+    runOnce() // run 1: watermark reaches 01:02 -> closes (emits) hour 0
+    val afterRun1 = spark.read.parquet(out).collect().toSeq
+    assert(afterRun1.nonEmpty, "run 1 emitted no closed window")
+    batch2.toDF().coalesce(1).write.mode("append").parquet(src)
+    runOnce() // run 2: NEW query, same checkpoint -> resumes, closes hour 1
+    val end = spark.read.parquet(out)
+    // expected: batch tumbling agg over ALL events, minus windows the final
+    // watermark (max etime) has not closed
+    val maxTs = evs.map(_.etime.getTime).max
+    val expected = Streaming
+      .tumblingWithWatermark(batchDf, "0 seconds")
+      .filter(col("win_start").cast("long") * 1000 + 3600L * 1000 <= maxTs)
+      .orderBy("win_start", "event_type")
+      .collect()
+      .toSeq
+    assert(end.orderBy("win_start", "event_type").collect().toSeq == expected,
+      "restarted sink diverged from the batch answer")
+    // exactly-once across the restart: no (window, type) emitted twice
+    assert(end.groupBy("win_start", "event_type").count().filter(col("count") > 1).isEmpty,
+      "restart re-emitted an already-committed window")
+    // and run 2 added strictly new windows rather than rewriting run 1's
+    assert(end.count() > afterRun1.size, "run 2 emitted nothing new")
+  }
+
+  test("transformWithState RESTART on the same checkpoint recovers state (RocksDB)") {
+    // r9 verdict #5, stateful half: running totals must CONTINUE from the
+    // recovered per-user state, not restart from zero — user 1 spans both
+    // runs, so a state loss shows up as max(n)=2 instead of 3.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try {
+      val target = tmpDir("tws-restart-out")
+      val ckpt = tmpDir("tws-restart-ckpt")
+      val input = MemoryStream[Ev](spark)
+      def runOnce(): Unit = {
+        val q = Streaming
+          .statefulRunningTotals(input.toDS())
+          .toDF()
+          .writeStream
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(target)
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      input.addData(evs.take(2)) // user 1 twice
+      runOnce()
+      input.addData(evs.drop(2)) // user 1 once more + user 2 three times
+      runOnce() // NEW query, same checkpoint: must resume from saved state
+      val latest = spark.read
+        .parquet(target)
+        .groupBy("user_id")
+        .agg(max("n").as("n"), max("total").as("total"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      val batch = batchDf
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(latest == batch, "recovered state diverged from batch totals after restart")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("append-mode parquet sink with checkpoint writes closed windows") {
     val input = MemoryStream[Ev](spark)
     input.addData(evs)
