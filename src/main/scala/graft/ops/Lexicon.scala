@@ -76,6 +76,151 @@ object Lexicon {
 
   private val normSql = "lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))"
 
+  // ------------------------------------------------------------------
+  // tokenizer_bpe_vocab — the FULL BPE training loop (r9 verdict #6)
+  // ------------------------------------------------------------------
+
+  /** Merge count of the declared key — small enough that the DuckDB oracle
+    * (an unrolled CTE chain, 3 CTEs per round) stays reviewable; the
+    * LexiconSpec law runs the same loop to 50 merges against an in-memory
+    * reference BPE.
+    */
+  private[graft] val BpeVocabMerges = 8
+
+  /** One sentinel char per completed merge, starting at U+0101 — outside
+    * the whitespace-normalized corpus alphabet, and identical to DuckDB's
+    * `chr(257+…)` byte-for-byte in UTF-8, so raw pair strings compare the
+    * same way in both engines (the tie-break is binary `pair ASC`).
+    */
+  private def bpeSentinel(rank: Int): String = (0x100 + rank).toChar.toString
+
+  /** The K-round BPE tokenizer-training loop, the generalization
+    * tokenizer_bpe_merge_round's scaladoc promises: each round counts
+    * adjacent token pairs over the VOCABULARY-grain frame (the corpus is
+    * scanned once, into word frequencies), picks the winner
+    * (count desc, raw pair asc), and merges its left-to-right
+    * non-overlapping occurrences in every word by replacing the 2-char
+    * pair with that round's sentinel char — so tokens stay single chars
+    * forever and every round is a literal `replace`, no re-tokenization.
+    *
+    * Scale shape: the loop runs entirely at vocab grain (|unique words|
+    * rows — millions at 100 TB, never corpus rows). Per round: one
+    * map-side explode + partial-aggregated pair count + a 1-ROW head()
+    * (the winner is O(1) metadata, the same class of driver scalar as the
+    * cluster loop's fixpoint sum — not a data collect); the merge itself
+    * is a narrow map (`replace` with two literals), so rounds add NO
+    * shuffle. Lineage is truncated every 8 rounds ([[Checkpoints.stable]]).
+    *
+    * Returns the merge table (rank, rawPair, n_occ) — rawPair in the
+    * sentinel alphabet; decode via [[bpeDecode]].
+    */
+  private[graft] def bpeMergeTable(
+      s: SparkSession,
+      dir: String,
+      k: Int,
+  ): Seq[(Long, String, Long)] = {
+    var wf = Tables
+      .documents(s, dir)
+      .select(explode(split(Text.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w")
+      .agg(nrows.as("wf"))
+      .transform(Checkpoints.stable(_, eager = false))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val top = wf
+        .filter(length(col("w")) >= 2)
+        .select(
+          col("wf"),
+          explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+        )
+        .groupBy("pair")
+        .agg(sum("wf").as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair"))
+        .limit(1)
+        .take(1)
+      if (top.isEmpty) exhausted = true // every word fully merged: stop early
+      else {
+        val pstar = top(0).getString(0)
+        merges += ((rank.toLong, pstar, top(0).getLong(1)))
+        wf = wf.withColumn("w", replace(col("w"), lit(pstar), lit(bpeSentinel(rank))))
+        if (rank % 8 == 0) wf = Checkpoints.stable(wf, eager = false)
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Expand a sentinel-alphabet string back to corpus characters: sentinel
+    * of rank j expands to merge j's pair, which may itself contain lower
+    * sentinels — resolved by building expansions in rank order.
+    */
+  private[graft] def bpeDecode(merges: Seq[(Long, String, Long)]): Map[Char, String] = {
+    val expans = scala.collection.mutable.Map.empty[Char, String]
+    merges.foreach { case (rank, pstar, _) =>
+      expans(bpeSentinel(rank.toInt).head) = pstar.map(c => expans.getOrElse(c, c.toString)).mkString
+    }
+    expans.toMap
+  }
+
+  /** Declared key: the trained merge table, decoded — (merge_rank,
+    * left_tok, right_tok, merged, n_occ at selection time). This IS the
+    * tokenizer artifact a BPE encoder consumes (apply merges in rank
+    * order).
+    */
+  private def tokenizerBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergeTable(s, dir, BpeVocabMerges)
+    val expans = bpeDecode(merges)
+    def dec(c: Char): String = expans.getOrElse(c, c.toString)
+    merges
+      .map { case (rank, pstar, n) =>
+        (rank, dec(pstar(0)), dec(pstar(1)), dec(pstar(0)) + dec(pstar(1)), n)
+      }
+      .toDF("merge_rank", "left_tok", "right_tok", "merged", "n_occ")
+      .orderBy("merge_rank")
+  }
+
+  /** Oracle: the loop unrolled as a CTE chain — round j re-pairs wf(j-1),
+    * picks top_j, and replaces the winner with chr(256+j); decode folds
+    * the raw pair through the lower rounds' winners in descending rank
+    * order (each step can only introduce still-lower sentinels). The
+    * coalesce(chr(2)) guard makes an exhausted round's replace a no-op,
+    * and its output row is suppressed by the IS NOT NULL filter — same
+    * early-stop as the Spark loop.
+    */
+  private val tokenizerBpeVocabSql: String = {
+    val k = BpeVocabMerges
+    val sb = new StringBuilder
+    sb ++= s"WITH wx AS (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents), "
+    sb ++= "wf0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM wx WHERE len(w) >= 2 GROUP BY 1)"
+    for (j <- 1 to k) {
+      sb ++= s", pr$j AS (SELECT wf, unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair " +
+        s"FROM wf${j - 1} WHERE len(w) >= 2)"
+      sb ++= s", top$j AS (SELECT pair AS p, CAST(sum(wf) AS BIGINT) AS n FROM pr$j GROUP BY 1 " +
+        "ORDER BY n DESC, p LIMIT 1)"
+      if (j < k)
+        sb ++= s", wf$j AS (SELECT replace(w, coalesce((SELECT p FROM top$j), chr(2)), chr(${256 + j})) AS w, wf " +
+          s"FROM wf${j - 1})"
+    }
+    def dec(e: String, j: Int): String =
+      (1 until j).reverse.foldLeft(e) { (acc, i) =>
+        s"replace($acc, chr(${256 + i}), (SELECT p FROM top$i))"
+      }
+    val rows = (1 to k).map { j =>
+      s"SELECT CAST($j AS BIGINT) AS merge_rank, " +
+        s"${dec(s"substr((SELECT p FROM top$j), 1, 1)", j)} AS left_tok, " +
+        s"${dec(s"substr((SELECT p FROM top$j), 2, 1)", j)} AS right_tok, " +
+        s"${dec(s"(SELECT p FROM top$j)", j)} AS merged, " +
+        s"(SELECT n FROM top$j) AS n_occ " +
+        s"WHERE (SELECT p FROM top$j) IS NOT NULL"
+    }
+    sb ++= " SELECT * FROM (" + rows.mkString(" UNION ALL ") + ") ORDER BY merge_rank"
+    sb.toString
+  }
+
   private val tokenizerBpeMergeRoundSql =
     s"WITH wx AS (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents), " +
       "wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM wx WHERE len(w) >= 2 GROUP BY 1), " +
@@ -167,6 +312,7 @@ object Lexicon {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("tokenizer_bpe_merge_round", tokenizerBpeMergeRound, Some(tokenizerBpeMergeRoundSql)),
+    QueryDef("tokenizer_bpe_vocab", tokenizerBpeVocab, Some(tokenizerBpeVocabSql)),
     QueryDef("text_lang_confusion", textLangConfusion, Some(textLangConfusionSql)),
     QueryDef("text_char_ngram_profile", textCharNgramProfile, Some(textCharNgramProfileSql)),
   )

@@ -58,6 +58,51 @@ class LexiconSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer_bpe_vocab: 50-merge train loop matches an in-memory reference BPE") {
+    // r9 verdict #6: the FULL train loop, validated well past the declared
+    // key's 8 merges. Reference: classic BPE over the word-frequency map —
+    // count overlapping adjacent token pairs weighted by word frequency,
+    // pick (count desc, pair asc), replace left-to-right non-overlapping —
+    // on the same sentinel-char encoding the Spark loop uses.
+    val k = 50
+    val got = ops.Lexicon.bpeMergeTable(spark, sfDir, k)
+    val wf0 = vocab()
+    var words: Map[String, Long] = wf0
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= k && !done) {
+      val pc = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { case (w, f) =>
+        if (w.length >= 2)
+          w.sliding(2).foreach(p => if (p.length == 2) pc(p) = pc.getOrElse(p, 0L) + f)
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val (pstar, n) = pc.toSeq.minBy { case (p, c) => (-c, p) }
+        expected += ((rank.toLong, pstar, n))
+        val sentinel = (0x100 + rank).toChar.toString
+        words = words.toSeq
+          .map { case (w, f) => w.replace(pstar, sentinel) -> f }
+          .groupBy(_._1) // merged forms can collide; the Spark frame keeps rows distinct by w pre-merge, but counts aggregate identically because pairs are weighted by wf either way
+          .map { case (w, fs) => w -> fs.map(_._2).sum }
+        rank += 1
+      }
+    }
+    assert(got.size == expected.size, s"merge counts differ: ${got.size} vs ${expected.size}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"merge ${e._1} diverged: spark=$g reference=$e")
+    }
+    // sentinel decode law: every merged token expands to a string over the
+    // original corpus alphabet (no sentinel survives decoding)
+    val expans = ops.Lexicon.bpeDecode(got)
+    got.foreach { case (_, pstar, _) =>
+      val merged = pstar.map(c => expans.getOrElse(c, c.toString)).mkString
+      assert(merged.forall(_ < 'Ā'), s"undecoded sentinel in $merged")
+      assert(merged.length >= 2)
+    }
+  }
+
   test("text_lang_confusion: cells conserve doc counts and agree with text_langid") {
     val rows = run("text_lang_confusion").collect()
     val perLang = Tables
