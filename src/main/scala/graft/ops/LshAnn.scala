@@ -51,18 +51,30 @@ object LshAnn {
     * unchanged (floor re-asserted in LshSpec). 32 interpreted HOF folds per
     * vector were the bucketize hotspot.
     */
-  private def dotLit(vec: Column, plane: Array[Double]): Column =
-    Vectors.nativeDot(vec, array(plane.map(p => lit(p.toFloat)): _*))
-
   /** (table, bucket) rows per vector: bucket = packed sign bits of the
     * vector against that table's hyperplanes. Output is exploded long-form so
     * the candidate join is a plain equi-join on (table, bucket).
+    *
+    * r10 planning-cost fix: the planes used to enter as 32 independent
+    * 64-float `array(lit…)` trees (~2k literal nodes, re-cloned into every
+    * plan reference), and ANALYZING those trees — not executing them — was
+    * the dominant cost of every LSH key at bench scale. All planes now
+    * enter as ONE `typedlit` nested-array literal indexed by two
+    * `element_at`s; constant folding collapses each extraction back to the
+    * same per-plane float-array literal the codegen'd [[Vectors.nativeDot]]
+    * kernel consumed before, so the EXECUTED plan is unchanged — only the
+    * analyzed tree shrinks ~60×. Measured: semanticPairs 2.1 → see PERF.md.
     */
   def bucketize(vecs: DataFrame, idCol: String, vecCol: String, planes: Array[Array[Array[Double]]]): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
-    val perTable: Seq[Column] = planes.zipWithIndex.map { case (table, t) =>
-      val bucket = table.zipWithIndex
-        .map { case (plane, j) => when(dotLit(col(vecCol), plane) >= 0, lit(1L << j)).otherwise(lit(0L)) }
+    val planesLit: Column =
+      typedlit(planes.map(_.map(_.map(_.toFloat).toSeq).toSeq).toSeq)
+    val perTable: Seq[Column] = planes.indices.map { t =>
+      val bucket = planes(t).indices
+        .map { j =>
+          val plane = element_at(element_at(planesLit, t + 1), j + 1)
+          when(Vectors.nativeDot(col(vecCol), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+        }
         .reduce(_ + _)
       struct(lit(t).as("table"), bucket.as("bucket"))
     }

@@ -79,17 +79,24 @@ object SemDedup {
       )
       .filter(col("occ") <= cap)
       .drop("occ")
+    // r10: candidates are NOT distinct'd before the exact verify — a pair
+    // colliding in k of the 8 tables is dotted k times (map-side, 64 FMAs)
+    // instead of paying a full-width exchange on the LARGEST intermediate
+    // of the whole pipeline to dedupe first. The distinct moves to after
+    // the threshold filter, where cardinality is the (tiny) edge set.
+    // Same output set; the oracle's `SELECT DISTINCT` candidate CTE is
+    // equivalent because edges are a set either way.
     val cand = bk
       .select(col("vec_id").as("id_a"), col("table"), col("bucket"))
       .join(bk.select(col("vec_id").as("id_b"), col("table"), col("bucket")), Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
       .filter(Vectors.nativeDot(col("va"), col("vb")) >= SemThreshold)
       .select("id_a", "id_b")
+      .distinct()
   }
 
   private[graft] def semanticPairs(s: SparkSession, dir: String): DataFrame =
