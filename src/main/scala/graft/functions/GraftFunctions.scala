@@ -28,6 +28,17 @@ object GraftFunctions {
         },
     ),
     (
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Dist2].getName, "graft_l2sq"),
+      (children: Seq[Expression]) =>
+        children match {
+          case Seq(a, b) => L2Dist2(a, b)
+          case _ =>
+            throw new IllegalArgumentException(
+              s"graft_l2sq expects 2 arguments, got ${children.length}")
+        },
+    ),
+    (
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       // optional second arg (nHashes) must be a foldable int; defaults to 128

@@ -184,6 +184,116 @@ object IvfAnn {
       .select(col("cid"), col("dim"), coalesce(col("c6n"), col("c6")).as("c6"))
   }
 
+  // ---------------- dynamic-K cells (the SemDeDup bucketing, r10) ----------------
+
+  /** Target cell occupancy for [[gridCellsOf]]: K = max(4, n / 250). The
+    * r10 sf1 growth study measured the sign-LSH candidate path of
+    * dedup_semantic growing ∝ n²/2^bits (16 fixed buckets/table ⇒ 2452 MB
+    * shuffle at sf1 from 1.2 MB at sf0.1); cells whose COUNT grows with
+    * the corpus keep same-cell candidate pairs ≈ n·target/2 — linear in n
+    * at fixed occupancy. This is the bucketing real semantic-dedup
+    * pipelines use (k-means cells, within-cell pairwise).
+    */
+  private[ops] val CellTarget = 250L
+
+  /** Dynamic-K exact grid k-means cell assignment over an arbitrary
+    * (vec_id, embedding) frame: K = max(4, n/[[CellTarget]]) — n enters
+    * as ONE driver scalar (count of row-group metadata, the same O(1)
+    * metadata class as the cluster loop's fixpoint sum), seeds = the K
+    * smallest vec_ids, [[GridIters]] integer Lloyd steps.
+    *
+    * Assignment runs through the codegen'd [[graft.functions.L2Dist2]]
+    * kernel over ARRAY-form integer grids — an n·K-row join with d fused
+    * ops per row. The first cut reused the long-form per-dim join
+    * (n·K·d ROWS per assignment) and the r10 sf1 study measured it SLOWER
+    * than the quadratic LSH path it exists to replace (92 s vs 60 s at
+    * sf1); the kernel form is the same integers in the same order, just
+    * without materializing a row per (vector, centroid, dim). The
+    * long-form grid survives only where it is the right grain: the Lloyd
+    * mean (per-(cid, dim) integer average). No broadcast HINT on the
+    * centroid side: K grows with the corpus, so whether K arrays still
+    * broadcast is AQE's size-based call, not a hardcoded promise.
+    */
+  private[ops] def gridCellsOf(e: DataFrame, target: Long = CellTarget): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
+    val n = e.count()
+    val k = math.max(4L, n / target)
+    val e6 = e.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))").as("x6a"),
+    )
+    val g = grid6(e) // long-form: per-dim grain for the Lloyd means only
+    val seedW = Window.orderBy("vec_id") // bounded: runs on the k-row limit frame
+    val seedIds = e
+      .orderBy("vec_id")
+      .limit(k.toInt)
+      .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("cid"))
+    val c0 = seedIds.join(g, "vec_id").select(col("cid"), col("dim"), col("x6").as("c6"))
+    def toArrays(cent: DataFrame): DataFrame =
+      cent
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c6))), s -> s.c6)").as("c6a"))
+    def assign(centA: DataFrame): DataFrame =
+      e6.crossJoin(centA)
+        .select(
+          col("vec_id"),
+          col("cid"),
+          call_function("graft_l2sq", col("x6a"), col("c6a")).as("dist2"),
+        )
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cid"))
+    def step(cent: DataFrame): DataFrame = {
+      val upd = assign(toArrays(cent))
+        .join(g, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(expr("sum(x6) div count(1)").as("c6n"))
+      cent
+        .join(upd, Seq("cid", "dim"), "left")
+        .select(col("cid"), col("dim"), coalesce(col("c6n"), col("c6")).as("c6"))
+    }
+    val cent = (1 to GridIters)
+      .foldLeft(c0)((c, _) => step(c))
+      .transform(Checkpoints.stable(_))
+    assign(toArrays(cent))
+  }
+
+  /** DuckDB mirror of [[gridCellsOf]] on the `embeddings` table — a CTE
+    * chain ending in `cells(vec_id, cid)`. K is the same
+    * greatest(16, n // target) scalar; seeds select by row_number ≤ K
+    * (WHERE, not LIMIT, so the dynamic K needs no parameterized LIMIT);
+    * distances are the kernel's formulation verbatim:
+    * list_sum over (a_i − b_i)² in index order, exact integers.
+    */
+  private[ops] def gridCellsCteSql(target: Long = CellTarget): String = {
+    val dist2 = "CAST(list_sum(list_transform(range(1, len(e.x6a) + 1), " +
+      "i -> (e.x6a[i] - c.c6a[i]) * (e.x6a[i] - c.c6a[i]))) AS BIGINT)"
+    def step(cIn: String, out: String): String =
+      s"ca_$cIn AS (SELECT cid, list(c6 ORDER BY dim) AS c6a FROM $cIn GROUP BY cid), " +
+        s"d_$out AS (SELECT e.vec_id, c.cid, $dist2 AS dist2 FROM e6 e, ca_$cIn c), " +
+        s"a_$out AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d_$out) WHERE rn = 1), " +
+        s"u_$out AS (SELECT a.cid, g.dim, sum(g.x6) // count(*) AS c6n " +
+        s"FROM a_$out a JOIN g ON g.vec_id = a.vec_id GROUP BY 1, 2), " +
+        s"$out AS (SELECT c.cid, c.dim, coalesce(u.c6n, c.c6) AS c6 " +
+        s"FROM $cIn c LEFT JOIN u_$out u ON u.cid = c.cid AND u.dim = c.dim)"
+    "e6 AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(round(x * 1e6, 0) AS BIGINT)) AS x6a FROM embeddings), " +
+      "g AS (SELECT vec_id, u.dim, u.x6 FROM (SELECT vec_id, " +
+      "unnest(list_transform(CAST(embedding AS DOUBLE[]), (x, i) -> " +
+      "{'dim': CAST(i - 1 AS BIGINT), 'x6': CAST(round(x * 1e6, 0) AS BIGINT)})) AS u FROM embeddings)), " +
+      s"nk AS (SELECT greatest(4, count(*) // $target) AS k FROM embeddings), " +
+      "seed AS (SELECT vec_id, CAST(rn AS BIGINT) - 1 AS cid FROM " +
+      "(SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings) " +
+      "WHERE rn <= (SELECT k FROM nk)), " +
+      "c0 AS (SELECT seed.cid, g.dim, g.x6 AS c6 FROM seed JOIN g ON g.vec_id = seed.vec_id), " +
+      step("c0", "c1") + ", " +
+      step("c1", "c2") + ", " +
+      "ca_c2 AS (SELECT cid, list(c6 ORDER BY dim) AS c6a FROM c2 GROUP BY cid), " +
+      s"d_fin AS (SELECT e.vec_id, c.cid, $dist2 AS dist2 FROM e6 e, ca_c2 c), " +
+      "cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d_fin) WHERE rn = 1)"
+  }
+
   /** Exact grid k-means training: seed centroids = the k smallest vec_ids
     * (cid in vec_id order), `GridIters` integer Lloyd steps, checkpointed so
     * downstream consumers never replay training lineage. Pure plan builder —

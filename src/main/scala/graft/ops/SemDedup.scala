@@ -133,7 +133,70 @@ object SemDedup {
       "coalesce(m.cid, e.vec_id) = e.vec_id AS kept " +
       "FROM e LEFT JOIN m ON e.vec_id = m.node ORDER BY vec_id"
 
+  /** IVF-bucketed semantic pairs over an arbitrary (vec_id, embedding)
+    * frame: exact-dot-verified same-cell pairs under the dynamic-K grid
+    * k-means ([[IvfAnn.gridCellsOf]]). Approximate like the sign-LSH path —
+    * but by WITHIN-CELL restriction (the SemDeDup-paper shape) instead of
+    * bucket collision, so candidate volume is ≈ n·occupancy/2, LINEAR in
+    * the corpus at fixed target occupancy where the LSH path grows
+    * ∝ n²/2^bits (r10 sf1 growth study: 2452 MB vs the linear keys' ~10×).
+    * Precision is 1 (every candidate exactly re-verified); recall loses
+    * only cross-cell pairs (SemDedupSpec pins the floor on clustered
+    * synthetic data).
+    */
+  private[graft] def ivfSemanticPairsOf(e: DataFrame, target: Long = IvfAnn.CellTarget): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
+    val cells = IvfAnn.gridCellsOf(e, target)
+    cells
+      .select(col("vec_id").as("id_a"), col("cid"))
+      .join(cells.select(col("vec_id").as("id_b"), col("cid")), "cid")
+      .filter(col("id_a") < col("id_b"))
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .filter(Vectors.nativeDot(col("va"), col("vb")) >= SemThreshold)
+      .select("id_a", "id_b")
+  }
+
+  /** The 100 TB semantic-dedup path: same manifest contract as
+    * dedup_semantic (vec_id, cluster_id, kept), with candidates from
+    * dynamic-K k-means cells instead of sign-LSH buckets. Training is
+    * fused into the key (like sim_ann_ivf) so the whole path — integer
+    * Lloyd included — hash-checks against the oracle with zero session
+    * state.
+    */
+  private def dedupSemanticIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val lab = MinHashDedup.clusters(
+      e.select(col("vec_id").as("doc_id")),
+      ivfSemanticPairsOf(e),
+    )
+    lab
+      .select(
+        col("doc_id").as("vec_id"),
+        col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("kept"),
+      )
+      .orderBy("vec_id")
+  }
+
+  private val dedupSemanticIvfSql =
+    s"WITH RECURSIVE ${IvfAnn.gridCellsCteSql()}, " +
+      "cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM cells a " +
+      "JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id), " +
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "edges0 AS (SELECT id_a, id_b FROM cand " +
+      "JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b " +
+      s"WHERE list_dot_product(ea.v, eb.v) >= $SemThreshold), " +
+      "edges AS (SELECT id_a AS a, id_b AS bb FROM edges0 UNION ALL SELECT id_b, id_a FROM edges0), " +
+      "reach(node, r) AS (SELECT a, a FROM edges UNION " +
+      "SELECT e2.a, r.r FROM edges e2 JOIN reach r ON e2.bb = r.node), " +
+      "m AS (SELECT node, min(r) AS cid FROM reach GROUP BY node) " +
+      "SELECT e.vec_id, coalesce(m.cid, e.vec_id) AS cluster_id, " +
+      "coalesce(m.cid, e.vec_id) = e.vec_id AS kept " +
+      "FROM e LEFT JOIN m ON e.vec_id = m.node ORDER BY vec_id"
+
   val entries: Seq[QueryDef] = Seq(
-    QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql))
+    QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
+    QueryDef("dedup_semantic_ivf", dedupSemanticIvf, Some(dedupSemanticIvfSql)),
   )
 }

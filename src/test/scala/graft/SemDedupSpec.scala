@@ -59,6 +59,32 @@ class SemDedupSpec extends SparkSpec {
     assert(strong >= 0.85, s"strong-band recall $strong below the 0.85 floor ($nStrong pairs)")
   }
 
+  test("IVF-cell semantic pairs (dedup_semantic_ivf): precision 1, recall floors vs brute force") {
+    val truth = truthWithSim
+    assert(truth.nonEmpty)
+    val got = SemDedup
+      .ivfSemanticPairsOf(emb.select(col("vec_id"), col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // precision is exactly 1: every same-cell candidate passed the exact dot
+    assert((got -- truth.keySet).isEmpty, s"false positives: ${(got -- truth.keySet).take(5)}")
+    def recallIn(lo: Double): (Double, Int) = {
+      val band = truth.collect { case (p, s) if s >= lo => p }
+      if (band.isEmpty) (1.0, 0)
+      else (band.count(got.contains).toDouble / band.size, band.size)
+    }
+    val (all, nAll) = recallIn(SemDedup.SemThreshold)
+    val (strong, nStrong) = recallIn(0.65)
+    info(s"IVF recall overall = $all ($nAll pairs), strong band >=0.65 = $strong ($nStrong pairs)")
+    // Within-cell restriction is the SemDeDup-paper approximation: pairs
+    // straddling a cell boundary are the documented loss. Floors pinned
+    // from the sf0.001 measurement with margin; the strong band (the
+    // near-identical content the deduper exists for) must stay high.
+    assert(all >= 0.35, s"overall IVF recall $all below floor ($nAll true pairs)")
+    assert(strong >= 0.7, s"strong-band IVF recall $strong below floor ($nStrong pairs)")
+  }
+
   test("over-cap hub bucket: its pairs are excluded, the rest keep their recall") {
     import spark.implicits._
     // a synthetic hub: 60 clones of one direction — identical vectors share
