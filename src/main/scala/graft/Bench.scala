@@ -42,6 +42,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Reliable-checkpoint mode (see Verify): env-set dir + conf flag
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach(spark.sparkContext.setCheckpointDir)
     // Shuffle-write bytes per query (measured on the LAST timed pass — byte
     // counts, unlike times, are pass-invariant): the judge-facing scale
     // signal. A query whose time looks fine at sf0.1 but whose shuffle grows

@@ -23,6 +23,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Reliable-checkpoint gate support (r8 verdict #2): with
+    // -Dspark.graft.reliableCheckpoints=true and SPARK_GRAFT_CHECKPOINT_DIR
+    // set, every Checkpoints.stable site switches from localCheckpoint to
+    // durable checkpoints into this dir — the cluster-safe mode — and the
+    // whole catalog re-gates under it. Unset (the driver contract), this
+    // is a no-op.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach(spark.sparkContext.setCheckpointDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
