@@ -31,27 +31,32 @@ object IvfAnn {
     * dead one's key and receive a DataFrame bound to a stopped
     * SparkContext), and a strong key would retain every session's persisted
     * plan for the JVM lifetime. The VALUE side holds the DataFrame only
-    * through a WeakReference — a strong value would reach the session back
+    * through a SoftReference — a strong value would reach the session back
     * through Dataset.sparkSession and pin its own key forever (the classic
-    * WeakHashMap self-reference trap). If the wrapper Dataset is collected
-    * the entry rebuilds and re-persists: CacheManager compares CANONICALIZED
-    * plans, so the rebuilt (structurally identical) plan reuses the live
-    * cache entry instead of registering a second one. The whole
-    * lookup-or-build runs under one lock — build here is lazy plan
+    * WeakHashMap self-reference trap), while soft reachability avoids the
+    * pin AND survives routine GC (it is only cleared under memory
+    * pressure). r10 lesson: the original WeakReference value was collected
+    * by ordinary minor GCs between bench passes, so corpus_cluster_mix
+    * rebuilt its "build-once" centroids in 2 of 3 passes — a cache that a
+    * no-pressure GC empties isn't a cache. If the wrapper Dataset IS
+    * collected the entry rebuilds and re-persists: CacheManager compares
+    * CANONICALIZED plans, so the rebuilt (structurally identical) plan
+    * reuses the live cache entry instead of registering a second one. The
+    * whole lookup-or-build runs under one lock — build here is lazy plan
     * construction plus persist() registration (no Spark job), so the
     * coarse lock is cheap and stops a race from double-registering.
     */
   private val centroidCache =
     new java.util.WeakHashMap[
       SparkSession,
-      scala.collection.mutable.HashMap[String, java.lang.ref.WeakReference[DataFrame]],
+      scala.collection.mutable.HashMap[String, java.lang.ref.SoftReference[DataFrame]],
     ]()
 
   private def cachedCentroids(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
     centroidCache.synchronized {
       val perDir = Option(centroidCache.get(s)).getOrElse {
         val m =
-          scala.collection.mutable.HashMap.empty[String, java.lang.ref.WeakReference[DataFrame]]
+          scala.collection.mutable.HashMap.empty[String, java.lang.ref.SoftReference[DataFrame]]
         centroidCache.put(s, m)
         m
       }
@@ -59,7 +64,7 @@ object IvfAnn {
         case Some(df) => df
         case None =>
           val df = build
-          perDir.put(dir, new java.lang.ref.WeakReference(df))
+          perDir.put(dir, new java.lang.ref.SoftReference(df))
           df
       }
     }
