@@ -40,6 +40,22 @@ object Qf {
   def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
 
+  /** Money-grain exact sum: exact decimal accumulation at `scale` (still
+    * >= the term's true decimal precision, per the dsum RULE), then ROUNDED
+    * TO CENTS before the double cast. The r10 sf1 scale-stress proved the
+    * unrounded cast is only cross-engine-identical while the sum's
+    * UNSCALED value fits in 2^53: DuckDB converts decimal→double as
+    * int128 → double → /10^scale (two roundings), so a scale-6 sum at 1e10
+    * magnitude (unscaled 2.8e16) came back 1 ULP off Spark's correctly
+    * rounded BigDecimal.doubleValue. Rounding to cents first keeps the
+    * unscaled value < 2^53 up to ~9e13 dollars — far beyond any corpus —
+    * and cents are the semantic grain of a money total anyway.
+    * DuckDB mirror: `CAST(ROUND(SUM(CAST(x AS DECIMAL(28,s))), 2) AS DOUBLE)`
+    * (positive money: HALF_UP ≡ DuckDB's half-away-from-zero).
+    */
+  def dsumCents(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast(DecimalType(28, scale))), 2).cast(DoubleType)
+
   /** Deterministic mean: exact decimal sum divided (in double) by the count.
     * DuckDB mirror: `CAST(SUM(CAST(x AS DECIMAL(28,s))) AS DOUBLE) / COUNT(x)`.
     */

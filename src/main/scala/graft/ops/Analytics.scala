@@ -1301,11 +1301,26 @@ object Analytics {
           .cast(DecimalType(18, 6))
           .as("s6"),
       )
+    // r10 sf1 fix: the old round(decimal-sum-as-double / n, 4) flipped the
+    // 4th decimal on exact-half quotients — with a 31-word vocabulary many
+    // docs share a composition, so at sf1 whole composition classes landed
+    // on halves and ~4% of rows disagreed with DuckDB's float-multiply
+    // round. Now the grid value is PURE-INTEGER half-up arithmetic:
+    // su = Σ s6 in exact micros, s4 = ⌊(2·su + 100n) / (200n)⌋ ≡
+    // round-half-up(su / (100n)), and avg_surprisal is the exact double
+    // s4/10⁴ — no engine's round() ever touches a boundary.
     val d4 = toks
       .join(scored, "term")
       .groupBy("doc_id")
-      .agg(round((sum(col("s6")).cast("double")) / count(lit(1)), 4).as("avg_surprisal"))
-      .withColumn("s4", round(col("avg_surprisal") * 10000, 0).cast("long"))
+      .agg(
+        (sum(col("s6")) * lit(1000000)).cast("long").as("su"),
+        count(lit(1)).as("n"),
+      )
+      .select(
+        col("doc_id"),
+        expr("(su * 2 + n * 100) div (n * 200)").as("s4"),
+      )
+      .withColumn("avg_surprisal", col("s4").cast("double") / 10000)
     val hist = d4.groupBy("s4").agg(nrows.as("c"))
     // cumsum over the score histogram through ScaleRank's two-stage
     // range-split lift — the grid is only ~4e5 distinct s4 values, but that
@@ -1336,9 +1351,10 @@ object Analytics {
 
   private val filterSurprisalBandSql =
     unigramLmCteSql + ", " +
-      "d AS (SELECT doc_id, round(CAST(sum(s6) AS DOUBLE) / count(*), 4) AS avg_surprisal " +
+      "d AS (SELECT doc_id, CAST(sum(s6) * 1000000 AS BIGINT) AS su, count(*) AS n " +
       "FROM toks JOIN scored USING (term) GROUP BY doc_id), " +
-      "d4 AS (SELECT doc_id, avg_surprisal, CAST(round(avg_surprisal * 10000, 0) AS BIGINT) AS s4 FROM d), " +
+      "d4 AS (SELECT doc_id, (su * 2 + n * 100) // (n * 200) AS s4, " +
+      "CAST((su * 2 + n * 100) // (n * 200) AS DOUBLE) / 10000 AS avg_surprisal FROM d), " +
       "hist AS (SELECT s4, count(*) AS c FROM d4 GROUP BY 1), " +
       "cum AS (SELECT s4, sum(c) OVER (ORDER BY s4) AS cum FROM hist), " +
       "nn AS (SELECT count(*) AS n FROM d4), " +

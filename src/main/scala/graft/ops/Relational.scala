@@ -212,12 +212,15 @@ object Relational {
       .agg(
         dsum(col("l_quantity"), 2).as("sum_qty"),
         dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-        dsum(col("l_extendedprice") * disc).as("sum_disc_price"),
+        // cents-rounded before the double cast (dsumCents scaladoc): at sf1
+        // the scale-6 charge sum's unscaled value passes 2^53 and the
+        // plain decimal→double cast came back 1 ULP apart across engines
+        dsumCents(col("l_extendedprice") * disc).as("sum_disc_price"),
         // scale 6, not 4: the true value of price*(1-disc)*(1+tax) has six
         // decimal digits (2+2+2). A scale-4 cast would actually round, and
         // near-tie doubles round differently across engines; at scale >= the
         // true precision the cast is exact and so is the sum.
-        dsum(col("l_extendedprice") * chrg, 6).as("sum_charge"),
+        dsumCents(col("l_extendedprice") * chrg, 6).as("sum_charge"),
         (dsum(col("l_quantity"), 2) / nrows).as("avg_qty"),
         (dsum(col("l_extendedprice"), 2) / nrows).as("avg_price"),
         (dsum(col("l_discount")) / nrows).as("avg_disc"),
@@ -710,8 +713,8 @@ object Relational {
         "SELECT l_returnflag, l_linestatus, " +
           "CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty, " +
           "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price, " +
-          "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price, " +
-          "CAST(SUM(CAST(l_extendedprice * ((1.0 - l_discount) * (1.0 + l_tax)) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge, " +
+          "CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_disc_price, " +
+          "CAST(ROUND(SUM(CAST(l_extendedprice * ((1.0 - l_discount) * (1.0 + l_tax)) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_charge, " +
           "CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty, " +
           "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_price, " +
           "CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
