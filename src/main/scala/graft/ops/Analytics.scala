@@ -972,12 +972,19 @@ object Analytics {
           6,
         ).cast(DecimalType(18, 6)).as("s6"),
       )
+    // integer-exact half-up grid average (see filterSurprisalBand's r10 note)
     bgRows
       .join(model, "bg")
       .groupBy("doc_id")
       .agg(
         nrows.as("n_bigrams"),
-        round(sum(col("s6")).cast("double") / count(lit(1)), 4).as("avg_surprisal2"),
+        (sum(col("s6")) * lit(1000000)).cast("long").as("su"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        (expr("(su * 2 + n_bigrams * 100) div (n_bigrams * 200)").cast("double") / 10000)
+          .as("avg_surprisal2"),
       )
       .orderBy("doc_id")
   }
@@ -996,10 +1003,12 @@ object Analytics {
       "c2 AS (SELECT bg, min(w1) AS w1, min(w2) AS w2, count(*) AS c2 FROM bg GROUP BY 1), " +
       "model AS (SELECT c2.bg, CAST(round(-ln(0.5 * CAST(c2.c2 AS DOUBLE) / a.c1 + " +
       "0.5 * CAST(b.c1 AS DOUBLE) / t), 6) AS DECIMAL(18,6)) AS s6 " +
-      "FROM c2 JOIN c1 a ON a.term = c2.w1 JOIN c1 b ON b.term = c2.w2, tt) " +
-      "SELECT doc_id, count(*) AS n_bigrams, " +
-      "round(CAST(sum(s6) AS DOUBLE) / count(*), 4) AS avg_surprisal2 " +
-      "FROM bg JOIN model USING (bg) GROUP BY 1 ORDER BY doc_id"
+      "FROM c2 JOIN c1 a ON a.term = c2.w1 JOIN c1 b ON b.term = c2.w2, tt), " +
+      "d AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(s6) * 1000000 AS BIGINT) AS su " +
+      "FROM bg JOIN model USING (bg) GROUP BY 1) " +
+      "SELECT doc_id, n_bigrams, " +
+      "CAST((su * 2 + n_bigrams * 100) // (n_bigrams * 200) AS DOUBLE) / 10000 AS avg_surprisal2 " +
+      "FROM d ORDER BY doc_id"
 
   // ------------------------------------------------------------------
   // embed_top_component — dominant direction via power iteration
@@ -1097,12 +1106,20 @@ object Analytics {
           .cast(DecimalType(18, 6))
           .as("s6"),
       )
+    // integer-exact half-up grid average (see filterSurprisalBand's r10
+    // note: the double-division round flips exact-half quotients at sf1)
     toks
       .join(scored, "term")
       .groupBy("doc_id")
       .agg(
         nrows.as("n_tokens"),
-        round((sum(col("s6")).cast("double")) / count(lit(1)), 4).as("avg_surprisal"),
+        (sum(col("s6")) * lit(1000000)).cast("long").as("su"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (expr("(su * 2 + n_tokens * 100) div (n_tokens * 200)").cast("double") / 10000)
+          .as("avg_surprisal"),
       )
       .orderBy("doc_id")
   }
@@ -1120,10 +1137,12 @@ object Analytics {
       "FROM freq CROSS JOIN total)"
 
   private val textUnigramSurprisalSql =
-    unigramLmCteSql + " " +
-      "SELECT doc_id, count(*) AS n_tokens, " +
-      "round(CAST(sum(s6) AS DOUBLE) / count(*), 4) AS avg_surprisal " +
-      "FROM toks JOIN scored USING (term) GROUP BY doc_id ORDER BY doc_id"
+    unigramLmCteSql + ", " +
+      "d AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(s6) * 1000000 AS BIGINT) AS su " +
+      "FROM toks JOIN scored USING (term) GROUP BY doc_id) " +
+      "SELECT doc_id, n_tokens, " +
+      "CAST((su * 2 + n_tokens * 100) // (n_tokens * 200) AS DOUBLE) / 10000 AS avg_surprisal " +
+      "FROM d ORDER BY doc_id"
 
   // ------------------------------------------------------------------
   // agg_quantile_binned — mergeable histogram quantiles
