@@ -24,6 +24,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Null semantics mirror [[DotProduct]]: mismatched lengths or a null
   * element return NULL; fixed-width non-null grids never hit either branch.
+  * r10 ADVICE caveat: the documented DuckDB mirror diverges on exactly the
+  * unreachable branches — `list_sum` over an EMPTY list returns NULL where
+  * this kernel returns 0, and the mirror has no length-mismatch guard (it
+  * indexes past the shorter list → NULL element → NULL sum, which happens
+  * to coincide with the kernel's NULL, but by accident not contract). On
+  * the fixed 64-dim embeddings grid neither branch is reachable; reusing
+  * the mirror on variable-width frames requires wrapping it as
+  * `CASE WHEN len(a) <> len(b) THEN NULL ELSE coalesce(list_sum(...), 0) END`.
   */
 case class L2Dist2(left: Expression, right: Expression) extends BinaryExpression {
 

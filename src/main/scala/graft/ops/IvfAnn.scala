@@ -264,7 +264,7 @@ object IvfAnn {
 
   /** DuckDB mirror of [[gridCellsOf]] on the `embeddings` table — a CTE
     * chain ending in `cells(vec_id, cid)`. K is the same
-    * greatest(16, n // target) scalar; seeds select by row_number ≤ K
+    * greatest(4, n // target) scalar; seeds select by row_number ≤ K
     * (WHERE, not LIMIT, so the dynamic K needs no parameterized LIMIT);
     * distances are the kernel's formulation verbatim:
     * list_sum over (a_i − b_i)² in index order, exact integers.

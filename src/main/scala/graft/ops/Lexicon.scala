@@ -87,12 +87,20 @@ object Lexicon {
     */
   private[graft] val BpeVocabMerges = 8
 
-  /** One sentinel char per completed merge, starting at U+0101 — outside
-    * the whitespace-normalized corpus alphabet, and identical to DuckDB's
-    * `chr(257+…)` byte-for-byte in UTF-8, so raw pair strings compare the
-    * same way in both engines (the tie-break is binary `pair ASC`).
+  /** One sentinel char per completed merge, starting at U+E001 (Private
+    * Use Area) — r10 ADVICE: the original U+0101.. base collided with real
+    * Latin Extended-A characters ('ā' in Pinyin/Vietnamese text), silently
+    * corrupting merges on such a corpus IDENTICALLY in both engines (so
+    * the hash gate could never catch it); PUA code points are guaranteed
+    * unassigned to any script. Still BMP (single UTF-16 char, 3-byte
+    * UTF-8), and identical to DuckDB's `chr(57344+…)` byte-for-byte, so
+    * raw pair strings compare the same way in both engines (the tie-break
+    * is binary `pair ASC`; PUA sorts after every ASCII char in both
+    * UTF-16-code-unit and UTF-8-byte order).
     */
-  private def bpeSentinel(rank: Int): String = (0x100 + rank).toChar.toString
+  private[graft] val BpeSentinelBase = 0xE000
+
+  private def bpeSentinel(rank: Int): String = (BpeSentinelBase + rank).toChar.toString
 
   /** The K-round BPE tokenizer-training loop, the generalization
     * tokenizer_bpe_merge_round's scaladoc promises: each round counts
@@ -202,12 +210,12 @@ object Lexicon {
       sb ++= s", top$j AS (SELECT pair AS p, CAST(sum(wf) AS BIGINT) AS n FROM pr$j GROUP BY 1 " +
         "ORDER BY n DESC, p LIMIT 1)"
       if (j < k)
-        sb ++= s", wf$j AS (SELECT replace(w, coalesce((SELECT p FROM top$j), chr(2)), chr(${256 + j})) AS w, wf " +
+        sb ++= s", wf$j AS (SELECT replace(w, coalesce((SELECT p FROM top$j), chr(2)), chr(${BpeSentinelBase + j})) AS w, wf " +
           s"FROM wf${j - 1})"
     }
     def dec(e: String, j: Int): String =
       (1 until j).reverse.foldLeft(e) { (acc, i) =>
-        s"replace($acc, chr(${256 + i}), (SELECT p FROM top$i))"
+        s"replace($acc, chr(${BpeSentinelBase + i}), (SELECT p FROM top$i))"
       }
     val rows = (1 to k).map { j =>
       s"SELECT CAST($j AS BIGINT) AS merge_rank, " +

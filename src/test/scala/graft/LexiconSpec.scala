@@ -81,7 +81,7 @@ class LexiconSpec extends SparkSpec {
       else {
         val (pstar, n) = pc.toSeq.minBy { case (p, c) => (-c, p) }
         expected += ((rank.toLong, pstar, n))
-        val sentinel = (0x100 + rank).toChar.toString
+        val sentinel = (ops.Lexicon.BpeSentinelBase + rank).toChar.toString
         words = words.toSeq
           .map { case (w, f) => w.replace(pstar, sentinel) -> f }
           .groupBy(_._1) // merged forms can collide; the Spark frame keeps rows distinct by w pre-merge, but counts aggregate identically because pairs are weighted by wf either way
@@ -98,7 +98,7 @@ class LexiconSpec extends SparkSpec {
     val expans = ops.Lexicon.bpeDecode(got)
     got.foreach { case (_, pstar, _) =>
       val merged = pstar.map(c => expans.getOrElse(c, c.toString)).mkString
-      assert(merged.forall(_ < 'Ā'), s"undecoded sentinel in $merged")
+      assert(merged.forall(_ < ops.Lexicon.BpeSentinelBase.toChar), s"undecoded sentinel in $merged")
       assert(merged.length >= 2)
     }
   }
