@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine-side independent cross-check for the graph keys whose sf1 DuckDB
+  * oracles exceed the single-node oracle engine's resources (r10 verdict
+  * "What's missing" #1: kcore / pagerank / shortest_hops / triangle_count
+  * die in DuckDB temp-spill >77 GB at sf1 while the Spark side runs them
+  * in seconds).
+  *
+  * For each key this main computes the DECLARED query (via
+  * [[SparkEntry.queries]] — the exact plan the driver gates) AND a second,
+  * structurally independent Spark formulation of the same artifact, then
+  * compares the two frames EXACTLY (symmetric exceptAll). The point is
+  * that a bug in the declared plan's join/aggregate structure would have
+  * to be mirrored by a formulation built from different primitives to go
+  * unnoticed — the cross-engine oracle's trust model, applied engine-side
+  * where the oracle engine cannot follow. All four artifacts are pure
+  * integer arithmetic, so the second formulation must match bit-exactly
+  * (sums of the same integers in any order; no FP rounding to diverge).
+  *
+  * Independent formulations:
+  *   - graph_pagerank: TRANSPOSED contribution gather — each round sums
+  *     rank div deg over the IN-NEIGHBOR view (group by the receiving
+  *     node of a reversed edge list) where the declared plan scatters
+  *     over the out-edge view; integer picorank grid makes the two
+  *     orderings exactly equal.
+  *   - graph_triangle_count: ID-ORDERED edge orientation (lower vec id →
+  *     higher) instead of the declared degree-ordered orientation; a
+  *     triangle is counted by exactly one wedge under either total order,
+  *     so per-vertex counts agree though every intermediate differs.
+  *   - graph_kcore: peel rounds recomputed with window-count degrees and
+  *     anti-join pruning (drop-set) instead of groupBy degrees and
+  *     left-semi keeps.
+  *   - graph_shortest_hops: frontier BFS (distinct frontier sets, visited
+  *     anti-join) instead of the declared min-relaxation rounds; with
+  *     unit weights and matched round counts the distance maps coincide.
+  *
+  * Usage: graft.CrossCheck <sfDir> [key1,key2,...]
+  * Prints one PASS/FAIL line per key; exit 1 on any FAIL.
+  */
+object CrossCheck {
+
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val os = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    os.select(col("ok"), col("p").as("s1"))
+      .join(os.select(col("ok"), col("p").as("s2")), "ok")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select("s1", "s2")
+  }
+
+  /** Transposed-gather pagerank: same picorank grid, contributions summed
+    * from the in-neighbor side of a REVERSED edge frame.
+    */
+  private def pagerankGather(s: SparkSession, dir: String): DataFrame = {
+    val SuppOffset = 1000000000000L
+    val e0 = Tables
+      .lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("sp"))
+      .distinct()
+    val edges = e0
+      .select(col("c").as("src"), col("sp").as("dst"))
+      .unionByName(e0.select(col("sp").as("src"), col("c").as("dst")))
+    // reversed view: one row per (receiver, in-neighbor)
+    val inb = edges.select(col("dst").as("node"), col("src").as("nbr"))
+    val deg = edges.groupBy(col("src").as("nbr")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes
+      .crossJoin(broadcast(nn))
+      .select(col("node"), expr("1000000000000 div n").as("pico"), col("n"))
+    for (_ <- 1 to 3) {
+      val contrib = inb
+        .join(deg, "nbr")
+        .join(ranks.select(col("node").as("nbr"), col("pico")), "nbr")
+        .groupBy("node")
+        .agg(sum(expr("pico div deg")).as("m"))
+      ranks = ranks
+        .select("node", "n")
+        .join(contrib, Seq("node"), "left")
+        .select(
+          col("node"),
+          (expr("150000000000 div n") + expr("(17 * coalesce(m, 0)) div 20")).as("pico"),
+          col("n"),
+        )
+    }
+    ranks
+      .select(
+        col("node"),
+        when(col("node") >= SuppOffset, "supplier").otherwise("customer").as("node_type"),
+        col("pico").as("rank_pico"),
+        (col("pico") / lit(1e12)).as("rank"),
+      )
+  }
+
+  /** Id-ordered triangle enumeration: orient every support-2 edge from its
+    * lower part id, wedges from out-edges, probe the closing edge.
+    */
+  private def trianglesIdOrder(s: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairs(s, dir) // s1 < s2 already: the orientation
+    val deg = pairs
+      .select(col("s1").as("node"))
+      .unionByName(pairs.select(col("s2").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    val wedges = pairs
+      .select(col("s1").as("src"), col("s2").as("x"))
+      .join(pairs.select(col("s1").as("src"), col("s2").as("y")), "src")
+      .filter(col("x") < col("y"))
+    val tri = wedges
+      .join(pairs.select(col("s1").as("x"), col("s2").as("y")), Seq("x", "y"))
+      .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))
+    val tn = tri
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_tri"))
+    deg
+      .join(tn, Seq("node"), "left")
+      .select(
+        col("node").as("partkey"),
+        col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(
+          when(
+            col("deg") >= 2,
+            (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") / (col("deg") * (col("deg") - 1)),
+          ).otherwise(0.0),
+          4,
+        ).as("clustering"),
+      )
+  }
+
+  /** Window-degree, anti-join-pruned 3-round peel of the same k=3 core. */
+  private def kcoreAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairs(s, dir)
+    var e = pairs
+      .select(col("s1").as("u"), col("s2").as("v"))
+      .unionByName(pairs.select(col("s2").as("u"), col("s1").as("v")))
+      .localCheckpoint(false)
+    for (r <- 1 to 3) {
+      val degW = Window.partitionBy("u")
+      val drop = e
+        .withColumn("deg", count(lit(1)).over(degW))
+        .filter(col("deg") < 3)
+        .select("u")
+        .distinct()
+      val pruned = e
+        .join(drop, Seq("u"), "left_anti")
+        .join(drop.select(col("u").as("v")), Seq("v"), "left_anti")
+        .select("u", "v")
+      e = if (r < 3) pruned.localCheckpoint(false) else pruned
+    }
+    e.groupBy("u").agg(count(lit(1)).as("deg")).select(col("u").as("node"), col("deg"))
+  }
+
+  /** Frontier BFS to 3 levels over the same graph/seed definition. */
+  private def hopsFrontierBfs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairs(s, dir)
+    val edges = pairs
+      .select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
+      .localCheckpoint(false)
+    val nodes = edges.select(col("dst").as("node")).distinct()
+    val seeds = Tables.part(s, dir).filter(col("p_size") === 1).select(col("p_partkey").as("node"))
+    var frontier = nodes.join(seeds, Seq("node"), "left_semi").localCheckpoint(false)
+    var visited = frontier.withColumn("dist", lit(0L)).localCheckpoint(false)
+    for (level <- 1 to 3) {
+      val next = edges
+        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      visited = visited.unionByName(next.withColumn("dist", lit(level.toLong))).localCheckpoint(false)
+      frontier = next
+    }
+    val dist = nodes
+      .join(visited, Seq("node"), "left")
+      .select(col("node"), coalesce(col("dist"), lit(99L)).as("dist"))
+    dist
+      .groupBy(col("dist").as("hops"))
+      .agg(count(lit(1)).as("n_parts"), min("node").as("min_part"), max("node").as("max_part"))
+  }
+
+  private def frameDiff(a: DataFrame, b: DataFrame): (Long, Long, Long) = {
+    val cols = a.columns.sorted.map(col)
+    val an = a.select(cols: _*)
+    val bn = b.select(cols: _*)
+    (an.count(), an.exceptAll(bn).count(), bn.exceptAll(an).count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(',').toSet) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val checks: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      ("graph_pagerank", pagerankGather _),
+      ("graph_triangle_count", trianglesIdOrder _),
+      ("graph_kcore", kcoreAntiJoin _),
+      ("graph_shortest_hops", hopsFrontierBfs _),
+    )
+    var failed = false
+    checks
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, alt) =>
+        val t0 = System.nanoTime()
+        val declared = SparkEntry.queries(name)(spark, sfDir)
+        val (n, aNotB, bNotA) = frameDiff(declared, alt(spark, sfDir))
+        val secs = (System.nanoTime() - t0) / 1e9
+        val ok = aNotB == 0 && bNotA == 0 && n > 0
+        if (!ok) failed = true
+        println(
+          f"[crosscheck] $name%-22s ${if (ok) "PASS" else "FAIL"} rows=$n declared-only=$aNotB alt-only=$bNotA (${secs}%.1f s)"
+        )
+      }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

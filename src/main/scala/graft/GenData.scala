@@ -140,7 +140,20 @@ object GenData {
         .as("props"))
   }
 
-  def documents(s: SparkSession, n: Long): DataFrame = {
+  /** `vocabSize = 0` (default): the closed 31-word vocabulary — the r9
+    * mode every published artifact used; byte-identical output. `> 0`:
+    * VOCABULARY-OPEN mode (r10 verdict #3) — words drawn Zipf(s≈1) from a
+    * vocabulary of `vocabSize` ranks via a log-uniform rank draw
+    * (rank = floor(V^u): P(rank ≤ x) = log x / log V ⇒ density ∝ 1/rank,
+    * which IS Zipf s=1), rendered "w<rank>". Real crawl corpora grow
+    * vocabulary with volume (Heaps' law), making per-shingle df sublinear
+    * in corpus size; the closed mode instead saturates a 31-word shingle
+    * space and drives the shingle-pair keys into their Σdf² worst case —
+    * this mode measures the growth law users actually see. Same dup
+    * injection either way ("zzgraftzz" stays out-of-vocab: open-mode
+    * words are all "w"+digits).
+    */
+  def documents(s: SparkSession, n: Long, vocabSize: Long = 0L): DataFrame = {
     val id = col("id")
     // dup structure: ~0.2% exact copies of the previous doc, ~3% near-dups
     // of the previous doc (same words + one appended OOV token → word-set
@@ -159,10 +172,15 @@ object GenData {
     val tid = when(exactDup || nearDup, id - 1).otherwise(id)
     val vocabArr = array(vocab.map(lit): _*)
     val nWords = (pmod(xxhash64(lit("dnw"), tid), lit(91L)) + 10).cast("int")
-    val baseText = concat_ws(" ",
-      transform(sequence(lit(1), nWords),
-        i => element_at(vocabArr,
-          (pmod(xxhash64(lit("dwd"), tid, i), lit(vocab.size.toLong)) + 1).cast("int"))))
+    def word(i: Column): Column =
+      if (vocabSize <= 0)
+        element_at(vocabArr,
+          (pmod(xxhash64(lit("dwd"), tid, i), lit(vocab.size.toLong)) + 1).cast("int"))
+      else
+        // log-uniform rank: floor(V^u) ∈ [1, V-1] for u ∈ [0,1) — Zipf s=1
+        concat(lit("w"),
+          least(lit(vocabSize), floor(pow(lit(vocabSize.toDouble), u("dwd", tid, i))).cast("long")))
+    val baseText = concat_ws(" ", transform(sequence(lit(1), nWords), word(_)))
     val text = when(nearDup && !exactDup, concat(baseText, lit(" zzgraftzz"))).otherwise(baseText)
     s.range(n).select(
       id.as("doc_id"),
@@ -221,7 +239,15 @@ object GenData {
     emit("orders", orders(spark, nOrders, nCust))
     emit("lineitem", lineitem(spark, nOrders, nPart, nSupp))
     emit("events", events(spark, cnt(1000000), cnt(15000)))
-    emit("documents", documents(spark, cnt(50000)))
+    // SPARK_GRAFT_VOCAB_OPEN=1 → vocabulary-open documents: vocab ∝ sf
+    // (20k ranks at sf1), the realistic sublinear-df regime for the
+    // shingle-pair growth study. Default (unset) stays byte-identical to
+    // every published artifact.
+    val openV =
+      if (sys.env.get("SPARK_GRAFT_VOCAB_OPEN").contains("1"))
+        math.max(31L, (20000 * sf).toLong)
+      else 0L
+    emit("documents", documents(spark, cnt(50000), openV))
     emit("embeddings", embeddings(spark, cnt(20000)))
     spark.stop()
   }

@@ -207,6 +207,15 @@ object IvfAnn {
     * metadata class as the cluster loop's fixpoint sum), seeds = the K
     * smallest vec_ids, [[GridIters]] integer Lloyd steps.
     *
+    * `probes` (r11, the multi-probe refinement): the FINAL assignment
+    * routes each vector to its `probes` nearest cells (ties → lower cid),
+    * one output row per (vector, cell). Training always single-assigns —
+    * multi-probe is a candidate-generation refinement, not a different
+    * quantizer — so probes > 1 changes recall (boundary pairs whose
+    * members share a 2nd-nearest cell become candidates) without touching
+    * the trained centroids. Candidate volume scales ×probes² worst case,
+    * still linear in n at fixed occupancy.
+    *
     * Assignment runs through the codegen'd [[graft.functions.L2Dist2]]
     * kernel over ARRAY-form integer grids — an n·K-row join with d fused
     * ops per row. The first cut reused the long-form per-dim join
@@ -219,7 +228,7 @@ object IvfAnn {
     * centroid side: K grows with the corpus, so whether K arrays still
     * broadcast is AQE's size-based call, not a hardcoded promise.
     */
-  private[ops] def gridCellsOf(e: DataFrame, target: Long = CellTarget): DataFrame = {
+  private[ops] def gridCellsOf(e: DataFrame, target: Long = CellTarget, probes: Int = 1): DataFrame = {
     GraftFunctions.register(e.sparkSession)
     val n = e.count()
     val k = math.max(4L, n / target)
@@ -259,7 +268,22 @@ object IvfAnn {
     val cent = (1 to GridIters)
       .foldLeft(c0)((c, _) => step(c))
       .transform(Checkpoints.stable(_))
-    assign(toArrays(cent))
+    if (probes == 1) assign(toArrays(cent))
+    else {
+      // multi-probe final routing: top-`probes` cells per vector. A window
+      // instead of min_by — the scored frame is the same n·K join either
+      // way; the window's per-vector sort is K-bounded.
+      val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
+      e6.crossJoin(toArrays(cent))
+        .select(
+          col("vec_id"),
+          col("cid"),
+          call_function("graft_l2sq", col("x6a"), col("c6a")).as("dist2"),
+        )
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= probes)
+        .select("vec_id", "cid")
+    }
   }
 
   /** DuckDB mirror of [[gridCellsOf]] on the `embeddings` table — a CTE
@@ -269,7 +293,7 @@ object IvfAnn {
     * distances are the kernel's formulation verbatim:
     * list_sum over (a_i − b_i)² in index order, exact integers.
     */
-  private[ops] def gridCellsCteSql(target: Long = CellTarget): String = {
+  private[ops] def gridCellsCteSql(target: Long = CellTarget, probes: Int = 1): String = {
     val dist2 = "CAST(list_sum(list_transform(range(1, len(e.x6a) + 1), " +
       "i -> (e.x6a[i] - c.c6a[i]) * (e.x6a[i] - c.c6a[i]))) AS BIGINT)"
     def step(cIn: String, out: String): String =
@@ -296,7 +320,7 @@ object IvfAnn {
       "ca_c2 AS (SELECT cid, list(c6 ORDER BY dim) AS c6a FROM c2 GROUP BY cid), " +
       s"d_fin AS (SELECT e.vec_id, c.cid, $dist2 AS dist2 FROM e6 e, ca_c2 c), " +
       "cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d_fin) WHERE rn = 1)"
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d_fin) WHERE rn <= $probes)"
   }
 
   /** Exact grid k-means training: seed centroids = the k smallest vec_ids

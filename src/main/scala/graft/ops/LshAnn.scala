@@ -124,8 +124,34 @@ object LshAnn {
   private val Bits = 4
   private val Dim = 64
 
-  /** The declared parameterization, shared with dedup_semantic. */
+  /** The declared parameterization of sim_ann_lsh (probe-vs-corpus top-k:
+    * candidate volume is |probes|-bounded, so fixed bits are fine there).
+    */
   private[ops] def defaultPlanes: Array[Array[Array[Double]]] = hyperplanes(NTables, Bits, Dim)
+
+  /** Per-table bucket occupancy target for CORPUS-WIDE pair generation
+    * (dedup_semantic): bits must grow with the corpus or candidates grow
+    * ∝ n²/2^bits (the r10 sf1 study measured the fixed-4-bit path at
+    * 2097× shuffle on 10× rows). At n/2^bits ≈ [[LshBitsTarget]] the
+    * same-bucket pair count is ≈ tables·n·target/2 — LINEAR in n.
+    */
+  private[ops] val LshBitsTarget = 128L
+
+  /** Smallest bit count in [4, 24] with n ≤ target·2^bits — pure integer
+    * comparison (no log2 double that the two engines could round apart),
+    * mirrored verbatim in [[lshBucketsCteDynamicSql]]'s `nbits` CTE. The
+    * fixture scales: n ≤ 2048 → 4 bits (sf ≤ 0.1 unchanged vs the fixed
+    * parameterization), n = 20k (sf1) → 8 bits.
+    */
+  private[ops] def dynamicBits(n: Long): Int =
+    (4 to 24).find(b => n <= (LshBitsTarget << b)).getOrElse(24)
+
+  /** Dynamic-bits planes for corpus-wide pair generation ([[dynamicBits]]
+    * tables the same [[hyperplanes]] Rademacher construction — a bits=4
+    * corpus sees byte-identical planes to [[defaultPlanes]]).
+    */
+  private[ops] def dynamicPlanes(n: Long): Array[Array[Array[Double]]] =
+    hyperplanes(NTables, dynamicBits(n), Dim)
 
   private def simAnnLsh(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val e = graft.Tables.embeddings(s, dir)
@@ -160,22 +186,44 @@ object LshAnn {
     */
   private[ops] val BucketOccupancyCap = 100000L
 
-  /** Shared CTE chain ending in `b(vec_id, tb, bucket)` plus
-    * `okb(tb, bucket)` (the occupancy-capped cells) — the SQL mirror of
-    * [[bucketize]] under [[hyperplanes]]. Reused by dedup_semantic's oracle
-    * so the bucket definition cannot drift between the two declared keys.
-    */
-  private[ops] val lshBucketsCteSql: String =
-    s"comps AS (SELECT t.range AS tb, j.range AS bit, d.range AS dim, " +
-      "CASE WHEN ('0x' || substr(md5('lshp#' || t.range || '#' || j.range || '#' || d.range), 1, 1))::INT % 2 = 0 " +
-      "THEN 1.0 ELSE -1.0 END AS w " +
-      s"FROM range($NTables) t, range($Bits) j, range($Dim) d), " +
-      "planes AS (SELECT tb, bit, list(w ORDER BY dim) AS plane FROM comps GROUP BY 1, 2), " +
+  // component → plane → bucket → cap chain shared by the fixed-bits and
+  // dynamic-bits mirrors (everything downstream of the comps CTE is
+  // bits-agnostic)
+  private def lshBucketsTailSql(cap: Long): String =
+    "planes AS (SELECT tb, bit, list(w ORDER BY dim) AS plane FROM comps GROUP BY 1, 2), " +
       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "dots AS (SELECT vec_id, tb, bit, list_dot_product(v, plane) AS dot FROM e CROSS JOIN planes), " +
       "b AS (SELECT vec_id, tb, CAST(sum(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket " +
       "FROM dots GROUP BY 1, 2), " +
-      s"okb AS (SELECT tb, bucket FROM b GROUP BY 1, 2 HAVING count(*) <= $BucketOccupancyCap)"
+      s"okb AS (SELECT tb, bucket FROM b GROUP BY 1, 2 HAVING count(*) <= $cap)"
+
+  private val compsSelect =
+    "SELECT t.range AS tb, j.range AS bit, d.range AS dim, " +
+      "CASE WHEN ('0x' || substr(md5('lshp#' || t.range || '#' || j.range || '#' || d.range), 1, 1))::INT % 2 = 0 " +
+      "THEN 1.0 ELSE -1.0 END AS w "
+
+  /** Shared CTE chain ending in `b(vec_id, tb, bucket)` plus
+    * `okb(tb, bucket)` (the occupancy-capped cells) — the SQL mirror of
+    * [[bucketize]] under [[hyperplanes]] at the fixed sim_ann_lsh
+    * parameterization.
+    */
+  private[ops] val lshBucketsCteSql: String =
+    s"comps AS ($compsSelect FROM range($NTables) t, range($Bits) j, range($Dim) d), " +
+      lshBucketsTailSql(BucketOccupancyCap)
+
+  /** Dynamic-bits mirror of the same chain for corpus-wide pair generation
+    * (dedup_semantic): bit count = [[dynamicBits]] of the embeddings count,
+    * computed by the `nbits` CTE with the identical integer comparison, and
+    * a caller-chosen (tighter) occupancy cap. `range(24)` enumerates the
+    * maximum bit budget; the `j.range < bits` filter selects the active
+    * prefix — same planes, same packing as the Scala side.
+    */
+  private[ops] def lshBucketsCteDynamicSql(cap: Long): String =
+    s"nbits AS (SELECT min(b.range) AS bits FROM range(4, 25) b " +
+      s"WHERE (SELECT count(*) FROM embeddings) <= $LshBitsTarget * (1 << b.range)), " +
+      s"comps AS ($compsSelect FROM range($NTables) t, range(24) j, range($Dim) d " +
+      "WHERE j.range < (SELECT bits FROM nbits)), " +
+      lshBucketsTailSql(cap)
 
   private val simAnnLshSql =
     s"WITH $lshBucketsCteSql, " +

@@ -7,15 +7,29 @@ import org.apache.spark.sql.functions._
 
 /** SemDeDup — semantic (embedding-space) deduplication, the r6 verdict's
   * stretch goal: cluster vectors whose cosine exceeds a threshold and keep
-  * one representative per cluster. Composes three machines this repo
-  * already trusts, end to end:
+  * one representative per cluster. Composes machines this repo already
+  * trusts, end to end:
   *
-  *   1. CANDIDATES from the Rademacher sign-LSH bucket join
-  *      ([[LshAnn.bucketize]] under [[LshAnn.defaultPlanes]]) — the 100 TB
-  *      path: never corpus², work bounded by bucket occupancy; recall of
-  *      the banding is the LshSpec concern, and because both engines
-  *      regenerate identical planes the candidate set is part of the
-  *      cross-engine CONTRACT, not an approximation left untested.
+  *   1. CANDIDATES, two linear families UNIONED (r11 — the r10 sf1 study
+  *      measured the original fixed-16-bucket sign-LSH path at 2097×
+  *      shuffle on 10× rows, structurally ∝ n²/2^bits; both replacements
+  *      keep candidates linear in n):
+  *      (a) same-cell pairs under the dynamic-K grid k-means cells
+  *          ([[IvfAnn.gridCellsOf]]) — K grows with n at fixed occupancy,
+  *          so within-cell pairs are ≈ n·occupancy/2. This is the
+  *          SemDeDup-paper shape and carries the bulk of recall on
+  *          clustered mass;
+  *      (b) same-bucket pairs under DYNAMIC-BITS Rademacher sign-LSH
+  *          ([[LshAnn.dynamicPlanes]]: bits grow with log2(n), so per-table
+  *          bucket occupancy is pinned at [[LshAnn.LshBitsTarget]] and
+  *          pairs are ≈ tables·n·target/2), with a [[SemLshCap]] occupancy
+  *          cap as the hard linear bound on hub buckets. The LSH family is
+  *          the BOUNDARY REPAIR: a true pair cut by a k-means cell border
+  *          still collides in ≥1 table with the sign-LSH probability law
+  *          (~0.94 at cosine 0.9 under 8 bits), data-independently.
+  *      Both engines regenerate identical planes and identical centroids,
+  *      so the candidate set is part of the cross-engine CONTRACT, not an
+  *      approximation left untested.
   *   2. EDGES by exact re-verify: raw native dot ≥ threshold (the
   *      dedup_embedding gate — unrounded, bit-identical cross-engine by
   *      the DotProduct law), so precision is 1 regardless of banding.
@@ -26,7 +40,7 @@ import org.apache.spark.sql.functions._
   *
   * Output is the per-vector manifest (vec_id, cluster_id, kept): exactly
   * what a training pipeline joins against to drop semantic near-dups.
-  * The oracle mirrors all three stages — LSH buckets, exact edges, then a
+  * The oracle mirrors all stages — cells, LSH buckets, exact edges, then a
   * recursive-CTE min-reachable-id — so the whole SemDeDup path hash-checks.
   */
 object SemDedup {
@@ -36,32 +50,47 @@ object SemDedup {
     */
   private[graft] val SemThreshold = 0.4
 
-  /** LSH-candidate pairs that pass the exact-dot gate (id_a < id_b), over
-    * an arbitrary (vec_id, embedding) frame. The cap parameter exists so
-    * SemDedupSpec can exercise the over-cap exclusion path with a synthetic
-    * hub bucket (the production cap of 100k is unreachable at test sf);
-    * every production caller uses the default.
+  /** Occupancy cap on the LSH candidate family — much tighter than the ANN
+    * probe path's 100k ([[LshAnn.BucketOccupancyCap]]) because this family
+    * generates CORPUS-WIDE pairs: a bucket of occupancy c contributes c²/2
+    * candidate pairs, so the cap is the hard linear bound
+    * (≤ tables·n·cap/2 pairs no matter how the data clusters). Dynamic
+    * bits pin the AVERAGE occupancy at [[LshAnn.LshBitsTarget]] = 128; a
+    * bucket 4× over that average is a dense near-identical hub whose pairs
+    * the cell family recovers (identical vectors share a cell), so
+    * dropping it costs recall only on content the other family covers.
+    */
+  private[graft] val SemLshCap = 512L
+
+  /** Dynamic-bits LSH-candidate pairs that pass the exact-dot gate
+    * (id_a < id_b), over an arbitrary (vec_id, embedding) frame. The cap
+    * parameter exists so SemDedupSpec can exercise the over-cap exclusion
+    * path with a synthetic hub bucket; every production caller uses the
+    * default. Bit count = [[LshAnn.dynamicBits]] of the frame's row count
+    * (a one-scalar driver count, the gridCellsOf idiom) — at fixture
+    * scales ≤ sf0.1 this is 4 bits, byte-identical to the pre-r11 fixed
+    * parameterization; at sf1 it is 8 bits and candidate growth stays on
+    * the linear law (measured in PERF.md's r11 table).
     *
-    * End-to-end recall law (SemDedupSpec, sf0.001): with 8 tables × 4 bits,
-    * a ≥ [[SemThreshold]]-cosine pair collides in at least one table with
-    * p = 1-(1-(1-θ/π)⁴)⁸ ≈ 0.75 at cos = 0.4, rising steeply with cosine
-    * (≈ 0.95 at 0.7, ≈ 1 at 0.9) — measured 0.712 overall and ~1 on the
-    * ≥ 0.65 band at sf0.001. The pinned floors are ≥ 0.6 overall and
-    * ≥ 0.85 on the strong band: borderline-threshold pairs are the
-    * documented banding trade-off, while the near-identical content the
-    * deduper exists for is recovered nearly losslessly. Precision is
-    * exactly 1 because every candidate is re-verified with the exact dot.
+    * Recall law (SemDedupSpec, sf0.001, where bits = 4): a
+    * ≥ [[SemThreshold]]-cosine pair collides in at least one of 8 tables
+    * with p = 1-(1-(1-θ/π)⁴)⁸ ≈ 0.75 at cos = 0.4, rising steeply with
+    * cosine (≈ 0.95 at 0.7, ≈ 1 at 0.9) — measured 0.712 overall and ~1 on
+    * the ≥ 0.65 band. As bits grow the per-pair collision probability
+    * falls — the documented reason this family is the boundary REPAIR of
+    * the hybrid candidate set, not its bulk carrier. Precision is exactly
+    * 1 because every candidate is re-verified with the exact dot.
     */
   private[graft] def semanticPairsOf(
       e: DataFrame,
-      cap: Long = LshAnn.BucketOccupancyCap,
+      cap: Long = SemLshCap,
   ): DataFrame = {
     GraftFunctions.register(e.sparkSession)
     val bk0 = LshAnn.bucketize(
       e.select(col("vec_id"), col("embedding").as("v")),
       "vec_id",
       "v",
-      LshAnn.defaultPlanes,
+      LshAnn.dynamicPlanes(e.count()),
     )
     // occupancy cap (LshAnn.BucketOccupancyCap): overfull cells leave the
     // self-join — the ANN family's hub cap, mirrored in the oracle's okb.
@@ -102,11 +131,24 @@ object SemDedup {
   private[graft] def semanticPairs(s: SparkSession, dir: String): DataFrame =
     semanticPairsOf(Tables.embeddings(s, dir))
 
+  /** The declared hybrid edge set: verified pairs from BOTH linear
+    * candidate families (cells ∪ dynamic-bits LSH), distinct'd after the
+    * exact verify — the distinct runs on the tiny edge set, never on the
+    * candidate volume (the r10 late-distinct rule).
+    */
+  private[graft] def hybridSemanticPairsOf(e: DataFrame): DataFrame =
+    semanticPairsOf(e)
+      .unionByName(ivfSemanticPairsOf(e, probes = 1))
+      .distinct()
+
+  private[graft] def hybridSemanticPairs(s: SparkSession, dir: String): DataFrame =
+    hybridSemanticPairsOf(Tables.embeddings(s, dir))
+
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val lab = MinHashDedup.clusters(
       e.select(col("vec_id").as("doc_id")),
-      semanticPairs(s, dir),
+      hybridSemanticPairs(s, dir),
     )
     lab
       .select(
@@ -118,11 +160,14 @@ object SemDedup {
   }
 
   private val dedupSemanticSql =
-    s"WITH RECURSIVE ${LshAnn.lshBucketsCteSql}, " +
-      "cand AS (SELECT DISTINCT pa.vec_id AS id_a, pb.vec_id AS id_b " +
+    s"WITH RECURSIVE ${LshAnn.lshBucketsCteDynamicSql(SemLshCap)}, " +
+      s"${IvfAnn.gridCellsCteSql()}, " +
+      "cand AS (SELECT pa.vec_id AS id_a, pb.vec_id AS id_b " +
       "FROM b pa JOIN b pb ON pa.tb = pb.tb AND pa.bucket = pb.bucket AND pa.vec_id < pb.vec_id " +
-      "JOIN okb ON okb.tb = pa.tb AND okb.bucket = pa.bucket), " +
-      "edges0 AS (SELECT id_a, id_b FROM cand " +
+      "JOIN okb ON okb.tb = pa.tb AND okb.bucket = pa.bucket " +
+      "UNION ALL SELECT ca.vec_id, cb.vec_id FROM cells ca " +
+      "JOIN cells cb ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id), " +
+      "edges0 AS (SELECT DISTINCT id_a, id_b FROM cand " +
       "JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b " +
       s"WHERE list_dot_product(ea.v, eb.v) >= $SemThreshold), " +
       "edges AS (SELECT id_a AS a, id_b AS bb FROM edges0 UNION ALL SELECT id_b, id_a FROM edges0), " +
@@ -133,21 +178,35 @@ object SemDedup {
       "coalesce(m.cid, e.vec_id) = e.vec_id AS kept " +
       "FROM e LEFT JOIN m ON e.vec_id = m.node ORDER BY vec_id"
 
+  /** Probe count of the declared dedup_semantic_ivf key (r11, the judge's
+    * multi-probe refinement): each vector routes to its 2 nearest cells
+    * for candidate generation, so boundary pairs sharing a 2nd-nearest
+    * cell become candidates. Training unchanged; candidates still linear.
+    */
+  private[graft] val IvfProbes = 2
+
   /** IVF-bucketed semantic pairs over an arbitrary (vec_id, embedding)
     * frame: exact-dot-verified same-cell pairs under the dynamic-K grid
     * k-means ([[IvfAnn.gridCellsOf]]). Approximate like the sign-LSH path —
     * but by WITHIN-CELL restriction (the SemDeDup-paper shape) instead of
-    * bucket collision, so candidate volume is ≈ n·occupancy/2, LINEAR in
-    * the corpus at fixed target occupancy where the LSH path grows
-    * ∝ n²/2^bits (r10 sf1 growth study: 2452 MB vs the linear keys' ~10×).
-    * Precision is 1 (every candidate exactly re-verified); recall loses
-    * only cross-cell pairs (SemDedupSpec pins the floor on clustered
-    * synthetic data).
+    * bucket collision, so candidate volume is ≈ n·occupancy·probes²/2,
+    * LINEAR in the corpus at fixed target occupancy where the old
+    * fixed-bucket LSH path grew ∝ n²/2^bits (r10 sf1 growth study:
+    * 2452 MB vs the linear keys' ~10×). Precision is 1 (every candidate
+    * exactly re-verified); recall loses only pairs with no shared routed
+    * cell (SemDedupSpec pins the floors on clustered synthetic data, for
+    * probes = 1 and the multi-probe lift). The distinct runs AFTER the
+    * verify (a pair can share up to probes² cells) — on the tiny edge
+    * set, never the candidate volume.
     */
-  private[graft] def ivfSemanticPairsOf(e: DataFrame, target: Long = IvfAnn.CellTarget): DataFrame = {
+  private[graft] def ivfSemanticPairsOf(
+      e: DataFrame,
+      target: Long = IvfAnn.CellTarget,
+      probes: Int = IvfProbes,
+  ): DataFrame = {
     GraftFunctions.register(e.sparkSession)
-    val cells = IvfAnn.gridCellsOf(e, target)
-    cells
+    val cells = IvfAnn.gridCellsOf(e, target, probes)
+    val raw = cells
       .select(col("vec_id").as("id_a"), col("cid"))
       .join(cells.select(col("vec_id").as("id_b"), col("cid")), "cid")
       .filter(col("id_a") < col("id_b"))
@@ -155,11 +214,13 @@ object SemDedup {
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
       .filter(Vectors.nativeDot(col("va"), col("vb")) >= SemThreshold)
       .select("id_a", "id_b")
+    if (probes == 1) raw else raw.distinct()
   }
 
-  /** The 100 TB semantic-dedup path: same manifest contract as
+  /** The pure-cells semantic-dedup path: same manifest contract as
     * dedup_semantic (vec_id, cluster_id, kept), with candidates from
-    * dynamic-K k-means cells instead of sign-LSH buckets. Training is
+    * dynamic-K k-means cells only — multi-probed to the [[IvfProbes]]
+    * nearest cells per vector (r11) to recover boundary pairs. Training is
     * fused into the key (like sim_ann_ivf) so the whole path — integer
     * Lloyd included — hash-checks against the oracle with zero session
     * state.
@@ -180,11 +241,11 @@ object SemDedup {
   }
 
   private val dedupSemanticIvfSql =
-    s"WITH RECURSIVE ${IvfAnn.gridCellsCteSql()}, " +
+    s"WITH RECURSIVE ${IvfAnn.gridCellsCteSql(probes = IvfProbes)}, " +
       "cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM cells a " +
       "JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id), " +
       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-      "edges0 AS (SELECT id_a, id_b FROM cand " +
+      "edges0 AS (SELECT DISTINCT id_a, id_b FROM cand " +
       "JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b " +
       s"WHERE list_dot_product(ea.v, eb.v) >= $SemThreshold), " +
       "edges AS (SELECT id_a AS a, id_b AS bb FROM edges0 UNION ALL SELECT id_b, id_a FROM edges0), " +

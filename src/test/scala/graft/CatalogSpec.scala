@@ -322,7 +322,7 @@ class CatalogSpec extends SparkSpec {
       "one keeper per cluster",
     )
     // both endpoints of every verified semantic edge land in one cluster
-    val pairs = ops.SemDedup.semanticPairs(spark, sfDir)
+    val pairs = ops.SemDedup.hybridSemanticPairs(spark, sfDir)
     assert(pairs.count() > 0, "fixture must contain semantic near-dups for the op to have work")
     val byA = ds.select(col("vec_id").as("id_a"), col("cluster_id").as("ca"))
     val byB = ds.select(col("vec_id").as("id_b"), col("cluster_id").as("cb"))

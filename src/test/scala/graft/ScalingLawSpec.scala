@@ -50,7 +50,8 @@ class ScalingLawSpec extends SparkSpec {
     "sample_token_budget" -> "segmented ScaleRank token fill: one row-grain range exchange (linear); budgets must stay a |langs| broadcast",
     "corpus_cluster_mix" -> "broadcast-centroid assignment: exchange is ~k rows per vector after map-side combine, linear with constant k",
     "dedup_incremental_minhash" -> "shard-vs-manifest near-dup: cost must track the batch (signatures + bucket equi-join), never re-scan the seen corpus",
-    "dedup_semantic_ivf" -> "dynamic-K cell dedup: K grows with n so same-cell candidates stay ~n*occupancy and the kernel assignment ~n*K rows — THE designed-linear answer to the sign-LSH path's measured n^2/2^bits growth (r10 sf1 study)",
+    "dedup_semantic_ivf" -> "dynamic-K cell dedup: K grows with n so same-cell candidates stay ~n*occupancy and the kernel assignment ~n*K rows — THE designed-linear answer to the sign-LSH path's measured n^2/2^bits growth (r10 sf1 study); r11 multi-probe (p=2) scales candidates by a constant probes^2, not by n",
+    "dedup_semantic" -> "r11 hybrid candidates (cells + dynamic-bits LSH): both families linear by construction — the r10 fixed-bucket path this replaced measured 2097x shuffle on 10x rows at sf1, the exact failure this gate exists to catch",
     "tokenizer_bpe_vocab" -> "K-round BPE train: per-round exchanges at vocabulary/pair grain; merge itself is a narrow map, so corpus growth reaches only the one wf aggregation",
   )
 

@@ -78,11 +78,57 @@ class SemDedupSpec extends SparkSpec {
     val (strong, nStrong) = recallIn(0.65)
     info(s"IVF recall overall = $all ($nAll pairs), strong band >=0.65 = $strong ($nStrong pairs)")
     // Within-cell restriction is the SemDeDup-paper approximation: pairs
-    // straddling a cell boundary are the documented loss. Floors pinned
-    // from the sf0.001 measurement with margin; the strong band (the
+    // straddling a cell boundary are the documented loss. r11: the
+    // declared key multi-probes (p=2), which recovers most boundary pairs
+    // — measured 0.9167 at sf0.001 (was 0.52 single-probe, the r10
+    // floor). Floors pinned with margin; the strong band (the
     // near-identical content the deduper exists for) must stay high.
-    assert(all >= 0.35, s"overall IVF recall $all below floor ($nAll true pairs)")
-    assert(strong >= 0.7, s"strong-band IVF recall $strong below floor ($nStrong pairs)")
+    assert(all >= 0.8, s"overall IVF recall $all below floor ($nAll true pairs)")
+    assert(strong >= 0.8, s"strong-band IVF recall $strong below floor ($nStrong pairs)")
+  }
+
+  test("multi-probe (p=2) IVF recall: measured lift over single-probe, floors pinned") {
+    // r10 verdict #5: the declared dedup_semantic_ivf key routes every
+    // vector to its 2 nearest cells; this pins the recall LIFT that buys
+    // over the single-probe r10 baseline on the same trained centroids.
+    val truth = truthWithSim
+    assert(truth.nonEmpty)
+    def recallOf(probes: Int): Double = {
+      val got = SemDedup
+        .ivfSemanticPairsOf(emb.select(col("vec_id"), col("embedding")), probes = probes)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert((got -- truth.keySet).isEmpty, "precision must stay exactly 1")
+      truth.keySet.count(got.contains).toDouble / truth.size
+    }
+    val r1 = recallOf(1)
+    val r2 = recallOf(2)
+    info(s"IVF recall single-probe = $r1, multi-probe p=2 = $r2 (${truth.size} true pairs)")
+    assert(r2 >= r1, "multi-probe candidates are a superset of single-probe on shared centroids")
+    // measured sf0.001: p1 ~0.52 (the r10-recorded floor), p2 = 0.9167 —
+    // boundary pairs recovered through the shared 2nd-nearest cell
+    assert(r2 >= 0.8, s"multi-probe recall $r2 below the 0.8 floor")
+    assert(r2 - r1 >= 0.15, s"multi-probe lift ${r2 - r1} collapsed (p1=$r1, p2=$r2)")
+  }
+
+  test("hybrid pairs (dedup_semantic edge set): superset of both families, floor pinned") {
+    val truth = truthWithSim
+    assert(truth.nonEmpty)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairsOf(SemDedup.semanticPairsOf(e))
+    val cells = pairsOf(SemDedup.ivfSemanticPairsOf(e, probes = 1))
+    val hybrid = pairsOf(SemDedup.hybridSemanticPairsOf(e))
+    assert(hybrid == (lsh ++ cells), "hybrid must be exactly the union of the two families")
+    assert((hybrid -- truth.keySet).isEmpty, "precision must stay exactly 1")
+    val rec = truth.keySet.count(hybrid.contains).toDouble / truth.size
+    val recLsh = truth.keySet.count(lsh.contains).toDouble / truth.size
+    val recCells = truth.keySet.count(cells.contains).toDouble / truth.size
+    info(s"hybrid recall = $rec (lsh-only = $recLsh, cells-only = $recCells)")
+    assert(rec >= math.max(recLsh, recCells), "union recall dominates both families")
+    assert(rec >= 0.8, s"hybrid recall $rec below the 0.8 floor")
   }
 
   test("over-cap hub bucket: its pairs are excluded, the rest keep their recall") {
