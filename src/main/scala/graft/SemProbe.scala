@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev instrument (not part of the driver contract): decompose the
+  * dedup_semantic / dedup_semantic_ivf candidate pipelines at a given sf —
+  * bucket/cell occupancy distributions and per-family candidate + edge
+  * counts — to attribute shuffle mass to a stage before tuning caps or
+  * probes. Usage: runMain graft.SemProbe <sfDir>
+  */
+object SemProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val bits = ops.LshAnn.dynamicBits(n)
+    println(s"[semprobe] n=$n bits=$bits")
+
+    // LSH bucket occupancy
+    val bk = ops.LshAnn.bucketize(
+      e.select(col("vec_id"), col("embedding").as("v")), "vec_id", "v",
+      ops.LshAnn.dynamicPlanes(n))
+    val occ = bk.groupBy("table", "bucket").agg(count(lit(1)).as("occ"))
+    occ
+      .agg(
+        count(lit(1)).as("cells"),
+        max("occ").as("max_occ"),
+        expr("percentile_approx(occ, 0.5)").as("p50"),
+        expr("percentile_approx(occ, 0.99)").as("p99"),
+        sum(expr("occ * (occ - 1) / 2")).as("pairs_uncapped"),
+        sum(expr("CASE WHEN occ <= 512 THEN occ * (occ - 1) / 2 ELSE 0 END")).as("pairs_cap512"),
+      )
+      .collect()
+      .foreach(r => println(s"[semprobe] lsh buckets: $r"))
+
+    // cell occupancy (single and multi-probe)
+    for (p <- Seq(1, 2)) {
+      val cells = ops.IvfAnn.gridCellsOf(e, probes = p)
+      val co = cells.groupBy("cid").agg(count(lit(1)).as("occ"))
+      co.agg(
+        count(lit(1)).as("cells"),
+        max("occ").as("max_occ"),
+        expr("percentile_approx(occ, 0.5)").as("p50"),
+        sum(expr("occ * (occ - 1) / 2")).as("pairs"),
+      ).collect()
+        .foreach(r => println(s"[semprobe] ivf cells probes=$p: $r"))
+    }
+
+    // verified edge counts per family
+    val lshPairs = ops.SemDedup.semanticPairsOf(e).count()
+    val cellPairs1 = ops.SemDedup.ivfSemanticPairsOf(e, probes = 1).count()
+    val cellPairs2 = ops.SemDedup.ivfSemanticPairsOf(e, probes = 2).count()
+    println(s"[semprobe] verified edges: lsh=$lshPairs cells_p1=$cellPairs1 cells_p2=$cellPairs2")
+    spark.stop()
+  }
+}

@@ -228,7 +228,7 @@ object IvfAnn {
     * centroid side: K grows with the corpus, so whether K arrays still
     * broadcast is AQE's size-based call, not a hardcoded promise.
     */
-  private[ops] def gridCellsOf(e: DataFrame, target: Long = CellTarget, probes: Int = 1): DataFrame = {
+  private[graft] def gridCellsOf(e: DataFrame, target: Long = CellTarget, probes: Int = 1): DataFrame = {
     GraftFunctions.register(e.sparkSession)
     val n = e.count()
     val k = math.max(4L, n / target)

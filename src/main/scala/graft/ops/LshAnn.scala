@@ -143,14 +143,14 @@ object LshAnn {
     * fixture scales: n ≤ 2048 → 4 bits (sf ≤ 0.1 unchanged vs the fixed
     * parameterization), n = 20k (sf1) → 8 bits.
     */
-  private[ops] def dynamicBits(n: Long): Int =
+  private[graft] def dynamicBits(n: Long): Int =
     (4 to 24).find(b => n <= (LshBitsTarget << b)).getOrElse(24)
 
   /** Dynamic-bits planes for corpus-wide pair generation ([[dynamicBits]]
     * tables the same [[hyperplanes]] Rademacher construction — a bits=4
     * corpus sees byte-identical planes to [[defaultPlanes]]).
     */
-  private[ops] def dynamicPlanes(n: Long): Array[Array[Array[Double]]] =
+  private[graft] def dynamicPlanes(n: Long): Array[Array[Array[Double]]] =
     hyperplanes(NTables, dynamicBits(n), Dim)
 
   private def simAnnLsh(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {

@@ -32,16 +32,26 @@ import org.apache.spark.sql.functions._
   *      approximation left untested.
   *   2. EDGES by exact re-verify: raw native dot ≥ threshold (the
   *      dedup_embedding gate — unrounded, bit-identical cross-engine by
-  *      the DotProduct law), so precision is 1 regardless of banding.
+  *      the DotProduct law), so precision is 1 regardless of banding. The
+  *      DECLARED keys verify inside a per-block union-find
+  *      ([[blockForestPairsOf]]) that ships only spanning-forest edges
+  *      (≤ occ−1 per block): at a dedup threshold whole clusters sit above
+  *      the gate, so the full verified edge set is DENSE (97% of sf1 cell
+  *      candidates verify — ~8M edges) and shipping it was the r11-measured
+  *      shuffle wall (1467 MB at sf1 → 73 MB with forests).
   *   3. COMPONENTS via the min-label propagation + pointer-jump loop shared
   *      with dedup_clusters ([[MinHashDedup.clusters]], localCheckpoint'd);
-  *      the representative is the min vec_id — deterministic with no
-  *      quality model needed on the embeddings table.
+  *      per-block forests preserve every block subgraph's connectivity, so
+  *      components — and the manifest — are EXACTLY those of the full
+  *      verified edge set (law pinned in SemDedupSpec). The representative
+  *      is the min vec_id — deterministic with no quality model needed.
   *
   * Output is the per-vector manifest (vec_id, cluster_id, kept): exactly
   * what a training pipeline joins against to drop semantic near-dups.
-  * The oracle mirrors all stages — cells, LSH buckets, exact edges, then a
-  * recursive-CTE min-reachable-id — so the whole SemDeDup path hash-checks.
+  * The oracle mirrors the SEMANTICS, not the forest plumbing — cells, LSH
+  * buckets, the full exact-dot edge set, then a recursive-CTE
+  * min-reachable-id — and hash-agrees because forest components equal
+  * full-edge components.
   */
 object SemDedup {
 
@@ -131,10 +141,124 @@ object SemDedup {
   private[graft] def semanticPairs(s: SparkSession, dir: String): DataFrame =
     semanticPairsOf(Tables.embeddings(s, dir))
 
-  /** The declared hybrid edge set: verified pairs from BOTH linear
-    * candidate families (cells ∪ dynamic-bits LSH), distinct'd after the
-    * exact verify — the distinct runs on the tiny edge set, never on the
-    * candidate volume (the r10 late-distinct rule).
+  // ------------------------------------------------------------------
+  // Per-block spanning forests — the r11 shuffle fix for dense truth
+  // ------------------------------------------------------------------
+
+  /** Spanning-forest edges of each block's verified-pair subgraph, via an
+    * in-task incremental union-find over the block's members.
+    *
+    * WHY (r11, measured): linear CANDIDATES are not enough at this
+    * fixture's geometry — at sf1, 97% of same-cell candidate pairs pass
+    * the 0.4-cosine gate (whole label-clusters are mutually similar), so
+    * the VERIFIED edge set is ~8M rows and the cluster loop's edge
+    * exchange inherits it (1467 MB total shuffle). The manifest only
+    * needs the edge set's CONNECTIVITY: if E'_b spans the components of
+    * each block subgraph E_b, then components(∪E'_b) = components(∪E_b)
+    * — any path alternates block edges, and each block edge's endpoints
+    * stay connected inside its block's forest. So the loop can run on
+    * per-block spanning forests (≤ occ−1 edges per block, ≤ |members|
+    * total — LINEAR) and produce the IDENTICAL manifest; the DuckDB
+    * oracle keeps its full verified-edge formulation because the
+    * components agree (equivalence law pinned in SemDedupSpec).
+    *
+    * WHY flatMapGroups (the (d)-tier escape, used deliberately): the
+    * relational formulation must materialize occ² verified rows per
+    * block to learn connectivity; the in-task union-find learns it while
+    * SKIPPING the dot for already-connected pairs (a dense block stops
+    * dotting once it collapses to one component), and ships occ−1 rows.
+    * Occupancy is bounded by [[SemLshCap]] on the LSH side and the
+    * dynamic-K cell target on the IVF side, so a task's worst case is
+    * cap² pair iterations — the same per-block bound the SemDeDup paper
+    * accepts. Emitted edges are actual verified pairs (a union happens
+    * only on a passing dot), so precision stays exactly 1.
+    *
+    * The dot runs in the native kernel's arithmetic — Σ (double)aᵢ ·
+    * (double)bᵢ in index order — so a pair verifies here iff it verifies
+    * in [[Vectors.nativeDot]] / DuckDB's list_dot_product.
+    */
+  private[graft] def blockForestPairsOf(members: DataFrame): DataFrame = {
+    val s = members.sparkSession
+    import s.implicits._
+    members
+      .select(col("bkey"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val m = it.toArray.sortBy(_._2)
+        val parent = Array.tabulate(m.length)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var i = 0
+        while (i < m.length) {
+          var j = i + 1
+          while (j < m.length) {
+            if (find(i) != find(j)) {
+              val a = m(i)._3
+              val b = m(j)._3
+              var acc = 0.0
+              var d = 0
+              while (d < a.length) { acc += a(d).toDouble * b(d).toDouble; d += 1 }
+              if (acc >= SemThreshold) {
+                parent(find(j)) = find(i)
+                out += ((m(i)._2, m(j)._2))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("id_a", "id_b")
+  }
+
+  /** LSH-family block members: (bkey, vec_id, embedding) rows, one per
+    * occupancy-capped (table, bucket) membership. bkey packs table and
+    * bucket into one long (buckets < 2^24 at the 24-bit ceiling).
+    */
+  private def lshBlockMembersOf(e: DataFrame, cap: Long): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
+    val bk0 = LshAnn.bucketize(
+      e.select(col("vec_id"), col("embedding").as("v")),
+      "vec_id",
+      "v",
+      LshAnn.dynamicPlanes(e.count()),
+    )
+    val bk = bk0
+      .withColumn(
+        "occ",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")),
+      )
+      .filter(col("occ") <= cap)
+      .select((col("table").cast("long") * lit(1L << 32) + col("bucket")).as("bkey"), col("vec_id"))
+    bk.join(e, "vec_id").select(col("bkey"), col("vec_id"), col("embedding"))
+  }
+
+  /** Cell-family block members under `probes`-nearest routing; bkeys are
+    * offset past the LSH key space (tables < 8 ⇒ lsh bkeys < 2^35).
+    */
+  private def cellBlockMembersOf(e: DataFrame, probes: Int): DataFrame =
+    IvfAnn
+      .gridCellsOf(e, probes = probes)
+      .select((col("cid") + lit(1L << 40)).as("bkey"), col("vec_id"))
+      .join(e, "vec_id")
+      .select(col("bkey"), col("vec_id"), col("embedding"))
+
+  /** The FULL verified hybrid edge set: pairs from BOTH linear candidate
+    * families (cells ∪ dynamic-bits LSH), distinct'd after the exact
+    * verify. This is the reference semantics (SemDedupSpec recall laws,
+    * the oracle CTE's edge set); the declared key feeds the cluster loop
+    * [[hybridForestPairsOf]] instead — same components, linear edge
+    * volume (at a dedup threshold this set is DENSE, not tiny: whole
+    * clusters verify pairwise).
     */
   private[graft] def hybridSemanticPairsOf(e: DataFrame): DataFrame =
     semanticPairsOf(e)
@@ -144,11 +268,24 @@ object SemDedup {
   private[graft] def hybridSemanticPairs(s: SparkSession, dir: String): DataFrame =
     hybridSemanticPairsOf(Tables.embeddings(s, dir))
 
+  /** Forest-reduced edge set of the declared hybrid: per-block spanning
+    * forests over BOTH candidate families' blocks in ONE flatMapGroups
+    * pass (LSH buckets and single-probe cells are just different bkey
+    * ranges of the same member frame). Components — and therefore the
+    * declared manifest — are exactly those of [[hybridSemanticPairsOf]]
+    * (SemDedupSpec pins the law); the cluster loop's edge exchange drops
+    * from O(|verified pairs|) (dense: ~8M at sf1) to ≤ |block members|
+    * (~n·(tables+probes), linear).
+    */
+  private[graft] def hybridForestPairsOf(e: DataFrame): DataFrame =
+    blockForestPairsOf(
+      lshBlockMembersOf(e, SemLshCap).unionByName(cellBlockMembersOf(e, probes = 1)))
+
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val lab = MinHashDedup.clusters(
       e.select(col("vec_id").as("doc_id")),
-      hybridSemanticPairs(s, dir),
+      hybridForestPairsOf(e.select(col("vec_id"), col("embedding"))),
     )
     lab
       .select(
@@ -225,11 +362,17 @@ object SemDedup {
     * Lloyd included — hash-checks against the oracle with zero session
     * state.
     */
+  /** Forest-reduced edge set of the multi-probe cell family — same
+    * components as [[ivfSemanticPairsOf]] at the declared probes.
+    */
+  private[graft] def ivfForestPairsOf(e: DataFrame): DataFrame =
+    blockForestPairsOf(cellBlockMembersOf(e, probes = IvfProbes))
+
   private def dedupSemanticIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val lab = MinHashDedup.clusters(
       e.select(col("vec_id").as("doc_id")),
-      ivfSemanticPairsOf(e),
+      ivfForestPairsOf(e.select(col("vec_id"), col("embedding"))),
     )
     lab
       .select(

@@ -131,6 +131,39 @@ class SemDedupSpec extends SparkSpec {
     assert(rec >= 0.8, s"hybrid recall $rec below the 0.8 floor")
   }
 
+  test("forest reduction law: per-block spanning forests preserve components exactly") {
+    // r11: the declared keys run the cluster loop on per-block spanning
+    // forests (<= occ-1 edges per bucket/cell) instead of the dense
+    // verified-pair set (97% of sf1 cell candidates pass the 0.4 gate).
+    // The manifests must be IDENTICAL — components(∪ block forests) =
+    // components(∪ block verified subgraphs) — which is also why the
+    // DuckDB oracles keep their full-edge formulation unchanged.
+    import graft.ops.MinHashDedup
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val docs = emb.select(col("vec_id").as("doc_id"))
+    def manifest(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      MinHashDedup
+        .clusters(docs, pairs)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+    assert(
+      manifest(SemDedup.hybridForestPairsOf(e)) == manifest(SemDedup.hybridSemanticPairsOf(e)),
+      "hybrid forest components diverged from full verified pairs",
+    )
+    assert(
+      manifest(SemDedup.ivfForestPairsOf(e)) == manifest(SemDedup.ivfSemanticPairsOf(e)),
+      "ivf forest components diverged from full verified pairs",
+    )
+    // forests are sparse: strictly fewer rows than the dense pair set
+    // whenever any block holds a component bigger than 2 (the sf fixtures
+    // do), and every forest edge is itself a verified pair
+    val forest = SemDedup.hybridForestPairsOf(e).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = SemDedup.hybridSemanticPairsOf(e).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(forest.subsetOf(full), "forest edges must be verified pairs (precision 1)")
+    assert(forest.size <= full.size)
+  }
+
   test("over-cap hub bucket: its pairs are excluded, the rest keep their recall") {
     import spark.implicits._
     // a synthetic hub: 60 clones of one direction — identical vectors share
