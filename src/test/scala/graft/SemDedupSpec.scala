@@ -131,6 +131,53 @@ class SemDedupSpec extends SparkSpec {
     assert(rec >= 0.8, s"hybrid recall $rec below the 0.8 floor")
   }
 
+  test("multi-probe recall at grown K (sf0.1, K=8): floor holds where cells actually split") {
+    // r10 verdict #5's second half: the sf0.001 fixture never grows K past
+    // the 4-cell floor (K = max(4, n/250)), so its recall says nothing
+    // about the regime where cell boundaries actually cut pairs. sf0.1
+    // (n = 2000) is the first fixture with K = 8; brute force is 2M pairs
+    // — cheap. The floor is deliberately below the sf0.001 one: more
+    // cells ⇒ more boundaries ⇒ multi-probe has to work harder.
+    val dir = "/root/testdata/sf0.1"
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val truth = a
+      .crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .filter(Vectors.dot(col("va"), col("vb")) >= SemDedup.SemThreshold)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(truth.nonEmpty)
+    def recallOf(probes: Int): Double = {
+      val got = SemDedup
+        .ivfSemanticPairsOf(e, probes = probes)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert((got -- truth).isEmpty, "precision must stay exactly 1")
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val r1 = recallOf(1)
+    val r2 = recallOf(2)
+    info(s"sf0.1 (K=8) IVF recall: single-probe = $r1, multi-probe p=2 = $r2 (${truth.size} true pairs)")
+    assert(r2 >= r1)
+    assert(r2 >= 0.7, s"multi-probe recall $r2 below the 0.7 floor at grown K")
+    // and the declared hybrid (cells p1 + dynamic-bits LSH) at the same K:
+    // the LSH family repairs what single-probe cells lose at boundaries
+    val hybrid = SemDedup
+      .hybridSemanticPairsOf(e)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert((hybrid -- truth).isEmpty, "hybrid precision must stay exactly 1")
+    val rh = truth.count(hybrid.contains).toDouble / truth.size
+    info(s"sf0.1 (K=8) hybrid recall = $rh")
+    assert(rh >= 0.7, s"hybrid recall $rh below the 0.7 floor at grown K")
+  }
+
   test("forest reduction law: per-block spanning forests preserve components exactly") {
     // r11: the declared keys run the cluster loop on per-block spanning
     // forests (<= occ-1 edges per bucket/cell) instead of the dense
