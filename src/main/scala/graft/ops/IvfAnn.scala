@@ -228,14 +228,52 @@ object IvfAnn {
     * centroid side: K grows with the corpus, so whether K arrays still
     * broadcast is AQE's size-based call, not a hardcoded promise.
     */
-  private[graft] def gridCellsOf(e: DataFrame, target: Long = CellTarget, probes: Int = 1): DataFrame = {
-    GraftFunctions.register(e.sparkSession)
-    val n = e.count()
-    val k = math.max(4L, n / target)
-    val e6 = e.select(
+  private def toX6a(e: DataFrame): DataFrame =
+    e.select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))").as("x6a"),
     )
+
+  /** Route arbitrary (vec_id, embedding) vectors to their `probes` nearest
+    * cells of a trained (cid, c6a) centroid-array frame — the reusable
+    * second half of [[gridCellsOf]], exposed (r11) so incremental
+    * consumers can route a BATCH against centroids trained on the seen
+    * corpus. probes = 1 keeps the min_by shape (map-side partial
+    * aggregation); probes > 1 ranks the K-bounded per-vector window.
+    */
+  private[graft] def routeToCells(vecs: DataFrame, centA: DataFrame, probes: Int): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    val scored = toX6a(vecs)
+      .crossJoin(centA)
+      .select(
+        col("vec_id"),
+        col("cid"),
+        call_function("graft_l2sq", col("x6a"), col("c6a")).as("dist2"),
+      )
+    if (probes == 1)
+      scored
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cid"))
+    else {
+      // multi-probe final routing: top-`probes` cells per vector. A window
+      // instead of min_by — the scored frame is the same n·K join either
+      // way; the window's per-vector sort is K-bounded.
+      val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= probes)
+        .select("vec_id", "cid")
+    }
+  }
+
+  /** Train the dynamic-K grid k-means on `e` and return the centroid
+    * ARRAYS (cid, c6a), checkpointed — the persisted-index half of
+    * [[gridCellsOf]], exposed (r11) for incremental consumers.
+    */
+  private[graft] def gridCentroidArraysOf(e: DataFrame, target: Long = CellTarget): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
+    val n = e.count()
+    val k = math.max(4L, n / target)
     val g = grid6(e) // long-form: per-dim grain for the Lloyd means only
     val seedW = Window.orderBy("vec_id") // bounded: runs on the k-row limit frame
     val seedIds = e
@@ -247,17 +285,8 @@ object IvfAnn {
       cent
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(dim, c6))), s -> s.c6)").as("c6a"))
-    def assign(centA: DataFrame): DataFrame =
-      e6.crossJoin(centA)
-        .select(
-          col("vec_id"),
-          col("cid"),
-          call_function("graft_l2sq", col("x6a"), col("c6a")).as("dist2"),
-        )
-        .groupBy("vec_id")
-        .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cid"))
     def step(cent: DataFrame): DataFrame = {
-      val upd = assign(toArrays(cent))
+      val upd = routeToCells(e, toArrays(cent), probes = 1)
         .join(g, "vec_id")
         .groupBy("cid", "dim")
         .agg(expr("sum(x6) div count(1)").as("c6n"))
@@ -265,26 +294,14 @@ object IvfAnn {
         .join(upd, Seq("cid", "dim"), "left")
         .select(col("cid"), col("dim"), coalesce(col("c6n"), col("c6")).as("c6"))
     }
-    val cent = (1 to GridIters)
+    (1 to GridIters)
       .foldLeft(c0)((c, _) => step(c))
       .transform(Checkpoints.stable(_))
-    if (probes == 1) assign(toArrays(cent))
-    else {
-      // multi-probe final routing: top-`probes` cells per vector. A window
-      // instead of min_by — the scored frame is the same n·K join either
-      // way; the window's per-vector sort is K-bounded.
-      val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
-      e6.crossJoin(toArrays(cent))
-        .select(
-          col("vec_id"),
-          col("cid"),
-          call_function("graft_l2sq", col("x6a"), col("c6a")).as("dist2"),
-        )
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= probes)
-        .select("vec_id", "cid")
-    }
+      .transform(toArrays)
   }
+
+  private[graft] def gridCellsOf(e: DataFrame, target: Long = CellTarget, probes: Int = 1): DataFrame =
+    routeToCells(e, gridCentroidArraysOf(e, target), probes)
 
   /** DuckDB mirror of [[gridCellsOf]] on the `embeddings` table — a CTE
     * chain ending in `cells(vec_id, cid)`. K is the same
@@ -293,7 +310,7 @@ object IvfAnn {
     * distances are the kernel's formulation verbatim:
     * list_sum over (a_i − b_i)² in index order, exact integers.
     */
-  private[ops] def gridCellsCteSql(target: Long = CellTarget, probes: Int = 1): String = {
+  private[ops] def gridCellsCteSql(target: Long = CellTarget, probes: Int = 1, src: String = "embeddings"): String = {
     val dist2 = "CAST(list_sum(list_transform(range(1, len(e.x6a) + 1), " +
       "i -> (e.x6a[i] - c.c6a[i]) * (e.x6a[i] - c.c6a[i]))) AS BIGINT)"
     def step(cIn: String, out: String): String =
@@ -305,14 +322,14 @@ object IvfAnn {
         s"FROM a_$out a JOIN g ON g.vec_id = a.vec_id GROUP BY 1, 2), " +
         s"$out AS (SELECT c.cid, c.dim, coalesce(u.c6n, c.c6) AS c6 " +
         s"FROM $cIn c LEFT JOIN u_$out u ON u.cid = c.cid AND u.dim = c.dim)"
-    "e6 AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
-      "x -> CAST(round(x * 1e6, 0) AS BIGINT)) AS x6a FROM embeddings), " +
+    s"e6 AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+      s"x -> CAST(round(x * 1e6, 0) AS BIGINT)) AS x6a FROM $src), " +
       "g AS (SELECT vec_id, u.dim, u.x6 FROM (SELECT vec_id, " +
       "unnest(list_transform(CAST(embedding AS DOUBLE[]), (x, i) -> " +
-      "{'dim': CAST(i - 1 AS BIGINT), 'x6': CAST(round(x * 1e6, 0) AS BIGINT)})) AS u FROM embeddings)), " +
-      s"nk AS (SELECT greatest(4, count(*) // $target) AS k FROM embeddings), " +
+      s"{'dim': CAST(i - 1 AS BIGINT), 'x6': CAST(round(x * 1e6, 0) AS BIGINT)})) AS u FROM $src)), " +
+      s"nk AS (SELECT greatest(4, count(*) // $target) AS k FROM $src), " +
       "seed AS (SELECT vec_id, CAST(rn AS BIGINT) - 1 AS cid FROM " +
-      "(SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings) " +
+      s"(SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM $src) " +
       "WHERE rn <= (SELECT k FROM nk)), " +
       "c0 AS (SELECT seed.cid, g.dim, g.x6 AS c6 FROM seed JOIN g ON g.vec_id = seed.vec_id), " +
       step("c0", "c1") + ", " +

@@ -399,8 +399,121 @@ object SemDedup {
       "coalesce(m.cid, e.vec_id) = e.vec_id AS kept " +
       "FROM e LEFT JOIN m ON e.vec_id = m.node ORDER BY vec_id"
 
+  // ------------------------------------------------------------------
+  // dedup_incremental_semantic — shard-vs-manifest semantic dedup (r11)
+  // ------------------------------------------------------------------
+
+  /** Incremental semantic dedup — the embedding-space sibling of
+    * dedup_incremental_minhash, the deployment shape of SemDeDup in a
+    * crawl pipeline: a NEW BATCH of vectors is deduped against the seen
+    * corpus without re-clustering it. The persisted state is the seen
+    * corpus's IVF index (dynamic-K centroids + single-assign inverted
+    * lists — exactly what sim_ann_ivf_build writes); per-shard cost is
+    * batch-sized: route the batch to its [[IvfProbes]] nearest SEEN cells
+    * (broadcastable centroid arrays), equi-join those routes against the
+    * seen lists (only cells the batch touches flow), and exact-dot verify
+    * the candidates. Within-batch dups use the same shared quantizer —
+    * one coarse index serves both passes, as a real vector pipeline's
+    * would. Statuses: dup_of_seen ≻ dup_in_batch (an earlier same-batch
+    * near-dup; pair-grain first-wins) ≻ unique.
+    *
+    * Batch synthesis mirrors dedup_incremental_minhash (new vectors ∪
+    * replays of seen ∪ within-batch replays, guarded id offsets) so every
+    * status branch is exercised with exact-duplicate pairs on top of the
+    * corpus's natural semantic near-dups.
+    *
+    * Oracle: the full chain — seen-only k-means training (the cells CTE
+    * with src restricted to the seen slice), batch routing, candidate
+    * joins, exact dots — is integer/bit-exact, so the key hash-checks
+    * like every other IVF-family key.
+    */
+  private def dedupIncrementalSemantic(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val seen = e.filter(col("vec_id") < 250)
+    val batch = e
+      .filter(col("vec_id") >= 250)
+      .select(CorpusPrep.guardedDocId(col("vec_id")).as("batch_id"), col("embedding"))
+      .unionByName(
+        e.filter(col("vec_id") < 50)
+          .select((col("vec_id") + CorpusPrep.ReplaySeenOffset).as("batch_id"), col("embedding"))
+      )
+      .unionByName(
+        e.filter(col("vec_id") >= 250 && col("vec_id") < 260)
+          .select((col("vec_id") + CorpusPrep.ReplayBatchOffset).as("batch_id"), col("embedding"))
+      )
+    val centA = IvfAnn.gridCentroidArraysOf(seen)
+    val seenLists = IvfAnn.routeToCells(seen, centA, probes = 1)
+    val batchRoutes = IvfAnn
+      .routeToCells(batch.select(col("batch_id").as("vec_id"), col("embedding")), centA, IvfProbes)
+      .select(col("vec_id").as("batch_id"), col("cid"))
+    val bv = batch.select(col("batch_id"), col("embedding").as("bvec"))
+    val sv = seen.select(col("vec_id").as("seen_id"), col("embedding").as("svec"))
+    val dupSeen = batchRoutes
+      .join(seenLists.select(col("vec_id").as("seen_id"), col("cid")), "cid")
+      .select("batch_id", "seen_id")
+      .distinct()
+      .join(bv, "batch_id")
+      .join(sv, "seen_id")
+      .filter(Vectors.nativeDot(col("bvec"), col("svec")) >= SemThreshold)
+      .select("batch_id")
+      .distinct()
+      .withColumn("seen_dup", lit(true))
+    val laterDup = batchRoutes
+      .join(batchRoutes.select(col("batch_id").as("earlier_id"), col("cid")), "cid")
+      .filter(col("earlier_id") < col("batch_id"))
+      .select("batch_id", "earlier_id")
+      .distinct()
+      .join(bv, "batch_id")
+      .join(bv.select(col("batch_id").as("earlier_id"), col("bvec").as("evec")), "earlier_id")
+      .filter(Vectors.nativeDot(col("bvec"), col("evec")) >= SemThreshold)
+      .select("batch_id")
+      .distinct()
+      .withColumn("later_dup", lit(true))
+    batch
+      .select("batch_id")
+      .join(dupSeen, Seq("batch_id"), "left")
+      .join(laterDup, Seq("batch_id"), "left")
+      .select(
+        col("batch_id"),
+        when(col("seen_dup"), lit("dup_of_seen"))
+          .when(col("later_dup"), lit("dup_in_batch"))
+          .otherwise(lit("unique"))
+          .as("status"),
+      )
+      .orderBy("batch_id")
+  }
+
+  private val dedupIncrementalSemanticSql = {
+    val bdist = "CAST(list_sum(list_transform(range(1, len(b.x6a) + 1), " +
+      "i -> (b.x6a[i] - c.c6a[i]) * (b.x6a[i] - c.c6a[i]))) AS BIGINT)"
+    "WITH RECURSIVE " +
+      IvfAnn.gridCellsCteSql(src = "(SELECT * FROM embeddings WHERE vec_id < 250)") + ", " +
+      "bset AS (SELECT vec_id AS batch_id, vec_id AS src_id FROM embeddings WHERE vec_id >= 250 " +
+      s"UNION ALL SELECT vec_id + ${CorpusPrep.ReplaySeenOffset}, vec_id FROM embeddings WHERE vec_id < 50 " +
+      s"UNION ALL SELECT vec_id + ${CorpusPrep.ReplayBatchOffset}, vec_id FROM embeddings WHERE vec_id >= 250 AND vec_id < 260), " +
+      "bx AS (SELECT bset.batch_id, list_transform(CAST(em.embedding AS DOUBLE[]), " +
+      "x -> CAST(round(x * 1e6, 0) AS BIGINT)) AS x6a, CAST(em.embedding AS DOUBLE[]) AS v " +
+      "FROM bset JOIN embeddings em ON em.vec_id = bset.src_id), " +
+      s"brt0 AS (SELECT b.batch_id, c.cid, $bdist AS dist2 FROM bx b, ca_c2 c), " +
+      "brt AS (SELECT batch_id, cid FROM (SELECT batch_id, cid, " +
+      s"row_number() OVER (PARTITION BY batch_id ORDER BY dist2, cid) AS rn FROM brt0) WHERE rn <= $IvfProbes), " +
+      "sv AS (SELECT cells.vec_id AS seen_id, cells.cid, CAST(em.embedding AS DOUBLE[]) AS v " +
+      "FROM cells JOIN embeddings em ON em.vec_id = cells.vec_id), " +
+      "ds AS (SELECT DISTINCT br.batch_id FROM brt br JOIN sv ON sv.cid = br.cid " +
+      "JOIN bx ON bx.batch_id = br.batch_id " +
+      s"WHERE list_dot_product(bx.v, sv.v) >= $SemThreshold), " +
+      "wb AS (SELECT DISTINCT a.batch_id FROM brt a JOIN brt b ON a.cid = b.cid AND b.batch_id < a.batch_id " +
+      "JOIN bx ba ON ba.batch_id = a.batch_id JOIN bx bb ON bb.batch_id = b.batch_id " +
+      s"WHERE list_dot_product(ba.v, bb.v) >= $SemThreshold) " +
+      "SELECT bset.batch_id, CASE WHEN ds.batch_id IS NOT NULL THEN 'dup_of_seen' " +
+      "WHEN wb.batch_id IS NOT NULL THEN 'dup_in_batch' ELSE 'unique' END AS status " +
+      "FROM bset LEFT JOIN ds USING (batch_id) LEFT JOIN wb USING (batch_id) ORDER BY batch_id"
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("dedup_semantic_ivf", dedupSemanticIvf, Some(dedupSemanticIvfSql)),
+    QueryDef("dedup_incremental_semantic", dedupIncrementalSemantic, Some(dedupIncrementalSemanticSql)),
   )
 }

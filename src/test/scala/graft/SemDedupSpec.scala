@@ -211,6 +211,45 @@ class SemDedupSpec extends SparkSpec {
     assert(forest.size <= full.size)
   }
 
+  test("dedup_incremental_semantic: replay statuses, precedence, precision of dup calls") {
+    val rows = SparkEntry
+      .queries("dedup_incremental_semantic")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    // every replay of a seen vector shares its source's home cell, dots
+    // ~1.0 with it, and must be called dup_of_seen
+    val seenReplays = rows.filter { case (id, _) => id >= 10000000L && id < 20000000L }
+    assert(seenReplays.nonEmpty)
+    assert(
+      seenReplays.values.forall(_ == "dup_of_seen"),
+      s"seen replays miscalled: ${seenReplays.filter(_._2 != "dup_of_seen").take(3)}",
+    )
+    // within-batch replays duplicate an EARLIER batch member; precedence
+    // allows dup_of_seen to win, but none may be 'unique'
+    val batchReplays = rows.filter { case (id, _) => id >= 20000000L }
+    assert(batchReplays.nonEmpty)
+    assert(batchReplays.values.forall(_ != "unique"), "within-batch replays cannot be unique")
+    // precision: every dup_of_seen call has a true >= threshold seen
+    // neighbor under the exact dot (cells restrict recall, never precision)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val seen = e.filter(col("vec_id") < 250)
+    val trueSeenDups = e
+      .filter(col("vec_id") >= 250)
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      .crossJoin(seen.select(col("embedding").as("sv")))
+      .filter(Vectors.dot(col("bv"), col("sv")) >= SemDedup.SemThreshold)
+      .select("bid")
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    rows.foreach { case (id, st) =>
+      if (id < 10000000L && st == "dup_of_seen")
+        assert(trueSeenDups.contains(id), s"false dup_of_seen for $id")
+    }
+  }
+
   test("over-cap hub bucket: its pairs are excluded, the rest keep their recall") {
     import spark.implicits._
     // a synthetic hub: 60 clones of one direction — identical vectors share
