@@ -310,34 +310,43 @@ object IvfAnn {
     * distances are the kernel's formulation verbatim:
     * list_sum over (a_i − b_i)² in index order, exact integers.
     */
-  private[ops] def gridCellsCteSql(target: Long = CellTarget, probes: Int = 1, src: String = "embeddings"): String = {
+  private[ops] def gridCellsCteSql(
+      target: Long = CellTarget,
+      probes: Int = 1,
+      src: String = "embeddings",
+      pfx: String = "",
+  ): String = {
+    // pfx (r11): prefixes EVERY CTE name so two independent cell chains
+    // (e.g. seen-trained and batch-trained in dedup_incremental_semantic)
+    // can coexist in one WITH clause without collisions.
+    def n(name: String): String = pfx + name
     val dist2 = "CAST(list_sum(list_transform(range(1, len(e.x6a) + 1), " +
       "i -> (e.x6a[i] - c.c6a[i]) * (e.x6a[i] - c.c6a[i]))) AS BIGINT)"
     def step(cIn: String, out: String): String =
-      s"ca_$cIn AS (SELECT cid, list(c6 ORDER BY dim) AS c6a FROM $cIn GROUP BY cid), " +
-        s"d_$out AS (SELECT e.vec_id, c.cid, $dist2 AS dist2 FROM e6 e, ca_$cIn c), " +
-        s"a_$out AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-        s"row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d_$out) WHERE rn = 1), " +
-        s"u_$out AS (SELECT a.cid, g.dim, sum(g.x6) // count(*) AS c6n " +
-        s"FROM a_$out a JOIN g ON g.vec_id = a.vec_id GROUP BY 1, 2), " +
-        s"$out AS (SELECT c.cid, c.dim, coalesce(u.c6n, c.c6) AS c6 " +
-        s"FROM $cIn c LEFT JOIN u_$out u ON u.cid = c.cid AND u.dim = c.dim)"
-    s"e6 AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+      s"${n(s"ca_$cIn")} AS (SELECT cid, list(c6 ORDER BY dim) AS c6a FROM ${n(cIn)} GROUP BY cid), " +
+        s"${n(s"d_$out")} AS (SELECT e.vec_id, c.cid, $dist2 AS dist2 FROM ${n("e6")} e, ${n(s"ca_$cIn")} c), " +
+        s"${n(s"a_$out")} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM ${n(s"d_$out")}) WHERE rn = 1), " +
+        s"${n(s"u_$out")} AS (SELECT a.cid, g.dim, sum(g.x6) // count(*) AS c6n " +
+        s"FROM ${n(s"a_$out")} a JOIN ${n("g")} g ON g.vec_id = a.vec_id GROUP BY 1, 2), " +
+        s"${n(out)} AS (SELECT c.cid, c.dim, coalesce(u.c6n, c.c6) AS c6 " +
+        s"FROM ${n(cIn)} c LEFT JOIN ${n(s"u_$out")} u ON u.cid = c.cid AND u.dim = c.dim)"
+    s"${n("e6")} AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
       s"x -> CAST(round(x * 1e6, 0) AS BIGINT)) AS x6a FROM $src), " +
-      "g AS (SELECT vec_id, u.dim, u.x6 FROM (SELECT vec_id, " +
+      s"${n("g")} AS (SELECT vec_id, u.dim, u.x6 FROM (SELECT vec_id, " +
       "unnest(list_transform(CAST(embedding AS DOUBLE[]), (x, i) -> " +
       s"{'dim': CAST(i - 1 AS BIGINT), 'x6': CAST(round(x * 1e6, 0) AS BIGINT)})) AS u FROM $src)), " +
-      s"nk AS (SELECT greatest(4, count(*) // $target) AS k FROM $src), " +
-      "seed AS (SELECT vec_id, CAST(rn AS BIGINT) - 1 AS cid FROM " +
+      s"${n("nk")} AS (SELECT greatest(4, count(*) // $target) AS k FROM $src), " +
+      s"${n("seed")} AS (SELECT vec_id, CAST(rn AS BIGINT) - 1 AS cid FROM " +
       s"(SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM $src) " +
-      "WHERE rn <= (SELECT k FROM nk)), " +
-      "c0 AS (SELECT seed.cid, g.dim, g.x6 AS c6 FROM seed JOIN g ON g.vec_id = seed.vec_id), " +
+      s"WHERE rn <= (SELECT k FROM ${n("nk")})), " +
+      s"${n("c0")} AS (SELECT s.cid, g.dim, g.x6 AS c6 FROM ${n("seed")} s JOIN ${n("g")} g ON g.vec_id = s.vec_id), " +
       step("c0", "c1") + ", " +
       step("c1", "c2") + ", " +
-      "ca_c2 AS (SELECT cid, list(c6 ORDER BY dim) AS c6a FROM c2 GROUP BY cid), " +
-      s"d_fin AS (SELECT e.vec_id, c.cid, $dist2 AS dist2 FROM e6 e, ca_c2 c), " +
-      "cells AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-      s"row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d_fin) WHERE rn <= $probes)"
+      s"${n("ca_c2")} AS (SELECT cid, list(c6 ORDER BY dim) AS c6a FROM ${n("c2")} GROUP BY cid), " +
+      s"${n("d_fin")} AS (SELECT e.vec_id, c.cid, $dist2 AS dist2 FROM ${n("e6")} e, ${n("ca_c2")} c), " +
+      s"${n("cells")} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM ${n("d_fin")}) WHERE rn <= $probes)"
   }
 
   /** Exact grid k-means training: seed centroids = the k smallest vec_ids

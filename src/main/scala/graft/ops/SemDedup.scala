@@ -459,8 +459,20 @@ object SemDedup {
       .select("batch_id")
       .distinct()
       .withColumn("seen_dup", lit(true))
-    val laterDup = batchRoutes
-      .join(batchRoutes.select(col("batch_id").as("earlier_id"), col("cid")), "cid")
+    // within-batch dups route through cells trained on the BATCH itself
+    // (K grows with the shard), not the seen index: routing the batch's
+    // self-pairs through the seen quantizer would concentrate a
+    // batch >> seen shard into the seen index's few cells — batch²
+    // candidates. The deployment reading: cross-dups consult the
+    // persisted index; the shard deduplicates internally with its own
+    // dynamic-K clustering (exactly dedup_semantic_ivf's machinery).
+    val batchCells = IvfAnn.gridCellsOf(
+      batch.select(col("batch_id").as("vec_id"), col("embedding")),
+      probes = IvfProbes,
+    )
+    val laterDup = batchCells
+      .select(col("vec_id").as("batch_id"), col("cid"))
+      .join(batchCells.select(col("vec_id").as("earlier_id"), col("cid")), "cid")
       .filter(col("earlier_id") < col("batch_id"))
       .select("batch_id", "earlier_id")
       .distinct()
@@ -488,10 +500,17 @@ object SemDedup {
     val bdist = "CAST(list_sum(list_transform(range(1, len(b.x6a) + 1), " +
       "i -> (b.x6a[i] - c.c6a[i]) * (b.x6a[i] - c.c6a[i]))) AS BIGINT)"
     "WITH RECURSIVE " +
-      IvfAnn.gridCellsCteSql(src = "(SELECT * FROM embeddings WHERE vec_id < 250)") + ", " +
       "bset AS (SELECT vec_id AS batch_id, vec_id AS src_id FROM embeddings WHERE vec_id >= 250 " +
       s"UNION ALL SELECT vec_id + ${CorpusPrep.ReplaySeenOffset}, vec_id FROM embeddings WHERE vec_id < 50 " +
       s"UNION ALL SELECT vec_id + ${CorpusPrep.ReplayBatchOffset}, vec_id FROM embeddings WHERE vec_id >= 250 AND vec_id < 260), " +
+      IvfAnn.gridCellsCteSql(src = "(SELECT * FROM embeddings WHERE vec_id < 250)") + ", " +
+      // batch-trained cell chain (pfx b): K grows with the shard
+      IvfAnn.gridCellsCteSql(
+        probes = IvfProbes,
+        src = "(SELECT bset.batch_id AS vec_id, em.embedding FROM bset " +
+          "JOIN embeddings em ON em.vec_id = bset.src_id)",
+        pfx = "b",
+      ) + ", " +
       "bx AS (SELECT bset.batch_id, list_transform(CAST(em.embedding AS DOUBLE[]), " +
       "x -> CAST(round(x * 1e6, 0) AS BIGINT)) AS x6a, CAST(em.embedding AS DOUBLE[]) AS v " +
       "FROM bset JOIN embeddings em ON em.vec_id = bset.src_id), " +
@@ -503,8 +522,9 @@ object SemDedup {
       "ds AS (SELECT DISTINCT br.batch_id FROM brt br JOIN sv ON sv.cid = br.cid " +
       "JOIN bx ON bx.batch_id = br.batch_id " +
       s"WHERE list_dot_product(bx.v, sv.v) >= $SemThreshold), " +
-      "wb AS (SELECT DISTINCT a.batch_id FROM brt a JOIN brt b ON a.cid = b.cid AND b.batch_id < a.batch_id " +
-      "JOIN bx ba ON ba.batch_id = a.batch_id JOIN bx bb ON bb.batch_id = b.batch_id " +
+      "wb AS (SELECT DISTINCT a.vec_id AS batch_id FROM bcells a " +
+      "JOIN bcells b ON a.cid = b.cid AND b.vec_id < a.vec_id " +
+      "JOIN bx ba ON ba.batch_id = a.vec_id JOIN bx bb ON bb.batch_id = b.vec_id " +
       s"WHERE list_dot_product(ba.v, bb.v) >= $SemThreshold) " +
       "SELECT bset.batch_id, CASE WHEN ds.batch_id IS NOT NULL THEN 'dup_of_seen' " +
       "WHEN wb.batch_id IS NOT NULL THEN 'dup_in_batch' ELSE 'unique' END AS status " +
