@@ -28,7 +28,7 @@ object SparkEntry {
       ops.Modeling.entries ++ ops.Resampling.entries ++ ops.Evaluation.entries ++
       ops.Integrity.entries ++ ops.Decision.entries ++ ops.Governance.entries ++
       ops.Lexicon.entries ++ ops.Reach.entries ++ ops.Health.entries ++
-      ops.PqAnn.entries ++
+      ops.PqAnn.entries ++ ops.IvfPq.entries ++
       ops.SemDedup.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

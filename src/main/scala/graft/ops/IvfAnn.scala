@@ -148,7 +148,7 @@ object IvfAnn {
 
   private val GridK = 16
   private val GridIters = 2
-  private val GridNprobe = 4
+  private[ops] val GridNprobe = 4
   private val GridTopK = 10
 
   /** Long-form grid view of the embeddings: (vec_id, dim, x6) with
@@ -161,7 +161,7 @@ object IvfAnn {
     * rows-only. The float variant stays as the raw-throughput path
     * (IvfSpec); the declared query IS this grid variant.
     */
-  private def grid6(e: DataFrame): DataFrame =
+  private[ops] def grid6(e: DataFrame): DataFrame =
     e.select(
       col("vec_id"),
       posexplode(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))"))
@@ -169,7 +169,7 @@ object IvfAnn {
     ).select(col("vec_id"), col("dim").cast("long").as("dim"), col("x6"))
 
   /** Exact nearest-centroid id per vector on the grid (ties → lower cid). */
-  private def gridAssign(g: DataFrame, cent: DataFrame): DataFrame =
+  private[ops] def gridAssign(g: DataFrame, cent: DataFrame): DataFrame =
     g.join(broadcast(cent), "dim")
       .groupBy(col("vec_id"), col("cid"))
       .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6"))).as("dist2"))
@@ -355,7 +355,7 @@ object IvfAnn {
     * callers decide whether to cache it ([[gridCentroids]]) or rebuild per
     * execution (the self-contained fused key).
     */
-  private def trainGridCentroids(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def trainGridCentroids(s: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables.embeddings(s, dir)
     val g = grid6(e)
     val seedW = Window.orderBy("vec_id") // bounded: runs on the k-row limit frame
@@ -515,7 +515,7 @@ object IvfAnn {
     * everything up to the trained centroids and their inverted lists, used
     * verbatim by the fused, build, and probe oracles.
     */
-  private val gridTrainCte = {
+  private[ops] val gridTrainCte = {
     def step(gIn: String, cIn: String, out: String): String =
       s"d_$out AS (SELECT g.vec_id, c.cid, sum((g.x6 - c.c6) * (g.x6 - c.c6)) AS dist2 " +
         s"FROM $gIn g JOIN $cIn c ON g.dim = c.dim GROUP BY 1, 2), " +

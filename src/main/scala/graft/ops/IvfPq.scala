@@ -1,0 +1,198 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the composed index real vector-search deployments run at
+  * corpus scale (public technique: Jégou/Douze/Schmid 2011 §IV "IVFADC";
+  * the FAISS `IVFx,PQy` family): a coarse quantizer (the IvfAnn grid
+  * k-means) splits the corpus into inverted lists, and each vector is
+  * product-quantized on its RESIDUAL against its cell centroid — residuals
+  * concentrate near zero, so the same 16-code-per-subspace budget spends
+  * its resolution where the data actually is. Probes route to their
+  * `nprobe` nearest cells and ADC-score ONLY those cells' code lists with
+  * per-(probe, cell) lookup tables built on the probe's own residual
+  * against that cell.
+  *
+  * Why this beats either parent at 100 TB: flat PQ (PqAnn) scans all n
+  * code rows per probe — compressed, but still a full pass; raw-vector IVF
+  * (IvfAnn) scans only routed cells but reads 256-byte embeddings. IVF-PQ
+  * scans ~n·nprobe/k rows of 4-BYTE codes: the probe-side cost shrinks by
+  * both factors at once, and the corpus-sized state a deployment persists
+  * is the code table + k centroids, 64× smaller than the vectors. Raw
+  * embeddings are touched only by the [[ShortList]]-deep exact re-rank
+  * (the LshAnn/IvfAnn/PqAnn contract — returned scores are always exact).
+  *
+  * Scale shape of each stage: coarse training/assignment is the IvfAnn
+  * broadcast pass; the corpus residual grid is a map-side subtraction
+  * against the broadcast centroid frame (no shuffle beyond the one
+  * grouping to 8-long subvectors); codebook training reuses PqAnn's
+  * one-assignment-join-plus-one-mean-per-step loop on the residual frames;
+  * the ADC tables are (|probes|·nprobe·8·16) rows — kilobytes per probe,
+  * broadcast — so scoring is one broadcast-hash join over the routed
+  * cells' codes with map-side partial aggregation of the 8 subspace terms,
+  * and the per-probe shortlist is WindowGroupLimit-pruned before the rank.
+  *
+  * Cross-engine exactness: residuals are differences of integers on the
+  * 1e-6 grid, so coarse training, residual codebooks, codes, ADC tables,
+  * and the re-rank all hash-check against the DuckDB oracle, which
+  * re-derives the full index from scratch (coarse CTEs shared verbatim
+  * with the sim_ann_ivf oracle; residual-PQ CTEs mirror PqAnn's with the
+  * residual grid as the source).
+  */
+object IvfPq {
+
+  private val SubDim = 8
+  private val NProbe = IvfAnn.GridNprobe // routed cells per probe — the IvfAnn contract
+  private val ShortList = 100
+  private val TopK = 10
+
+  /** (vec_id|probe keys.., sub, x6a): 8-long residual subvector arrays. */
+  private def subArrays(res: DataFrame, keys: Seq[String]): DataFrame =
+    res
+      .groupBy((keys.map(col) :+ expr(s"dim div $SubDim").as("sub")): _*)
+      .agg(expr("transform(array_sort(collect_list(struct(dim, r6))), s -> s.r6)").as("x6a"))
+
+  private def simAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cent = IvfAnn.trainGridCentroids(s, dir) // (cid, dim, c6), checkpointed
+    val g = IvfAnn.grid6(e) // (vec_id, dim, x6)
+    val lists = IvfAnn.gridAssign(g, cent) // (vec_id, cid): each vector's cell
+
+    // corpus residual grid: r6 = x6 − c6(cell(vec)) — map-side against the
+    // broadcast centroids; exact int64 on the 1e-6 grid
+    val res = g
+      .join(lists, "vec_id")
+      .join(broadcast(cent), Seq("cid", "dim"))
+      .select(col("vec_id"), col("dim"), (col("x6") - col("c6")).as("r6"))
+    val rsub = subArrays(res, Seq("vec_id"))
+    val rg = res.select(
+      col("vec_id"),
+      expr(s"dim div $SubDim").as("sub"),
+      expr(s"dim % $SubDim").as("ld"),
+      col("r6").as("x6"),
+    )
+    val centA = PqAnn.toArrays(PqAnn.trainCodebooksFrom(rsub, rg, PqAnn.seedCodes(e)))
+    val codes = PqAnn.encode(rsub, centA) // (vec_id, sub, code)
+
+    // probe routing: top-NProbe cells by exact grid distance (ties → lower cid)
+    val pg = g.filter(col("vec_id") < 100)
+    val routeW = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
+    val routes = pg
+      .join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6"))).as("dist2"))
+      .withColumn("rnp", row_number().over(routeW))
+      .filter(col("rnp") <= NProbe)
+      .select(col("vec_id").as("probe_id"), col("cid"))
+
+    // per-(probe, routed cell) residual → 8×16 ADC table rows
+    val pres = routes
+      .join(pg.withColumnRenamed("vec_id", "probe_id"), "probe_id")
+      .join(broadcast(cent), Seq("cid", "dim"))
+      .select(col("probe_id"), col("cid"), col("dim"), (col("x6") - col("c6")).as("r6"))
+    val psub = subArrays(pres, Seq("probe_id", "cid"))
+    val dtab = psub
+      .join(broadcast(centA), "sub")
+      .select(
+        col("probe_id"),
+        col("cid"),
+        col("sub"),
+        col("code"),
+        call_function("graft_l2sq", col("x6a"), col("c6a")).as("d2"),
+      )
+
+    // ADC over routed cells only: a candidate matches dtab solely through
+    // its own cell's tables, so the join IS the inverted-list restriction
+    val adc = codes
+      .join(lists, "vec_id")
+      .join(broadcast(dtab), Seq("cid", "sub", "code"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("cand_id"))
+      .agg(sum("d2").as("adc"))
+    val slW = Window.partitionBy("probe_id").orderBy(col("adc"), col("cand_id"))
+    val shortlist = adc
+      .withColumn("sr", row_number().over(slW))
+      .filter(col("sr") <= ShortList)
+      .select("probe_id", "cand_id")
+    val pv = e.select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
+    val rkW = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    shortlist
+      .join(pv, "probe_id")
+      .join(cv, "cand_id")
+      .withColumn("sim", round(Vectors.nativeDot(col("pvec"), col("cvec")), 4))
+      .withColumn("rn", row_number().over(rkW).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("probe_id", "cand_id", "sim", "rn")
+      .orderBy("probe_id", "rn")
+  }
+
+  /** DuckDB mirror: the sim_ann_ivf coarse chain verbatim (g → c2 → dl →
+    * lists), then the residual grid, PqAnn's codebook train loop sourced
+    * from it (p-prefixed CTEs), probe routing from dl, per-(probe, cell)
+    * ADC tables, list-restricted lookup-sum, and the exact re-rank.
+    */
+  private val simAnnIvfPqSql: String = {
+    def dist2(ea: String, ca: String) =
+      s"CAST(list_sum(list_transform(range(1, ${SubDim + 1}), " +
+        s"i -> ($ea.x6a[i] - $ca.c6a[i]) * ($ea.x6a[i] - $ca.c6a[i]))) AS BIGINT)"
+    def step(cIn: String, out: String): String =
+      s"pca_$cIn AS (SELECT sub, code, list(c6 ORDER BY ld) AS c6a FROM $cIn GROUP BY 1, 2), " +
+        s"pd_$out AS (SELECT e.vec_id, e.sub, c.code, ${dist2("e", "c")} AS dist2 " +
+        s"FROM rsub e JOIN pca_$cIn c ON c.sub = e.sub), " +
+        s"pa_$out AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, " +
+        s"row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) AS rn FROM pd_$out) WHERE rn = 1), " +
+        s"pu_$out AS (SELECT a.sub, a.code, g2.ld, sum(g2.x6) // count(*) AS c6n " +
+        s"FROM pa_$out a JOIN rg g2 ON g2.vec_id = a.vec_id AND g2.sub = a.sub GROUP BY 1, 2, 3), " +
+        s"$out AS (SELECT c.sub, c.code, c.ld, coalesce(u.c6n, c.c6) AS c6 " +
+        s"FROM $cIn c LEFT JOIN pu_$out u ON u.sub = c.sub AND u.code = c.code AND u.ld = c.ld)"
+    IvfAnn.gridTrainCte + ", " +
+      "res AS (SELECT g.vec_id, g.dim, g.x6 - c.c6 AS r6 " +
+      "FROM g JOIN lists l ON l.cand_id = g.vec_id " +
+      "JOIN c2 c ON c.cid = l.cid AND c.dim = g.dim), " +
+      s"rsub AS (SELECT vec_id, CAST(dim // $SubDim AS BIGINT) AS sub, " +
+      "list(r6 ORDER BY dim) AS x6a FROM res GROUP BY 1, 2), " +
+      s"rg AS (SELECT vec_id, CAST(dim // $SubDim AS BIGINT) AS sub, " +
+      s"CAST(dim % $SubDim AS BIGINT) AS ld, r6 AS x6 FROM res), " +
+      "pseed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code " +
+      "FROM embeddings ORDER BY vec_id LIMIT 16), " +
+      "pc0 AS (SELECT rg.sub, pseed.code, rg.ld, rg.x6 AS c6 FROM pseed JOIN rg ON rg.vec_id = pseed.vec_id), " +
+      step("pc0", "pc1") + ", " +
+      step("pc1", "pc2") + ", " +
+      "pca AS (SELECT sub, code, list(c6 ORDER BY ld) AS c6a FROM pc2 GROUP BY 1, 2), " +
+      s"pd_fin AS (SELECT e.vec_id, e.sub, c.code, ${dist2("e", "c")} AS dist2 " +
+      "FROM rsub e JOIN pca c ON c.sub = e.sub), " +
+      "pcodes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, " +
+      "row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) AS rn FROM pd_fin) WHERE rn = 1), " +
+      "routes AS (SELECT vec_id AS probe_id, cid FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dl WHERE vec_id < 100) " +
+      s"WHERE rn <= $NProbe), " +
+      "pres AS (SELECT r.probe_id, r.cid, g.dim, g.x6 - c.c6 AS r6 " +
+      "FROM routes r JOIN g ON g.vec_id = r.probe_id JOIN c2 c ON c.cid = r.cid AND c.dim = g.dim), " +
+      s"ppsub AS (SELECT probe_id, cid, CAST(dim // $SubDim AS BIGINT) AS sub, " +
+      "list(r6 ORDER BY dim) AS x6a FROM pres GROUP BY 1, 2, 3), " +
+      s"dtab AS (SELECT t.probe_id, t.cid, t.sub, c.code, ${dist2("t", "c")} AS d2 " +
+      "FROM ppsub t JOIN pca c ON c.sub = t.sub), " +
+      "adc AS (SELECT d.probe_id, l.cand_id, CAST(sum(d.d2) AS BIGINT) AS adc " +
+      "FROM lists l JOIN pcodes k ON k.vec_id = l.cand_id " +
+      "JOIN dtab d ON d.cid = l.cid AND d.sub = k.sub AND d.code = k.code " +
+      "WHERE d.probe_id <> l.cand_id GROUP BY 1, 2), " +
+      s"sl AS (SELECT probe_id, cand_id FROM (SELECT probe_id, cand_id, " +
+      s"row_number() OVER (PARTITION BY probe_id ORDER BY adc, cand_id) AS sr FROM adc) WHERE sr <= $ShortList), " +
+      "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "rr AS (SELECT probe_id, cand_id, round(list_dot_product(pe.v, ce.v), 4) AS sim " +
+      "FROM sl JOIN ev pe ON pe.vec_id = sl.probe_id JOIN ev ce ON ce.vec_id = sl.cand_id), " +
+      "rk AS (SELECT probe_id, cand_id, sim, " +
+      "CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn FROM rr) " +
+      s"SELECT probe_id, cand_id, sim, rn FROM rk WHERE rn <= $TopK ORDER BY probe_id, rn"
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("sim_ann_ivfpq", simAnnIvfPq, Some(simAnnIvfPqSql)),
+  )
+}

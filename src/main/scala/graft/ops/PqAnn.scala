@@ -77,7 +77,7 @@ object PqAnn {
         col("x6"),
       )
 
-  private def toArrays(cent: DataFrame): DataFrame =
+  private[ops] def toArrays(cent: DataFrame): DataFrame =
     cent
       .groupBy("sub", "code")
       .agg(expr("transform(array_sort(collect_list(struct(ld, c6))), s -> s.c6)").as("c6a"))
@@ -85,7 +85,7 @@ object PqAnn {
   /** Nearest code per (vector, subspace) — kernel distances, ties to the
     * lower code.
     */
-  private def encode(s6: DataFrame, centA: DataFrame): DataFrame =
+  private[ops] def encode(s6: DataFrame, centA: DataFrame): DataFrame =
     s6.join(broadcast(centA), "sub")
       .select(
         col("vec_id"),
@@ -103,14 +103,26 @@ object PqAnn {
     * costs one assignment join + one mean aggregate per step regardless
     * of m.
     */
-  private def trainCodebooks(e: DataFrame): DataFrame = {
-    val g = sgrid(e)
-    val s6 = sub6(e)
+  private def trainCodebooks(e: DataFrame): DataFrame =
+    trainCodebooksFrom(sub6(e), sgrid(e), seedCodes(e))
+
+  /** (vec_id, code): the [[NCodes]] smallest vec_ids in rank order — the
+    * deterministic seed idiom shared with the IVF grid.
+    */
+  private[ops] def seedCodes(e: DataFrame): DataFrame = {
     val seedW = Window.orderBy("vec_id") // bounded: runs on the 16-row limit frame
-    val seedIds = e
-      .orderBy("vec_id")
+    e.orderBy("vec_id")
       .limit(NCodes)
       .select(col("vec_id"), (row_number().over(seedW) - 1).cast("long").as("code"))
+  }
+
+  /** The subspace-codebook train loop over ARBITRARY subvector frames —
+    * `s6` (vec_id, sub, x6a) for assignment, `g` (vec_id, sub, ld, x6) for
+    * the per-dimension Lloyd means, `seedIds` (vec_id, code) for the
+    * initial codebook. Exposed (r11) so [[IvfPq]] can train the same
+    * codebooks on cell RESIDUALS instead of raw vectors.
+    */
+  private[ops] def trainCodebooksFrom(s6: DataFrame, g: DataFrame, seedIds: DataFrame): DataFrame = {
     val c0 = seedIds
       .join(g, "vec_id")
       .select(col("sub"), col("code"), col("ld"), col("x6").as("c6"))
