@@ -235,7 +235,66 @@ object Vectors {
       "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rn FROM scored) " +
       "WHERE rn <= 5 ORDER BY vec_id, rn"
 
+  // ---------------------------------------------------------------------
+  // Hard-negative mining (r11) — contrastive-training pairs via IVF cells
+  // ---------------------------------------------------------------------
+
+  private val HnBandLo = 0.15 // above ~p90 of random-pair sim: harder than random
+  private val HnBandHi = 0.40 // the semantic-dup threshold: a near-dup is NOT a negative
+  private val HnPerAnchor = 4
+
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE data
+    * recipe, public): for EVERY corpus vector, the [[HnPerAnchor]] most
+    * similar neighbors inside the band [[HnBandLo]] ≤ sim < [[HnBandHi]] —
+    * similar enough to be informative negatives (above ~p90 of the random-
+    * pair sim distribution), strictly below the semantic-dup threshold so
+    * no positive ever leaks into the negative set. Unlike
+    * `sample_negative_pairs` (hash-ring RANDOM negatives), candidates come
+    * from the corpus's own geometry: the dynamic-K k-means cells
+    * (IvfAnn.gridCellsOf, multi-probe p = 2), so candidate pairs are
+    * ≈ n·(2·cell-target) — LINEAR in n at fixed occupancy, never all-pairs
+    * — and band survivors are ranked per anchor on (sim desc, neg_id).
+    * Exact native-dot scoring on the routed candidates only; fully
+    * hash-oracled on the shared dynamic-K cells CTE.
+    */
+  private def mineHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cells = IvfAnn.gridCellsOf(e, probes = 2)
+    // pair ids first (16-byte rows through the distinct — a pair sharing
+    // both probed cells would otherwise double-count), vectors join after
+    val cand = cells
+      .select(col("cid"), col("vec_id").as("anchor_id"))
+      .join(cells.select(col("cid"), col("vec_id").as("neg_id")), "cid")
+      .filter(col("anchor_id") =!= col("neg_id"))
+      .select("anchor_id", "neg_id")
+      .distinct()
+    val w = Window.partitionBy("anchor_id").orderBy(col("sim").desc, col("neg_id"))
+    cand
+      .join(e.select(col("vec_id").as("anchor_id"), col("embedding").as("av")), "anchor_id")
+      .join(e.select(col("vec_id").as("neg_id"), col("embedding").as("nv")), "neg_id")
+      .withColumn("sim", round(nativeDot(col("av"), col("nv")), 4))
+      .filter(col("sim") >= HnBandLo && col("sim") < HnBandHi)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= HnPerAnchor)
+      .select("anchor_id", "neg_id", "sim", "rn")
+      .orderBy("anchor_id", "rn")
+  }
+
+  private val mineHardNegativesSql =
+    "WITH " + IvfAnn.gridCellsCteSql(probes = 2) + ", " +
+      "cand AS (SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id " +
+      "FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id <> b.vec_id), " +
+      "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "sc AS (SELECT anchor_id, neg_id, round(list_dot_product(ea.v, eb.v), 4) AS sim " +
+      "FROM cand JOIN ev ea ON ea.vec_id = cand.anchor_id JOIN ev eb ON eb.vec_id = cand.neg_id), " +
+      s"bd AS (SELECT * FROM sc WHERE sim >= $HnBandLo AND sim < $HnBandHi), " +
+      "rk AS (SELECT anchor_id, neg_id, sim, CAST(row_number() OVER " +
+      "(PARTITION BY anchor_id ORDER BY sim DESC, neg_id) AS BIGINT) AS rn FROM bd) " +
+      s"SELECT anchor_id, neg_id, sim, rn FROM rk WHERE rn <= $HnPerAnchor ORDER BY anchor_id, rn"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("mine_hard_negatives", mineHardNegatives, Some(mineHardNegativesSql)),
     QueryDef(
       "sim_topk_cosine",
       simTopkCosine,
