@@ -53,6 +53,11 @@ class ScalingLawSpec extends SparkSpec {
     "dedup_semantic_ivf" -> "dynamic-K cell dedup: K grows with n so same-cell candidates stay ~n*occupancy and the kernel assignment ~n*K rows — THE designed-linear answer to the sign-LSH path's measured n^2/2^bits growth (r10 sf1 study); r11 multi-probe (p=2) scales candidates by a constant probes^2, not by n",
     "dedup_semantic" -> "r11 hybrid candidates (cells + dynamic-bits LSH): both families linear by construction — the r10 fixed-bucket path this replaced measured 2097x shuffle on 10x rows at sf1, the exact failure this gate exists to catch",
     "tokenizer_bpe_vocab" -> "K-round BPE train: per-round exchanges at vocabulary/pair grain; merge itself is a narrow map, so corpus growth reaches only the one wf aggregation",
+    "embed_pq_codes" -> "PQ train/encode: one assignment join (n·16 kernel rows) + one mean agg per Lloyd step, codes exchange n·8 rows — linear with constant factors",
+    "sim_ann_pq" -> "flat-PQ ADC: the exchange carries one partial per (probe, cand) — |probes|·n bounded — and the shortlist prunes map-side; a lost partial-agg would ship 8x that",
+    "sim_ann_ivfpq" -> "cell-restricted ADC: probes score only ~n·nprobe/k code rows through broadcast tables; residual and codebook stages are the linear PQ shapes on top of the IVF pass",
+    "mine_hard_negatives" -> "cell-candidate pair mining: pairs ≈ n·2·occupancy at fixed cell target — linear; a cells regression to all-pairs is exactly what this gate would catch",
+    "dedup_incremental_semantic" -> "shard-vs-manifest semantic dedup: cost must track the batch (routing against broadcast centroids + batch-cell equi-join), never re-cluster the seen corpus",
   )
 
   test("shuffle bytes grow at most 3x-linear from sf0.01 to sf0.1 for scale-risk probes") {
