@@ -199,10 +199,13 @@ object Lexicon {
     * and its output row is suppressed by the IS NOT NULL filter — same
     * early-stop as the Spark loop.
     */
-  private val tokenizerBpeVocabSql: String = {
-    val k = BpeVocabMerges
+  /** The unrolled K-round train chain (wx → wf0 → pr$j/top$j/wf$j) shared
+    * by the vocab and encode oracles — ends with every round's winner
+    * available as the 1-row `top$j`.
+    */
+  private def bpeTrainChainSql(k: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"WITH wx AS (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents), "
+    sb ++= s"wx AS (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents), "
     sb ++= "wf0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM wx WHERE len(w) >= 2 GROUP BY 1)"
     for (j <- 1 to k) {
       sb ++= s", pr$j AS (SELECT wf, unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair " +
@@ -213,6 +216,13 @@ object Lexicon {
         sb ++= s", wf$j AS (SELECT replace(w, coalesce((SELECT p FROM top$j), chr(2)), chr(${BpeSentinelBase + j})) AS w, wf " +
           s"FROM wf${j - 1})"
     }
+    sb.toString
+  }
+
+  private val tokenizerBpeVocabSql: String = {
+    val k = BpeVocabMerges
+    val sb = new StringBuilder
+    sb ++= "WITH " + bpeTrainChainSql(k)
     def dec(e: String, j: Int): String =
       (1 until j).reverse.foldLeft(e) { (acc, i) =>
         s"replace($acc, chr(${BpeSentinelBase + i}), (SELECT p FROM top$i))"
@@ -226,6 +236,85 @@ object Lexicon {
         s"WHERE (SELECT p FROM top$j) IS NOT NULL"
     }
     sb ++= " SELECT * FROM (" + rows.mkString(" UNION ALL ") + ") ORDER BY merge_rank"
+    sb.toString
+  }
+
+  /** Declared key (r11): ENCODE the vocabulary with the trained tokenizer —
+    * the consumer half of the BPE lifecycle (train = tokenizer_bpe_vocab,
+    * encode = this, audit = tokenizer_oov_rate). Per distinct word: its
+    * corpus frequency, its token count under the K-merge tokenizer, and
+    * the decoded token sequence (space-joined — words were split ON spaces,
+    * so the separator is unambiguous). This is the table a token-budget
+    * mix actually needs: Σ wf·n_tokens is the corpus token count under the
+    * REAL tokenizer, not the whitespace heuristic.
+    *
+    * Scale shape: training reuses [[bpeMergeTable]] (vocabulary grain,
+    * corpus scanned once); the replay is K narrow `replace` maps over the
+    * |vocab|-row frame (merges arrive as K driver literals — O(1) metadata
+    * from the train loop, no data collect); decode is a per-char chained
+    * replace in descending rank order (sentinels expand through lower
+    * sentinels), all inside codegen. Nothing here touches corpus rows
+    * except the one word-count aggregation. Unlike the train frame, the
+    * encode frame keeps 1-char words (they encode as themselves) — a
+    * tokenizer that cannot encode part of its corpus is not a tokenizer.
+    */
+  private def tokenizerEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergeTable(s, dir, BpeVocabMerges)
+    var enc = Tables
+      .documents(s, dir)
+      .select(explode(split(Text.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w")
+      .agg(nrows.as("wf"))
+      .select(col("w").as("word"), col("w").as("we"), col("wf"))
+    merges.foreach { case (rank, pstar, _) =>
+      enc = enc.withColumn("we", replace(col("we"), lit(pstar), lit(bpeSentinel(rank.toInt))))
+    }
+    // decode: space-join we's chars (one char = one token; expansions never
+    // contain spaces — words were split on them), then expand sentinels in
+    // DESCENDING rank order over the whole string (an expansion may
+    // introduce lower sentinels, never higher; every search target is a
+    // single char, so the inserted spaces never break a match)
+    val spaced = concat_ws(
+      " ",
+      transform(sequence(lit(1), length(col("we"))), i => substring(col("we"), i, lit(1))),
+    )
+    val tokens = merges.reverse.foldLeft(spaced) { case (acc, (rank, pstar, _)) =>
+      replace(acc, lit(bpeSentinel(rank.toInt)), lit(pstar))
+    }
+    enc
+      .select(
+        col("word"),
+        col("wf"),
+        length(col("we")).cast("long").as("n_tokens"),
+        tokens.as("tokens"),
+      )
+      .orderBy("word")
+  }
+
+  /** Oracle: the shared train chain, then the replay over a fresh
+    * vocab frame that KEEPS the original word (enc0 → encK applies each
+    * round's winner via its 1-row scalar subquery; an exhausted round's
+    * coalesce(chr(2)) replace is a no-op), then the same per-char
+    * descending-rank decode.
+    */
+  private val tokenizerEncodeSql: String = {
+    val k = BpeVocabMerges
+    val sb = new StringBuilder
+    sb ++= "WITH " + bpeTrainChainSql(k)
+    sb ++= ", enc0 AS (SELECT w AS word, w AS we, CAST(count(*) AS BIGINT) AS wf " +
+      "FROM wx WHERE len(w) >= 1 GROUP BY 1, 2)"
+    for (j <- 1 to k)
+      sb ++= s", enc$j AS (SELECT word, replace(we, coalesce((SELECT p FROM top$j), chr(2)), " +
+        s"chr(${BpeSentinelBase + j})) AS we, wf FROM enc${j - 1})"
+    // lambdas cannot hold scalar subqueries, so decode the space-joined
+    // char string as a whole (mirrors the Spark side exactly)
+    val spaced = "array_to_string(list_transform(range(1, len(we) + 1), i -> we[i]), ' ')"
+    val dec = (1 to k).reverse.foldLeft(spaced) { (acc, i) =>
+      s"replace($acc, chr(${BpeSentinelBase + i}), coalesce((SELECT p FROM top$i), chr(2)))"
+    }
+    sb ++= s" SELECT word, wf, CAST(len(we) AS BIGINT) AS n_tokens, $dec AS tokens " +
+      s"FROM enc$k ORDER BY word"
     sb.toString
   }
 
@@ -321,6 +410,7 @@ object Lexicon {
   val entries: Seq[QueryDef] = Seq(
     QueryDef("tokenizer_bpe_merge_round", tokenizerBpeMergeRound, Some(tokenizerBpeMergeRoundSql)),
     QueryDef("tokenizer_bpe_vocab", tokenizerBpeVocab, Some(tokenizerBpeVocabSql)),
+    QueryDef("tokenizer_encode", tokenizerEncode, Some(tokenizerEncodeSql)),
     QueryDef("text_lang_confusion", textLangConfusion, Some(textLangConfusionSql)),
     QueryDef("text_char_ngram_profile", textCharNgramProfile, Some(textCharNgramProfileSql)),
   )

@@ -103,6 +103,44 @@ class LexiconSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer_encode: reconstruction, token accounting, in-memory replay agreement") {
+    val rows = run("tokenizer_encode").collect()
+    assert(rows.nonEmpty)
+    // covers the FULL vocabulary, including the 1-char words the train
+    // frame excludes (they must encode as themselves)
+    val fullVocab = Tables
+      .documents(spark, sfDir)
+      .select(explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .distinct()
+      .count()
+    assert(rows.length.toLong == fullVocab, "encode table must cover every corpus word")
+    val merges = ops.Lexicon.bpeMergeTable(spark, sfDir, ops.Lexicon.BpeVocabMerges)
+    val expans = ops.Lexicon.bpeDecode(merges)
+    val mergedTokens = expans.values.toSet
+    rows.foreach { r =>
+      val word = r.getString(0)
+      val toks = r.getString(3).split(" ", -1)
+      // (a) token concatenation reconstructs the word exactly
+      assert(toks.mkString == word, s"tokens don't reconstruct '$word'")
+      // (b) declared n_tokens is the token count
+      assert(toks.length.toLong == r.getLong(2), s"n_tokens mismatch for '$word'")
+      // (c) every multi-char token is a TRAINED merge product; single chars
+      // are corpus alphabet (no sentinel leaks into the decoded output)
+      toks.foreach { t =>
+        if (t.length > 1) assert(mergedTokens.contains(t), s"untrained token '$t' in '$word'")
+        else assert(t.head < ops.Lexicon.BpeSentinelBase.toChar, s"sentinel leaked in '$word'")
+      }
+      // (d) in-memory replay of the trained merges produces the same tokens
+      var we = word
+      merges.foreach { case (rank, pstar, _) =>
+        we = we.replace(pstar, (ops.Lexicon.BpeSentinelBase + rank.toInt).toChar.toString)
+      }
+      val expected = we.map(c => expans.getOrElse(c, c.toString))
+      assert(toks.toSeq == expected, s"replay diverged for '$word'")
+    }
+  }
+
   test("text_lang_confusion: cells conserve doc counts and agree with text_langid") {
     val rows = run("text_lang_confusion").collect()
     val perLang = Tables
