@@ -261,20 +261,26 @@ object Vectors {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val cells = IvfAnn.gridCellsOf(e, probes = 2)
-    // pair ids first (16-byte rows through the distinct — a pair sharing
-    // both probed cells would otherwise double-count), vectors join after
-    val cand = cells
-      .select(col("cid"), col("vec_id").as("anchor_id"))
-      .join(cells.select(col("cid"), col("vec_id").as("neg_id")), "cid")
-      .filter(col("anchor_id") =!= col("neg_id"))
-      .select("anchor_id", "neg_id")
-      .distinct()
+    // ship each member's embedding to its cells ONCE (n·probes rows), then
+    // self-join on cid so pair enumeration, the dot, and the band filter
+    // all fuse into the join stage — candidate pairs never cross an
+    // exchange. The first cut distinct'ed the ~n·2·occupancy pair-id frame
+    // BEFORE scoring and re-joined embeddings per pair: at sf1 that was
+    // +20 s of 21M-row distinct and +18 s of per-pair joins; band-first
+    // cuts the distinct to the ~4% survivors, whose sims are identical
+    // across duplicate (both-cells-shared) pairs, so post-band distinct is
+    // equivalent. No broadcast hint on the self-join: the member frame
+    // grows with n, so whether it broadcasts is AQE's size-based call
+    // (the routeToCells doctrine).
+    val em = cells.join(e, "vec_id")
     val w = Window.partitionBy("anchor_id").orderBy(col("sim").desc, col("neg_id"))
-    cand
-      .join(e.select(col("vec_id").as("anchor_id"), col("embedding").as("av")), "anchor_id")
-      .join(e.select(col("vec_id").as("neg_id"), col("embedding").as("nv")), "neg_id")
+    em.select(col("cid"), col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      .join(em.select(col("cid"), col("vec_id").as("neg_id"), col("embedding").as("nv")), "cid")
+      .filter(col("anchor_id") =!= col("neg_id"))
       .withColumn("sim", round(nativeDot(col("av"), col("nv")), 4))
       .filter(col("sim") >= HnBandLo && col("sim") < HnBandHi)
+      .select("anchor_id", "neg_id", "sim")
+      .distinct()
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= HnPerAnchor)
       .select("anchor_id", "neg_id", "sim", "rn")
