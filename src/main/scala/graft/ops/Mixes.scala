@@ -495,7 +495,104 @@ object Mixes {
       "SELECT doc_id, lang, n_tokens, cum_tokens, budget_tokens " +
       "FROM r JOIN b USING (lang) WHERE cum_tokens - n_tokens < budget_tokens ORDER BY doc_id"
 
+  // ------------------------------------------------------------------
+  // sample_importance_dsir — data selection via importance resampling
+  // ------------------------------------------------------------------
+
+  /** DSIR-style data selection (public technique: Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * document by the log-likelihood ratio of a TARGET-domain unigram LM
+    * (here the `en` slice — the domain the selection should match) against
+    * the corpus-wide LM, add deterministic Gumbel noise, keep the top
+    * quarter by (score, doc_id) — Gumbel-top-k IS sampling without
+    * replacement ∝ exp(λ), so the kept set is a true importance resample,
+    * not a hard threshold, yet fully deterministic.
+    *
+    * Determinism route: both LMs are add-1-smoothed integer counts; each
+    * word's log-ratio term rounds to 6 decimals onto the DECIMAL grid (the
+    * surprisal idiom — ln is the only engine-dependent step, the 1e-6 grid
+    * absorbs ULP drift) and per-doc sums are exact decimal addition. The
+    * Gumbel is −ln(−ln(u)) with u = (hash52 + 0.5)/2^52 — the seedless-
+    * uniform idiom, strictly inside (0, 1) — rounded onto the same grid.
+    *
+    * Scale shape: token explode → two map-side-combining word counts (the
+    * model is |vocab| rows); totals are a 1-row broadcast; the per-token
+    * model join is vocabulary-bounded (AQE picks broadcast while the model
+    * fits); the per-doc λ aggregates map-side to doc grain; and the global
+    * top-quarter rank runs through ScaleRank (range-split local windows —
+    * no single-task window at any n).
+    */
+  private def sampleImportanceDsir(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(Text.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+    val cc = toks.groupBy("w").agg(nrows.as("cc"))
+    val ct = toks.filter(col("lang") === "en").groupBy("w").agg(nrows.as("ct"))
+    val model = cc
+      .join(ct, Seq("w"), "left")
+      .select(col("w"), coalesce(col("ct"), lit(0L)).as("ct"), col("cc"))
+    val tot = model.agg(sum("ct").as("nt"), sum("cc").as("nc"), nrows.as("v"))
+    val term = model
+      .crossJoin(broadcast(tot))
+      .select(
+        col("w"),
+        round(
+          log((col("ct") + 1).cast("double") / (col("nt") + col("v")).cast("double")) -
+            log((col("cc") + 1).cast("double") / (col("nc") + col("v")).cast("double")),
+          6,
+        ).cast(DecimalType(18, 6)).as("t6"),
+      )
+    val lam = toks.join(term, "w").groupBy("doc_id").agg(sum("t6").as("lam6"))
+    val scored = Tables
+      .documents(s, dir)
+      .select("doc_id", "lang")
+      .join(lam, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        coalesce(col("lam6"), lit(0).cast(DecimalType(18, 6))).as("lam6"),
+        round(
+          -log(-log((hash52("dsir#", col("doc_id")) + lit(0.5)) / lit(Hash52Range))),
+          6,
+        ).cast(DecimalType(18, 6)).as("g6"),
+      )
+      .withColumn("score6", col("lam6") + col("g6"))
+    ScaleRank
+      .rankedFrame(scored, Nil, Seq(col("score6").desc, col("doc_id")), None)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("lam6").cast("double").as("lam"),
+        col("g6").cast("double").as("gumbel"),
+        col("score6").cast("double").as("score"),
+        (col("__rn") * 4 <= col("__seg_n")).as("keep"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val sampleImportanceDsirSql =
+    "WITH tk AS (SELECT doc_id, lang, unnest(string_split(" +
+      "lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')) AS w FROM documents), " +
+      "tk1 AS (SELECT * FROM tk WHERE len(w) >= 1), " +
+      "cc AS (SELECT w, CAST(count(*) AS BIGINT) AS cc FROM tk1 GROUP BY 1), " +
+      "ct AS (SELECT w, CAST(count(*) AS BIGINT) AS ct FROM tk1 WHERE lang = 'en' GROUP BY 1), " +
+      "model AS (SELECT cc.w, coalesce(ct.ct, 0) AS ct, cc.cc FROM cc LEFT JOIN ct USING (w)), " +
+      "tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cc) AS BIGINT) AS nc, " +
+      "CAST(count(*) AS BIGINT) AS v FROM model), " +
+      "term AS (SELECT w, CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)) - " +
+      "ln(CAST(cc + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS t6 FROM model, tot), " +
+      "lam AS (SELECT doc_id, sum(t6) AS lam6 FROM tk1 JOIN term USING (w) GROUP BY 1), " +
+      "sc AS (SELECT d.doc_id, d.lang, CAST(coalesce(lam.lam6, 0) AS DECIMAL(28,6)) AS lam6, " +
+      s"CAST(round(-ln(-ln((${hash52Sql("dsir#", "doc_id")} + 0.5) / 4503599627370496.0)), 6) " +
+      "AS DECIMAL(18,6)) AS g6 FROM documents d LEFT JOIN lam USING (doc_id)), " +
+      "rk AS (SELECT doc_id, lang, lam6, g6, lam6 + g6 AS score6, " +
+      "row_number() OVER (ORDER BY lam6 + g6 DESC, doc_id) AS rn, count(*) OVER () AS n FROM sc) " +
+      "SELECT doc_id, lang, CAST(lam6 AS DOUBLE) AS lam, CAST(g6 AS DOUBLE) AS gumbel, " +
+      "CAST(score6 AS DOUBLE) AS score, rn * 4 <= n AS keep FROM rk ORDER BY doc_id"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("sample_importance_dsir", sampleImportanceDsir, Some(sampleImportanceDsirSql)),
     QueryDef("sample_token_budget", sampleTokenBudget, Some(sampleTokenBudgetSql)),
     QueryDef("sample_group_split", sampleGroupSplit, Some(sampleGroupSplitSql)),
     QueryDef("sample_mix_exact", sampleMixExact, Some(sampleMixExactSql)),

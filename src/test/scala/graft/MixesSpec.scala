@@ -9,6 +9,34 @@ class MixesSpec extends SparkSpec {
 
   private def run(key: String) = SparkEntry.queries(key)(spark, sfDir)
 
+  test("sample_importance_dsir: exact quota, LM discrimination, Gumbel-resample enrichment") {
+    val rows = SparkEntry.queries("sample_importance_dsir")(spark, sfDir).collect()
+    val n = rows.length
+    // (a) Gumbel-top-k keeps EXACTLY the top quarter — a resample quota,
+    // not a threshold that drifts with the score distribution
+    assert(rows.count(_.getBoolean(5)) == n / 4, "kept quota != floor(n/4)")
+    // (b) the log-likelihood-ratio score must actually discriminate the
+    // target domain: mean λ of target-lang docs above the rest
+    val (en, rest) = rows.partition(_.getString(1) == "en")
+    val enMean = en.map(_.getDouble(2)).sum / en.length
+    val restMean = rest.map(_.getDouble(2)).sum / rest.length
+    info(s"mean λ: en = $enMean, non-en = $restMean")
+    assert(enMean > restMean + 0.05, "target LM ratio does not discriminate")
+    // (c) the kept set is enriched toward the target domain vs the corpus
+    // (pure-noise selection would match the corpus share in expectation)
+    val kept = rows.filter(_.getBoolean(5))
+    val keptEn = kept.count(_.getString(1) == "en").toDouble / kept.length
+    val corpusEn = en.length.toDouble / n
+    info(s"en share: corpus = $corpusEn, kept = $keptEn")
+    assert(keptEn > corpusEn, "importance resample did not enrich the target domain")
+    // (d) score decomposition holds row-wise: score = λ + gumbel on the
+    // 1e-6 decimal grid (exact addition — no drift between the columns)
+    rows.foreach { r =>
+      val diff = math.abs(r.getDouble(4) - (r.getDouble(2) + r.getDouble(3)))
+      assert(diff < 1e-9, s"score != lam + gumbel for doc ${r.getLong(0)}")
+    }
+  }
+
   test("sample_temperature: weights sum to ~1 and target_docs to ~1000; sqrt flattens the mix") {
     val rows = run("sample_temperature").collect()
     val wsum = rows.map(_.getAs[Double]("weight")).sum
