@@ -191,6 +191,53 @@ object CrossCheck {
       .agg(count(lit(1)).as("n_parts"), min("node").as("min_part"), max("node").as("max_part"))
   }
 
+  /** Independent dedup_semantic manifest (r11): the declared plan builds
+    * per-block spanning FORESTS inside flatMapGroups union-find and feeds
+    * them to the checkpointed pointer-jumping label loop. This formulation
+    * shares neither primitive: it materializes the FULL verified edge set
+    * (hybridSemanticPairsOf — the window-join + exact-dot path, every
+    * same-block pair dotted, no union-find), then converges components by
+    * plain per-round neighbor-min label relaxation (no pointer jumping) —
+    * diameter-bounded, fine for dup clusters (dense, diameter ≤ ~3). A
+    * forest that dropped a connecting edge, or a jump that skipped a
+    * label, would disagree here.
+    */
+  private def semanticFullEdgeLabels(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val e0 = ops.SemDedup.hybridSemanticPairsOf(e.select(col("vec_id"), col("embedding")))
+    val edges = e0
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(e0.select(col("id_b").as("a"), col("id_a").as("b")))
+      .persist()
+    var labels = e.select(col("vec_id").as("node"), col("vec_id").as("lab"))
+    var moved = 1L
+    var rounds = 0
+    while (moved > 0 && rounds < 30) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b"), col("lab").as("nl")), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min("nl").as("nbl"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("lab"), coalesce(col("nbl"), col("lab"))).as("lab"))
+        .transform(ops.Checkpoints.stable(_))
+      moved = next
+        .join(labels.select(col("node"), col("lab").as("old")), "node")
+        .filter(col("lab") =!= col("old"))
+        .count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+      .select(
+        col("node").as("vec_id"),
+        col("lab").as("cluster_id"),
+        (col("node") === col("lab")).as("kept"),
+      )
+      .orderBy("vec_id")
+  }
+
   private def frameDiff(a: DataFrame, b: DataFrame): (Long, Long, Long) = {
     val cols = a.columns.sorted.map(col)
     val an = a.select(cols: _*)
@@ -216,6 +263,7 @@ object CrossCheck {
       ("graph_triangle_count", trianglesIdOrder _),
       ("graph_kcore", kcoreAntiJoin _),
       ("graph_shortest_hops", hopsFrontierBfs _),
+      ("dedup_semantic", semanticFullEdgeLabels _),
     )
     var failed = false
     checks

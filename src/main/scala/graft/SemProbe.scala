@@ -62,6 +62,29 @@ object SemProbe {
     val cellPairs1 = ops.SemDedup.ivfSemanticPairsOf(e, probes = 1).count()
     val cellPairs2 = ops.SemDedup.ivfSemanticPairsOf(e, probes = 2).count()
     println(s"[semprobe] verified edges: lsh=$lshPairs cells_p1=$cellPairs1 cells_p2=$cellPairs2")
+
+    // recall vs brute-force truth (arg2 = "recall"): ALL pairs >= threshold
+    // by blocked exact dot — 200M dots at sf1, a one-off measurement run,
+    // never a declared plan shape
+    if (args.length > 1 && args(1) == "recall") {
+      val truth = e
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(ops.Vectors.nativeDot(col("va"), col("vb")) >= ops.SemDedup.SemThreshold)
+        .select("id_a", "id_b")
+        .persist()
+      val nTruth = truth.count()
+      def recallOf(name: String, pairs: org.apache.spark.sql.DataFrame): Unit = {
+        val hit = truth.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+        println(f"[semprobe] recall $name%-12s $hit/$nTruth = ${hit.toDouble / nTruth}%.3f")
+      }
+      recallOf("hybrid", ops.SemDedup.hybridSemanticPairsOf(e))
+      recallOf("lsh", ops.SemDedup.semanticPairsOf(e))
+      recallOf("cells_p1", ops.SemDedup.ivfSemanticPairsOf(e, probes = 1))
+      recallOf("cells_p2", ops.SemDedup.ivfSemanticPairsOf(e, probes = 2))
+      truth.unpersist()
+    }
     spark.stop()
   }
 }

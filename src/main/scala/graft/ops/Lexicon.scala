@@ -258,7 +258,11 @@ object Lexicon {
     * encode frame keeps 1-char words (they encode as themselves) — a
     * tokenizer that cannot encode part of its corpus is not a tokenizer.
     */
-  private def tokenizerEncode(s: SparkSession, dir: String): DataFrame = {
+  /** (word, we, wf): every corpus word (len ≥ 1) with its sentinel-alphabet
+    * encoding under the trained [[BpeVocabMerges]]-merge tokenizer — the
+    * shared replay behind tokenizer_encode and tokenizer_fertility.
+    */
+  private def encodedVocab(s: SparkSession, dir: String): (DataFrame, Seq[(Long, String, Long)]) = {
     val merges = bpeMergeTable(s, dir, BpeVocabMerges)
     var enc = Tables
       .documents(s, dir)
@@ -270,6 +274,11 @@ object Lexicon {
     merges.foreach { case (rank, pstar, _) =>
       enc = enc.withColumn("we", replace(col("we"), lit(pstar), lit(bpeSentinel(rank.toInt))))
     }
+    (enc, merges)
+  }
+
+  private def tokenizerEncode(s: SparkSession, dir: String): DataFrame = {
+    val (enc, merges) = encodedVocab(s, dir)
     // decode: space-join we's chars (one char = one token; expansions never
     // contain spaces — words were split on them), then expand sentinels in
     // DESCENDING rank order over the whole string (an expansion may
@@ -298,15 +307,23 @@ object Lexicon {
     * coalesce(chr(2)) replace is a no-op), then the same per-char
     * descending-rank decode.
     */
-  private val tokenizerEncodeSql: String = {
-    val k = BpeVocabMerges
+  /** The encode-replay CTE suffix (enc0 → encK), composing onto
+    * [[bpeTrainChainSql]] — shared by the encode and fertility oracles.
+    */
+  private def bpeEncChainSql(k: Int): String = {
     val sb = new StringBuilder
-    sb ++= "WITH " + bpeTrainChainSql(k)
     sb ++= ", enc0 AS (SELECT w AS word, w AS we, CAST(count(*) AS BIGINT) AS wf " +
       "FROM wx WHERE len(w) >= 1 GROUP BY 1, 2)"
     for (j <- 1 to k)
       sb ++= s", enc$j AS (SELECT word, replace(we, coalesce((SELECT p FROM top$j), chr(2)), " +
         s"chr(${BpeSentinelBase + j})) AS we, wf FROM enc${j - 1})"
+    sb.toString
+  }
+
+  private val tokenizerEncodeSql: String = {
+    val k = BpeVocabMerges
+    val sb = new StringBuilder
+    sb ++= "WITH " + bpeTrainChainSql(k) + bpeEncChainSql(k)
     // lambdas cannot hold scalar subqueries, so decode the space-joined
     // char string as a whole (mirrors the Spark side exactly)
     val spaced = "array_to_string(list_transform(range(1, len(we) + 1), i -> we[i]), ' ')"
@@ -316,6 +333,54 @@ object Lexicon {
     sb ++= s" SELECT word, wf, CAST(len(we) AS BIGINT) AS n_tokens, $dec AS tokens " +
       s"FROM enc$k ORDER BY word"
     sb.toString
+  }
+
+  /** Declared key (r11): per-language tokenizer FERTILITY — tokens per
+    * word under the trained tokenizer, with the continued-word share
+    * (words splitting into ≥ 2 tokens). THE standard tokenizer-equity
+    * audit for a multilingual corpus: a language whose fertility is far
+    * above the corpus pays more sequence length for the same text, and a
+    * mix built on word counts under-budgets it. Integer-ppm arithmetic.
+    *
+    * Scale shape: the encoded vocabulary is |vocab| rows (the
+    * [[encodedVocab]] replay); the corpus contributes one token-grain
+    * explode joined to that vocabulary-bounded frame (AQE broadcasts it
+    * while it fits), partial-aggregated to |langs| rows map-side.
+    */
+  private def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val (enc, _) = encodedVocab(s, dir)
+    val ev = enc.select(col("word").as("w"), length(col("we")).cast("long").as("n_tokens"))
+    Tables
+      .documents(s, dir)
+      .select(col("lang"), explode(split(Text.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(ev, "w")
+      .groupBy("lang")
+      .agg(
+        nrows.as("n_words"),
+        sum("n_tokens").as("n_tokens"),
+        sum(when(col("n_tokens") > 1, 1L).otherwise(0L)).as("n_continued"),
+      )
+      .select(
+        col("lang"),
+        col("n_words"),
+        col("n_tokens"),
+        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_continued * 1000000 div n_words").as("continued_ppm"),
+      )
+      .orderBy("lang")
+  }
+
+  private val tokenizerFertilitySql: String = {
+    val k = BpeVocabMerges
+    "WITH " + bpeTrainChainSql(k) + bpeEncChainSql(k) +
+      s", ev AS (SELECT word AS w, CAST(len(we) AS BIGINT) AS n_tokens FROM enc$k), " +
+      s"tw AS (SELECT lang, unnest(string_split($normSql, ' ')) AS w FROM documents), " +
+      "j AS (SELECT lang, n_tokens FROM tw JOIN ev USING (w) WHERE len(w) >= 1) " +
+      "SELECT lang, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(n_tokens) * 1000000 // count(*) AS BIGINT) AS fertility_ppm, " +
+      "CAST(sum(CASE WHEN n_tokens > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS continued_ppm " +
+      "FROM j GROUP BY lang ORDER BY lang"
   }
 
   private val tokenizerBpeMergeRoundSql =
@@ -411,6 +476,7 @@ object Lexicon {
     QueryDef("tokenizer_bpe_merge_round", tokenizerBpeMergeRound, Some(tokenizerBpeMergeRoundSql)),
     QueryDef("tokenizer_bpe_vocab", tokenizerBpeVocab, Some(tokenizerBpeVocabSql)),
     QueryDef("tokenizer_encode", tokenizerEncode, Some(tokenizerEncodeSql)),
+    QueryDef("tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
     QueryDef("text_lang_confusion", textLangConfusion, Some(textLangConfusionSql)),
     QueryDef("text_char_ngram_profile", textCharNgramProfile, Some(textCharNgramProfileSql)),
   )

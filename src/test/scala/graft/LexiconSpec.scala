@@ -141,6 +141,33 @@ class LexiconSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer_fertility: conservation, ppm bounds, exact agreement with tokenizer_encode") {
+    val rows = run("tokenizer_fertility").collect()
+    assert(rows.nonEmpty)
+    val enc = run("tokenizer_encode").collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val langWords = Tables
+      .documents(spark, sfDir)
+      .select(col("lang"), explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // conservation: per-lang word totals cover the whole corpus
+    assert(rows.map(_.getLong(1)).sum == langWords.length.toLong)
+    val byLang = langWords.groupBy(_._1)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val ws = byLang(lang).map(_._2)
+      val nTokens = ws.map(enc).sum
+      val nCont = ws.count(enc(_) > 1).toLong
+      assert(r.getLong(1) == ws.length.toLong, s"$lang n_words")
+      assert(r.getLong(2) == nTokens, s"$lang n_tokens")
+      assert(r.getLong(3) == nTokens * 1000000L / ws.length, s"$lang fertility_ppm")
+      assert(r.getLong(4) == nCont * 1000000L / ws.length, s"$lang continued_ppm")
+      // a tokenizer can never emit fewer tokens than words
+      assert(r.getLong(3) >= 1000000L && r.getLong(4) <= 1000000L)
+    }
+  }
+
   test("text_lang_confusion: cells conserve doc counts and agree with text_langid") {
     val rows = run("text_lang_confusion").collect()
     val perLang = Tables
