@@ -83,6 +83,46 @@ object SemProbe {
       recallOf("lsh", ops.SemDedup.semanticPairsOf(e))
       recallOf("cells_p1", ops.SemDedup.ivfSemanticPairsOf(e, probes = 1))
       recallOf("cells_p2", ops.SemDedup.ivfSemanticPairsOf(e, probes = 2))
+
+      // the DEDUP metric: component recovery. Pair recall undercounts on
+      // dense dup clusters (m(m-1)/2 true pairs, only m-1 edges needed);
+      // what a dedup manifest must get right is WHICH vectors are dups of
+      // which keeper. Ground truth components by label relaxation over the
+      // full truth edge set, compared to the declared manifest exactly.
+      val tEdges = truth
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionByName(truth.select(col("id_b").as("a"), col("id_a").as("b")))
+        .persist()
+      var labels = e.select(col("vec_id").as("node"), col("vec_id").as("lab"))
+      var moved = 1L
+      while (moved > 0) {
+        val nm = tEdges
+          .join(labels.select(col("node").as("b"), col("lab").as("nl")), "b")
+          .groupBy(col("a").as("node"))
+          .agg(min("nl").as("nbl"))
+        val next = labels
+          .join(nm, Seq("node"), "left")
+          .select(col("node"), least(col("lab"), coalesce(col("nbl"), col("lab"))).as("lab"))
+          .transform(ops.Checkpoints.stable(_))
+        moved = next
+          .join(labels.select(col("node"), col("lab").as("old")), "node")
+          .filter(col("lab") =!= col("old"))
+          .count()
+        labels = next
+      }
+      val truthMan = labels.select(
+        col("node").as("vec_id"),
+        col("lab").as("cluster_id"),
+        (col("node") === col("lab")).as("kept"),
+      )
+      val declared = SparkEntry.queries("dedup_semantic")(spark, sfDir)
+      val nTruthDups = truthMan.filter(!col("kept")).count()
+      val nDeclDups = declared.filter(!col("kept")).count()
+      val agree = declared.join(truthMan, Seq("vec_id", "cluster_id", "kept"), "left_semi").count()
+      println(
+        s"[semprobe] components: truth_dups=$nTruthDups declared_dups=$nDeclDups " +
+          f"manifest_agree=$agree/$n = ${agree.toDouble / n}%.4f")
+      tEdges.unpersist()
       truth.unpersist()
     }
     spark.stop()
