@@ -128,6 +128,32 @@ class PropertySpec extends SparkSpec {
     )
   }
 
+  test("kernel identity: graft_l2sq(a,b) == dot(a,a) + dot(b,b) - 2*dot(a,b) on integer grids") {
+    // ties the two codegen kernels (L2Dist2, DotProduct) to each other
+    // through the polarization identity — a bug in either kernel's fold
+    // (ordering, widening, null branch) breaks the exact equality
+    graft.functions.GraftFunctions.register(spark)
+    val grid = Gen.listOfN(8, Gen.chooseNum(-1000000L, 1000000L))
+    check(
+      "l2sq-polarization",
+      Prop.forAll(grid, grid) { (a, b) =>
+        val df = Seq((a, b)).toDF("a", "b")
+        val row = df
+          .select(
+            call_function("graft_l2sq", col("a"), col("b")).as("l2"),
+            // |a_i| <= 1e6 < 2^24 is exact in FLOAT; products <= 1e12 and
+            // 8-dim sums <= 8e12 are exact in the kernel's double fold
+            call_function("graft_dot", col("a").cast("array<float>"), col("a").cast("array<float>")).as("aa"),
+            call_function("graft_dot", col("b").cast("array<float>"), col("b").cast("array<float>")).as("bb"),
+            call_function("graft_dot", col("a").cast("array<float>"), col("b").cast("array<float>")).as("ab"),
+          )
+          .collect()(0)
+        row.getLong(0).toDouble == row.getDouble(1) + row.getDouble(2) - 2 * row.getDouble(3)
+      },
+      n = 20,
+    )
+  }
+
   test("simhash fingerprint is token-order invariant (signed sums commute)") {
     check(
       "simhash-order-invariant",
