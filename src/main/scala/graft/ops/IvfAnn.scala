@@ -52,7 +52,7 @@ object IvfAnn {
       scala.collection.mutable.HashMap[String, java.lang.ref.SoftReference[DataFrame]],
     ]()
 
-  private def cachedCentroids(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+  private[ops] def cachedCentroids(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
     centroidCache.synchronized {
       val perDir = Option(centroidCache.get(s)).getOrElse {
         val m =

@@ -56,15 +56,20 @@ object IvfPq {
       .groupBy((keys.map(col) :+ expr(s"dim div $SubDim").as("sub")): _*)
       .agg(expr("transform(array_sort(collect_list(struct(dim, r6))), s -> s.r6)").as("x6a"))
 
-  private def simAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
+  /** Residual frames vs a coarse quantizer: (rsub — per-(vec, sub) 8-long
+    * residual arrays, rg — per-dim residual grain, lists — each vector's
+    * cell). The residual grid r6 = x6 − c6(cell(vec)) is a map-side
+    * subtraction against the broadcast centroids; exact int64 on the 1e-6
+    * grid.
+    */
+  private def residualFrames(
+      s: SparkSession,
+      dir: String,
+      cent: DataFrame,
+  ): (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cent = IvfAnn.trainGridCentroids(s, dir) // (cid, dim, c6), checkpointed
-    val g = IvfAnn.grid6(e) // (vec_id, dim, x6)
-    val lists = IvfAnn.gridAssign(g, cent) // (vec_id, cid): each vector's cell
-
-    // corpus residual grid: r6 = x6 − c6(cell(vec)) — map-side against the
-    // broadcast centroids; exact int64 on the 1e-6 grid
+    val g = IvfAnn.grid6(e)
+    val lists = IvfAnn.gridAssign(g, cent)
     val res = g
       .join(lists, "vec_id")
       .join(broadcast(cent), Seq("cid", "dim"))
@@ -76,9 +81,52 @@ object IvfPq {
       expr(s"dim % $SubDim").as("ld"),
       col("r6").as("x6"),
     )
-    val centA = PqAnn.toArrays(PqAnn.trainCodebooksFrom(rsub, rg, PqAnn.seedCodes(e)))
-    val codes = PqAnn.encode(rsub, centA) // (vec_id, sub, code)
+    (rsub, rg, lists)
+  }
 
+  /** The long-form residual codebooks (sub, code, ld, c6), checkpointed by
+    * the shared train loop.
+    */
+  private def trainResidualCodebooks(s: SparkSession, dir: String, cent: DataFrame): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (rsub, rg, _) = residualFrames(s, dir, cent)
+    PqAnn.trainCodebooksFrom(rsub, rg, PqAnn.seedCodes(e))
+  }
+
+  /** Session-cached codebook ARRAYS against the session-cached coarse
+    * quantizer — the build-once half the probe key consumes (same weak
+    * cache as the IVF index; see IvfAnn.centroidCache's scaladoc).
+    */
+  private def cachedResidualCodebooks(s: SparkSession, dir: String): DataFrame =
+    IvfAnn.cachedCentroids(s, "ivfpq:" + dir) {
+      PqAnn.toArrays(trainResidualCodebooks(s, dir, IvfAnn.gridCentroids(s, dir)))
+    }
+
+  /** Encode the corpus against given codebooks: (vec_id, sub, code, cid). */
+  private def encodedCorpus(
+      s: SparkSession,
+      dir: String,
+      cent: DataFrame,
+      centA: DataFrame,
+  ): DataFrame = {
+    val (rsub, _, lists) = residualFrames(s, dir, cent)
+    PqAnn.encode(rsub, centA).join(lists, "vec_id")
+  }
+
+  /** The probe stage over a trained index: route probes to their
+    * [[NProbe]] nearest cells, ADC-score the routed cells' codes through
+    * per-(probe, cell) residual tables, re-rank the shortlist exactly.
+    */
+  private def probeStage(
+      s: SparkSession,
+      dir: String,
+      cent: DataFrame,
+      centA: DataFrame,
+      codes: DataFrame,
+  ): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val g = IvfAnn.grid6(e)
     // probe routing: top-NProbe cells by exact grid distance (ties → lower cid)
     val pg = g.filter(col("vec_id") < 100)
     val routeW = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
@@ -109,7 +157,6 @@ object IvfPq {
     // ADC over routed cells only: a candidate matches dtab solely through
     // its own cell's tables, so the join IS the inverted-list restriction
     val adc = codes
-      .join(lists, "vec_id")
       .join(broadcast(dtab), Seq("cid", "sub", "code"))
       .filter(col("probe_id") =!= col("vec_id"))
       .groupBy(col("probe_id"), col("vec_id").as("cand_id"))
@@ -132,15 +179,71 @@ object IvfPq {
       .orderBy("probe_id", "rn")
   }
 
+  /** The declared fused key: retrains the whole index inside every
+    * execution (the sim_ann_ivf convention — zero session state, so the
+    * full path training included hash-checks against the oracle). The
+    * deployment shape is the build/probe split below.
+    */
+  private def simAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cent = IvfAnn.trainGridCentroids(s, dir)
+    val centA = PqAnn.toArrays(trainResidualCodebooks(s, dir, cent))
+    probeStage(s, dir, cent, centA, encodedCorpus(s, dir, cent, centA))
+  }
+
+  /** Index-build key: the residual codebooks (sub, code, ld, c6) joined
+    * with each code's corpus usage `code_n` — together with
+    * sim_ann_ivf_build's centroid grid this IS the persisted IVF-PQ index
+    * (the code table itself is embed-pq-shaped and re-derivable in one
+    * broadcast pass); `code_n` is the balance stat that tells a deployment
+    * when residual distributions drifted enough to retrain. Trains (or
+    * reuses) the session-cached coarse quantizer AND caches the codebooks
+    * for the probe key.
+    */
+  private def simAnnIvfPqBuild(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cent = IvfAnn.gridCentroids(s, dir)
+    val cbLong = trainResidualCodebooks(s, dir, cent)
+    val centA = cachedResidualCodebooks(s, dir)
+    val cn = encodedCorpus(s, dir, cent, centA)
+      .groupBy("sub", "code")
+      .agg(count(lit(1)).as("code_n"))
+    cbLong
+      .join(cn, Seq("sub", "code"), "left")
+      .select(col("sub"), col("code"), col("ld"), col("c6"), coalesce(col("code_n"), lit(0L)).as("code_n"))
+      .orderBy("sub", "code", "ld")
+  }
+
+  /** Probe key: consumes the session-cached coarse centroids + residual
+    * codebooks — after a prior build (or first execution) trains them,
+    * every probe run pays only the encode pass (the stand-in for READING
+    * the stored 4-byte code table; the IVF probe precedent recomputes its
+    * inverted lists the same way), routing, ADC, and the exact re-rank.
+    * Row-identical to the fused key by construction, so it shares its
+    * oracle verbatim (IvfPqSpec pins the law).
+    */
+  private def simAnnIvfPqProbe(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cent = IvfAnn.gridCentroids(s, dir)
+    val centA = cachedResidualCodebooks(s, dir)
+    probeStage(s, dir, cent, centA, encodedCorpus(s, dir, cent, centA))
+  }
+
   /** DuckDB mirror: the sim_ann_ivf coarse chain verbatim (g → c2 → dl →
     * lists), then the residual grid, PqAnn's codebook train loop sourced
     * from it (p-prefixed CTEs), probe routing from dl, per-(probe, cell)
     * ADC tables, list-restricted lookup-sum, and the exact re-rank.
     */
-  private val simAnnIvfPqSql: String = {
-    def dist2(ea: String, ca: String) =
-      s"CAST(list_sum(list_transform(range(1, ${SubDim + 1}), " +
-        s"i -> ($ea.x6a[i] - $ca.c6a[i]) * ($ea.x6a[i] - $ca.c6a[i]))) AS BIGINT)"
+  private def dist2(ea: String, ca: String) =
+    s"CAST(list_sum(list_transform(range(1, ${SubDim + 1}), " +
+      s"i -> ($ea.x6a[i] - $ca.c6a[i]) * ($ea.x6a[i] - $ca.c6a[i]))) AS BIGINT)"
+
+  /** Shared index-train CTE chain: the sim_ann_ivf coarse chain verbatim,
+    * the residual grid, the residual-codebook train loop, and the encoded
+    * corpus (pcodes) — everything the fused, build, and probe oracles
+    * derive from.
+    */
+  private val simAnnIvfPqCteSql: String = {
     def step(cIn: String, out: String): String =
       s"pca_$cIn AS (SELECT sub, code, list(c6 ORDER BY ld) AS c6a FROM $cIn GROUP BY 1, 2), " +
         s"pd_$out AS (SELECT e.vec_id, e.sub, c.code, ${dist2("e", "c")} AS dist2 " +
@@ -168,7 +271,11 @@ object IvfPq {
       s"pd_fin AS (SELECT e.vec_id, e.sub, c.code, ${dist2("e", "c")} AS dist2 " +
       "FROM rsub e JOIN pca c ON c.sub = e.sub), " +
       "pcodes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, " +
-      "row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) AS rn FROM pd_fin) WHERE rn = 1), " +
+      "row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) AS rn FROM pd_fin) WHERE rn = 1)"
+  }
+
+  private val simAnnIvfPqSql: String =
+    simAnnIvfPqCteSql + ", " +
       "routes AS (SELECT vec_id AS probe_id, cid FROM (SELECT vec_id, cid, " +
       "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dl WHERE vec_id < 100) " +
       s"WHERE rn <= $NProbe), " +
@@ -190,9 +297,21 @@ object IvfPq {
       "rk AS (SELECT probe_id, cand_id, sim, " +
       "CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn FROM rr) " +
       s"SELECT probe_id, cand_id, sim, rn FROM rk WHERE rn <= $TopK ORDER BY probe_id, rn"
-  }
+
+  /** Build oracle: the shared coarse + residual-train chains, then the
+    * long-form codebooks joined with per-(sub, code) corpus usage.
+    */
+  private val simAnnIvfPqBuildSql: String =
+    simAnnIvfPqCteSql +
+      ", cn AS (SELECT sub, code, CAST(count(*) AS BIGINT) AS code_n FROM pcodes GROUP BY 1, 2) " +
+      "SELECT c.sub, c.code, c.ld, CAST(c.c6 AS BIGINT) AS c6, coalesce(cn.code_n, 0) AS code_n " +
+      "FROM pc2 c LEFT JOIN cn ON cn.sub = c.sub AND cn.code = c.code ORDER BY c.sub, c.code, c.ld"
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("sim_ann_ivfpq", simAnnIvfPq, Some(simAnnIvfPqSql)),
+    QueryDef("sim_ann_ivfpq_build", simAnnIvfPqBuild, Some(simAnnIvfPqBuildSql)),
+    // the probe key's result is row-identical to the fused key (IvfPqSpec
+    // law), so it shares the fused oracle verbatim
+    QueryDef("sim_ann_ivfpq_probe", simAnnIvfPqProbe, Some(simAnnIvfPqSql)),
   )
 }

@@ -42,6 +42,27 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("build/probe split: probe is row-identical to fused; build codebook is used by every code") {
+    val fused = SparkEntry.queries("sim_ann_ivfpq")(spark, sfDir)
+    val t0 = System.nanoTime()
+    val build = SparkEntry.queries("sim_ann_ivfpq_build")(spark, sfDir).collect()
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val probe = SparkEntry.queries("sim_ann_ivfpq_probe")(spark, sfDir)
+    val diff = fused.exceptAll(probe).count() + probe.exceptAll(fused).count()
+    val tProbe = (System.nanoTime() - t1) / 1e9
+    assert(diff == 0, "probe result diverged from the fused key")
+    // the persisted artifact is complete: 8 subspaces × 16 codes × 8 dims
+    assert(build.length == 8 * 16 * 8)
+    // usage accounting: Σ code_n per subspace = n (every vector encoded)
+    val n = Tables.embeddings(spark, sfDir).count()
+    build.groupBy(_.getLong(0)).foreach { case (sub, rows) =>
+      val perCode = rows.groupBy(_.getLong(1)).view.mapValues(_.head.getLong(4))
+      assert(perCode.values.sum == n, s"subspace $sub code_n sum != corpus size")
+    }
+    info(f"build $tBuild%.1f s (trains + caches), probe-after-build $tProbe%.1f s")
+  }
+
   test("sim_ann_ivfpq: candidates come only from routed cells (nprobe restriction)") {
     // the IVF restriction is the index's defining property: a candidate
     // outside the probe's nprobe routed cells can never be returned.
