@@ -115,13 +115,16 @@ object SemProbe {
         col("lab").as("cluster_id"),
         (col("node") === col("lab")).as("kept"),
       )
-      val declared = SparkEntry.queries("dedup_semantic")(spark, sfDir)
       val nTruthDups = truthMan.filter(!col("kept")).count()
-      val nDeclDups = declared.filter(!col("kept")).count()
-      val agree = declared.join(truthMan, Seq("vec_id", "cluster_id", "kept"), "left_semi").count()
-      println(
-        s"[semprobe] components: truth_dups=$nTruthDups declared_dups=$nDeclDups " +
-          f"manifest_agree=$agree/$n = ${agree.toDouble / n}%.4f")
+      for (key <- Seq("dedup_semantic", "dedup_semantic_ivf")) {
+        val declared = SparkEntry.queries(key)(spark, sfDir)
+        val nDeclDups = declared.filter(!col("kept")).count()
+        val agree =
+          declared.join(truthMan, Seq("vec_id", "cluster_id", "kept"), "left_semi").count()
+        println(
+          s"[semprobe] components $key: truth_dups=$nTruthDups declared_dups=$nDeclDups " +
+            f"manifest_agree=$agree/$n = ${agree.toDouble / n}%.4f")
+      }
       tEdges.unpersist()
       truth.unpersist()
     }
