@@ -489,6 +489,87 @@ object IvfAnn {
       .orderBy("cid", "lang")
   }
 
+  /** Embedding-distribution DRIFT against the built index — the
+    * staleness monitor every deployed quantizer needs: assign the corpus
+    * to the cached grid cells, split it into the first/second vec_id
+    * halves (ingest order — old data vs new), and report each cell's
+    * occupancy share per half with its PSI contribution
+    * ((p_a − p_b)·ln(p_a/p_b), add-1 smoothed so empty cells stay
+    * finite). Σ psi6 over cells is the population-stability index; the
+    * 0.1/0.25 PSI rules of thumb are the retrain triggers. The
+    * embedding-space sibling of dq_drift_psi (value-column drift) and the
+    * temporal sibling of corpus_cluster_mix (language balance).
+    *
+    * Scale: cluster assignment is the broadcast-centroid pass (corpus
+    * never shuffles for it); everything after is k-row aggregates with
+    * map-side combine; the half split needs only a broadcast 1-row max.
+    * Determinism: shares are quotients of identical integers → identical
+    * doubles; ln is the only engine-dependent step and the 1e-6 round
+    * absorbs ULP drift (the surprisal idiom); PSI terms are ≥ 0 by
+    * construction (both factors share sign), so no signed-zero hazard.
+    */
+  private def embedClusterDrift(s: SparkSession, dir: String): DataFrame = {
+    val cent = gridCentroids(s, dir)
+    val e = graft.Tables.embeddings(s, dir)
+    val lists = gridAssign(grid6(e), cent)
+    val mx = e.agg(max("vec_id").as("mxid"))
+    val c = lists
+      .crossJoin(broadcast(mx))
+      .select(
+        col("cid"),
+        when(col("vec_id") * 2 <= col("mxid"), lit("a")).otherwise(lit("b")).as("slice"),
+      )
+      .groupBy("cid", "slice")
+      .agg(count(lit(1)).as("n"))
+    // complete the (cid × slice) domain: an EMPTIED cell is exactly the
+    // drift signal, so it must appear (with its smoothed share), not vanish
+    val dom = cent
+      .select("cid")
+      .distinct()
+      .crossJoin(e.sparkSession.range(1).select(explode(array(lit("a"), lit("b"))).as("slice")))
+    val p = dom
+      .join(c, Seq("cid", "slice"), "left")
+      .select(col("cid"), col("slice"), coalesce(col("n"), lit(0L)).as("n"))
+      .groupBy("cid")
+      .agg(
+        sum(when(col("slice") === "a", col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("slice") === "b", col("n")).otherwise(0L)).as("n_b"),
+      )
+    val tt = p.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    val pa = (col("n_a") + 1).cast("double") / (col("ta") + GridK).cast("double")
+    val pb = (col("n_b") + 1).cast("double") / (col("tb") + GridK).cast("double")
+    p.crossJoin(broadcast(tt))
+      .select(
+        col("cid"),
+        col("n_a"),
+        col("n_b"),
+        expr(s"(n_a + 1) * 1000000 div (ta + $GridK)").as("share_a_ppm"),
+        expr(s"(n_b + 1) * 1000000 div (tb + $GridK)").as("share_b_ppm"),
+        round((pa - pb) * log(pa / pb), 6).as("psi6"),
+      )
+      .orderBy("cid")
+  }
+
+  private lazy val embedClusterDriftSql =
+    gridTrainCte + ", " +
+      "mx AS (SELECT max(vec_id) AS mxid FROM embeddings), " +
+      "sl AS (SELECT cid, CASE WHEN cand_id * 2 <= mx.mxid THEN 'a' ELSE 'b' END AS slice FROM lists, mx), " +
+      "cc AS (SELECT cid, slice, CAST(count(*) AS BIGINT) AS n FROM sl GROUP BY 1, 2), " +
+      "dom AS (SELECT DISTINCT c2.cid, s.slice FROM c2, (SELECT 'a' AS slice UNION ALL SELECT 'b') s), " +
+      "f AS (SELECT dom.cid, dom.slice, coalesce(cc.n, 0) AS n FROM dom " +
+      "LEFT JOIN cc ON cc.cid = dom.cid AND cc.slice = dom.slice), " +
+      "p AS (SELECT cid, CAST(sum(CASE WHEN slice = 'a' THEN n ELSE 0 END) AS BIGINT) AS n_a, " +
+      "CAST(sum(CASE WHEN slice = 'b' THEN n ELSE 0 END) AS BIGINT) AS n_b FROM f GROUP BY 1), " +
+      "tt AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM p) " +
+      s"SELECT cid, n_a, n_b, " +
+      s"CAST((n_a + 1) * 1000000 // (ta + $GridK) AS BIGINT) AS share_a_ppm, " +
+      s"CAST((n_b + 1) * 1000000 // (tb + $GridK) AS BIGINT) AS share_b_ppm, " +
+      s"round((CAST(n_a + 1 AS DOUBLE) / CAST(ta + $GridK AS DOUBLE) - " +
+      s"CAST(n_b + 1 AS DOUBLE) / CAST(tb + $GridK AS DOUBLE)) * " +
+      s"ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + $GridK AS DOUBLE)) / " +
+      s"(CAST(n_b + 1 AS DOUBLE) / CAST(tb + $GridK AS DOUBLE))), 6) AS psi6 " +
+      "FROM p, tt ORDER BY cid"
+
   // lazy: gridTrainCte is defined further down the file; a strict val here
   // would capture null at object init (entries initializes last, so the
   // lazy resolves after gridTrainCte exists)
@@ -567,6 +648,7 @@ object IvfAnn {
     // law), so it shares the fused oracle verbatim
     graft.QueryDef("sim_ann_ivf_probe", simAnnIvfProbe, Some(simAnnIvfGridSql)),
     graft.QueryDef("corpus_cluster_mix", corpusClusterMix, Some(corpusClusterMixSql)),
+    graft.QueryDef("embed_cluster_drift", embedClusterDrift, Some(embedClusterDriftSql)),
   )
 
   /** IVF top-k: assign corpus once (the inverted lists), route each probe to

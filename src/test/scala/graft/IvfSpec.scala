@@ -166,4 +166,24 @@ class IvfSpec extends SparkSpec {
     val corpusSum = langPpm.values.sum
     assert(corpusSum > 1000000L - langPpm.size && corpusSum <= 1000000L)
   }
+
+  test("embed_cluster_drift: domain complete, counts conserve, split correct, PSI terms >= 0") {
+    val rows = SparkEntry.queries("embed_cluster_drift")(spark, sfDir).collect()
+    assert(rows.length == 16, "one row per grid cell, empty cells included")
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id")).collect().map(_.getLong(0))
+    val mx = e.max
+    // conservation: per-slice totals are exactly the corpus halves
+    assert(rows.map(_.getLong(1)).sum == e.count(_ * 2 <= mx).toLong, "slice-a total")
+    assert(rows.map(_.getLong(2)).sum == e.count(_ * 2 > mx).toLong, "slice-b total")
+    rows.foreach { r =>
+      // PSI contributions are non-negative by construction ((p_a − p_b)
+      // and ln(p_a/p_b) always share sign); smoothing keeps them finite
+      assert(r.getDouble(5) >= 0.0, s"negative PSI term at cid ${r.getLong(0)}")
+      // smoothed shares stay strictly inside (0, 1e6) ppm
+      assert(r.getLong(3) > 0 && r.getLong(3) < 1000000L)
+      assert(r.getLong(4) > 0 && r.getLong(4) < 1000000L)
+    }
+    val totalPsi = rows.map(_.getDouble(5)).sum
+    info(f"total PSI = $totalPsi%.4f over 16 cells (0.1/0.25 = drift rules of thumb)")
+  }
 }
