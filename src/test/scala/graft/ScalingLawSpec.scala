@@ -58,6 +58,7 @@ class ScalingLawSpec extends SparkSpec {
     "sim_ann_ivfpq" -> "cell-restricted ADC: probes score only ~n·nprobe/k code rows through broadcast tables; residual and codebook stages are the linear PQ shapes on top of the IVF pass",
     "mine_hard_negatives" -> "cell-candidate pair mining: pairs ≈ n·2·occupancy at fixed cell target — linear; a cells regression to all-pairs is exactly what this gate would catch",
     "dedup_incremental_semantic" -> "shard-vs-manifest semantic dedup: cost must track the batch (routing against broadcast centroids + batch-cell equi-join), never re-cluster the seen corpus",
+    "embed_cluster_drift" -> "broadcast-centroid assignment + k-row PSI aggregates: the exchange collapses to ~k rows per task map-side; the half split is a 1-row broadcast max",
   )
 
   test("shuffle bytes grow at most 3x-linear from sf0.01 to sf0.1 for scale-risk probes") {
