@@ -591,7 +591,73 @@ object Mixes {
       "SELECT doc_id, lang, CAST(lam6 AS DOUBLE) AS lam, CAST(g6 AS DOUBLE) AS gumbel, " +
       "CAST(score6 AS DOUBLE) AS score, rn * 4 <= n AS keep FROM rk ORDER BY doc_id"
 
+  // ------------------------------------------------------------------
+  // mix_epoch_plan — data-constrained epoch planning under a token budget
+  // ------------------------------------------------------------------
+
+  /** Epoch planner for a data-constrained mix (public recipe: Muennighoff
+    * et al. 2023, "Scaling Data-Constrained Language Models" — repeating a
+    * corpus stops helping after ~4 epochs): spend the sample_token_budget
+    * convention's B = total/3 tokens across languages in temperature
+    * shares (α = 0.5, the sample_temperature idiom); a language whose
+    * stock falls short of its share REPEATS — epochs = ceil(want/stock),
+    * capped at 4 — and anything past the cap is reported as `deficit`,
+    * the number the mix designer must re-balance (raise other shares or
+    * accept a smaller budget). This is the planning artifact BETWEEN
+    * sample_temperature (shares) and sample_token_budget (the actual
+    * fill): it says up front which languages will repeat and which can't
+    * reach their share at any useful epoch count.
+    *
+    * Scale: one map-side token count to |langs| rows, two 1-row
+    * broadcasts, pure integer-ppm arithmetic end to end (the sqrt share
+    * enters through the established 1e-6-DECIMAL grid).
+    */
+  private def mixEpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val counts = toks.groupBy("lang").agg(nrows.as("n_docs"), sum("n_tokens").as("stock_tokens"))
+    val s6i = (round(sqrt(col("n_docs")), 6).cast(DecimalType(18, 6)) * 1000000).cast("long")
+    counts
+      .select(col("lang"), col("n_docs"), col("stock_tokens"), s6i.as("s6i"))
+      .crossJoin(broadcast(counts.agg(sum(s6i).as("ssum"), sum("stock_tokens").as("total"))))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("stock_tokens"),
+        expr("s6i * 1000000 div ssum").as("target_ppm"),
+        expr("(total div 3) * (s6i * 1000000 div ssum) div 1000000").as("want_tokens"),
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("stock_tokens"),
+        col("target_ppm"),
+        col("want_tokens"),
+        expr("least(4, (want_tokens + stock_tokens - 1) div stock_tokens)").as("epochs"),
+        expr("least(want_tokens, 4 * stock_tokens)").as("served_tokens"),
+        expr("want_tokens - least(want_tokens, 4 * stock_tokens)").as("deficit_tokens"),
+      )
+      .orderBy("lang")
+  }
+
+  private val mixEpochPlanSql =
+    "WITH t AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+      "c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS stock_tokens " +
+      "FROM t GROUP BY 1), " +
+      "s AS (SELECT lang, n_docs, stock_tokens, " +
+      "CAST(CAST(round(sqrt(n_docs), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s6i FROM c), " +
+      "tot AS (SELECT CAST(sum(s6i) AS BIGINT) AS ssum, CAST(sum(stock_tokens) AS BIGINT) AS total FROM s), " +
+      "w AS (SELECT lang, n_docs, stock_tokens, CAST(s6i * 1000000 // ssum AS BIGINT) AS target_ppm, " +
+      "CAST((total // 3) * (s6i * 1000000 // ssum) // 1000000 AS BIGINT) AS want_tokens FROM s, tot) " +
+      "SELECT lang, n_docs, stock_tokens, target_ppm, want_tokens, " +
+      "CAST(least(4, (want_tokens + stock_tokens - 1) // stock_tokens) AS BIGINT) AS epochs, " +
+      "CAST(least(want_tokens, 4 * stock_tokens) AS BIGINT) AS served_tokens, " +
+      "CAST(want_tokens - least(want_tokens, 4 * stock_tokens) AS BIGINT) AS deficit_tokens " +
+      "FROM w ORDER BY lang"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("mix_epoch_plan", mixEpochPlan, Some(mixEpochPlanSql)),
     QueryDef("sample_importance_dsir", sampleImportanceDsir, Some(sampleImportanceDsirSql)),
     QueryDef("sample_token_budget", sampleTokenBudget, Some(sampleTokenBudgetSql)),
     QueryDef("sample_group_split", sampleGroupSplit, Some(sampleGroupSplitSql)),

@@ -9,6 +9,35 @@ class MixesSpec extends SparkSpec {
 
   private def run(key: String) = SparkEntry.queries(key)(spark, sfDir)
 
+  test("mix_epoch_plan: shares sum to ~1e6 ppm, epoch/deficit algebra, want == token-budget fill") {
+    val rows = SparkEntry.queries("mix_epoch_plan")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ppmSum = rows.map(_.getLong(3)).sum
+    assert(ppmSum > 1000000L - rows.length && ppmSum <= 1000000L, s"ppm sum $ppmSum")
+    rows.foreach { r =>
+      val (stock, want, epochs, served, deficit) =
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(epochs == math.min(4L, (want + stock - 1) / stock), "epoch ceil")
+      assert(served == math.min(want, 4 * stock), "served")
+      assert(deficit == want - served && deficit >= 0, "deficit")
+      assert(deficit == 0 || epochs == 4L, "deficit only at the epoch cap")
+    }
+    // the plan's want_tokens IS sample_token_budget's per-lang budget —
+    // the two keys must agree on the number they share
+    val budgets = SparkEntry
+      .queries("sample_token_budget")(spark, sfDir)
+      .select("lang", "budget_tokens")
+      .distinct()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    rows.foreach { r =>
+      budgets.get(r.getString(0)).foreach { b =>
+        assert(r.getLong(4) == b, s"want != budget for ${r.getString(0)}")
+      }
+    }
+  }
+
   test("sample_importance_dsir: exact quota, LM discrimination, Gumbel-resample enrichment") {
     val rows = SparkEntry.queries("sample_importance_dsir")(spark, sfDir).collect()
     val n = rows.length
