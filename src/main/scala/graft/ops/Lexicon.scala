@@ -192,7 +192,8 @@ object Lexicon {
   }
 
   /** Oracle: the loop unrolled as a CTE chain — round j re-pairs wf(j-1),
-    * picks top_j, and replaces the winner with chr(256+j); decode folds
+    * picks top_j, and replaces the winner with chr(BpeSentinelBase+j)
+    * (the PUA sentinel, chr(57344+j)); decode folds
     * the raw pair through the lower rounds' winners in descending rank
     * order (each step can only introduce still-lower sentinels). The
     * coalesce(chr(2)) guard makes an exhausted round's replace a no-op,

@@ -216,10 +216,13 @@ object LshAnn {
     * computed by the `nbits` CTE with the identical integer comparison, and
     * a caller-chosen (tighter) occupancy cap. `range(24)` enumerates the
     * maximum bit budget; the `j.range < bits` filter selects the active
-    * prefix — same planes, same packing as the Scala side.
+    * prefix — same planes, same packing as the Scala side. The coalesce
+    * mirrors [[dynamicBits]]'s getOrElse(24) clamp: beyond
+    * LshBitsTarget·2^24 rows no bit count satisfies the predicate and
+    * min() would return NULL, silently emptying the comps CTE (r11 advice).
     */
   private[ops] def lshBucketsCteDynamicSql(cap: Long): String =
-    s"nbits AS (SELECT min(b.range) AS bits FROM range(4, 25) b " +
+    s"nbits AS (SELECT coalesce(min(b.range), 24) AS bits FROM range(4, 25) b " +
       s"WHERE (SELECT count(*) FROM embeddings) <= $LshBitsTarget * (1 << b.range)), " +
       s"comps AS ($compsSelect FROM range($NTables) t, range(24) j, range($Dim) d " +
       "WHERE j.range < (SELECT bits FROM nbits)), " +

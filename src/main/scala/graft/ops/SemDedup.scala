@@ -167,9 +167,14 @@ object SemDedup {
     * block to learn connectivity; the in-task union-find learns it while
     * SKIPPING the dot for already-connected pairs (a dense block stops
     * dotting once it collapses to one component), and ships occ−1 rows.
-    * Occupancy is bounded by [[SemLshCap]] on the LSH side and the
-    * dynamic-K cell target on the IVF side, so a task's worst case is
-    * cap² pair iterations — the same per-block bound the SemDeDup paper
+    * Occupancy is HARD-bounded by [[SemLshCap]] on the LSH side but only
+    * SOFT-bounded on the IVF side (the dynamic-K cell target is an
+    * average — k-means on a dup-heavy corpus can collapse a large
+    * fraction of n into one cell), so callers must route members through
+    * [[forestOrRelationalPairsOf]], which keeps blocks above
+    * [[SemBlockTaskCap]] out of this operator entirely (r11 advice).
+    * Within that cap a task's worst case is cap² pair iterations and
+    * cap·256 B member bytes — the per-block bound the SemDeDup paper
     * accepts. Emitted edges are actual verified pairs (a union happens
     * only on a passing dot), so precision stays exactly 1.
     *
@@ -252,6 +257,53 @@ object SemDedup {
       .join(e, "vec_id")
       .select(col("bkey"), col("vec_id"), col("embedding"))
 
+  /** Physical occupancy ceiling for the in-task union-find: a block this
+    * large no longer belongs in one task (occ² pair iterations, occ·256 B
+    * heap), so [[forestOrRelationalPairsOf]] routes it through the
+    * RELATIONAL fallback instead — the same candidate/verify semantics
+    * (self-join on the block key, exact dot ≥ threshold), executed
+    * distributed, where AQE skew-join splits the hot key across tasks.
+    * Unlike [[SemLshCap]] this cap is purely an execution-strategy switch:
+    * the verified edge set's CONNECTIVITY — and therefore the manifest —
+    * is identical on either side of it (law pinned in SemDedupSpec), so
+    * no oracle mirrors it. Sized ≈ 8× the cell target: the fallback
+    * only ever fires on pathological k-means collapse, which is exactly
+    * the dup-heavy case whose pairs must NOT be dropped (r11 advice on
+    * the former uncapped cell family).
+    */
+  private[graft] val SemBlockTaskCap = 2048L
+
+  /** Forest edges with the over-cap relational fallback: blocks at
+    * occupancy ≤ taskCap run the in-task union-find
+    * ([[blockForestPairsOf]]); larger blocks generate their verified
+    * pairs relationally (full edge set — more rows, but distributed).
+    * Components of the union equal components of the full verified edge
+    * set either way, so the downstream cluster loop — and the declared
+    * manifest — cannot see the cap. The occupancy window shuffles on the
+    * same bkey the forest pass groups by, so AQE reuses the exchange.
+    */
+  private[graft] def forestOrRelationalPairsOf(
+      members: DataFrame,
+      taskCap: Long = SemBlockTaskCap,
+  ): DataFrame = {
+    val m = members.withColumn(
+      "__occ",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bkey")),
+    )
+    val small = m.filter(col("__occ") <= taskCap).drop("__occ")
+    val big = m.filter(col("__occ") > taskCap).drop("__occ")
+    val bigPairs = big
+      .select(col("bkey"), col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(
+        big.select(col("bkey"), col("vec_id").as("id_b"), col("embedding").as("vb")),
+        "bkey")
+      .filter(col("id_a") < col("id_b"))
+      .filter(Vectors.nativeDot(col("va"), col("vb")) >= SemThreshold)
+      .select("id_a", "id_b")
+      .distinct()
+    blockForestPairsOf(small).unionByName(bigPairs)
+  }
+
   /** The FULL verified hybrid edge set: pairs from BOTH linear candidate
     * families (cells ∪ dynamic-bits LSH), distinct'd after the exact
     * verify. This is the reference semantics (SemDedupSpec recall laws,
@@ -277,9 +329,14 @@ object SemDedup {
     * from O(|verified pairs|) (dense: ~8M at sf1) to ≤ |block members|
     * (~n·(tables+probes), linear).
     */
+  /** Block members of BOTH candidate families (LSH buckets and
+    * single-probe cells are just different bkey ranges of one frame).
+    */
+  private[graft] def hybridBlockMembersOf(e: DataFrame): DataFrame =
+    lshBlockMembersOf(e, SemLshCap).unionByName(cellBlockMembersOf(e, probes = 1))
+
   private[graft] def hybridForestPairsOf(e: DataFrame): DataFrame =
-    blockForestPairsOf(
-      lshBlockMembersOf(e, SemLshCap).unionByName(cellBlockMembersOf(e, probes = 1)))
+    forestOrRelationalPairsOf(hybridBlockMembersOf(e))
 
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -366,7 +423,7 @@ object SemDedup {
     * components as [[ivfSemanticPairsOf]] at the declared probes.
     */
   private[graft] def ivfForestPairsOf(e: DataFrame): DataFrame =
-    blockForestPairsOf(cellBlockMembersOf(e, probes = IvfProbes))
+    forestOrRelationalPairsOf(cellBlockMembersOf(e, probes = IvfProbes))
 
   private def dedupSemanticIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)

@@ -259,6 +259,37 @@ class SemDedupSpec extends SparkSpec {
     assert(forest.size <= full.size)
   }
 
+  test("relational fallback law: manifest invariant across SemBlockTaskCap settings") {
+    // r12 (r11 advice): the IVF cell family's occupancy is only a SOFT
+    // bound, so blocks above SemBlockTaskCap leave the in-task union-find
+    // and generate their verified pairs relationally instead. That switch
+    // is pure execution strategy — forcing it for EVERY block (cap = 0),
+    // for a mix (cap = 8), and for none (default) must yield the identical
+    // cluster manifest, because both paths preserve each block subgraph's
+    // connectivity exactly.
+    import graft.ops.MinHashDedup
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val docs = emb.select(col("vec_id").as("doc_id"))
+    val members = SemDedup.hybridBlockMembersOf(e)
+    def manifest(cap: Long): Map[Long, Long] =
+      MinHashDedup
+        .clusters(docs, SemDedup.forestOrRelationalPairsOf(members, taskCap = cap))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+    val default = manifest(SemDedup.SemBlockTaskCap)
+    assert(manifest(0L) == default, "all-relational manifest diverged from in-task forests")
+    assert(manifest(8L) == default, "mixed-path manifest diverged from in-task forests")
+    // and every relationally-generated edge is a genuinely verified pair
+    val rel = SemDedup
+      .forestOrRelationalPairsOf(members, taskCap = 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val full = SemDedup.hybridSemanticPairsOf(e).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rel.subsetOf(full), "relational fallback emitted an unverified pair")
+  }
+
   test("dedup_incremental_semantic: replay statuses, precedence, precision of dup calls") {
     val rows = SparkEntry
       .queries("dedup_incremental_semantic")(spark, sfDir)
