@@ -29,7 +29,7 @@ object SparkEntry {
       ops.Integrity.entries ++ ops.Decision.entries ++ ops.Governance.entries ++
       ops.Lexicon.entries ++ ops.Reach.entries ++ ops.Health.entries ++
       ops.PqAnn.entries ++ ops.IvfPq.entries ++
-      ops.SemDedup.entries
+      ops.SemDedup.entries ++ ops.MediaPhash.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

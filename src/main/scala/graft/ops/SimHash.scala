@@ -52,18 +52,20 @@ object SimHash {
       .select(col("doc_id"), packed.as("fp"))
   }
 
-  /** All pairs (a < b) at Hamming distance <= maxHamming, via 4×15-bit
-    * banded candidates (complete for maxHamming <= 3) + exact bit_count.
+  /** All pairs (id_a < id_b) of a 60-bit fingerprint frame at Hamming
+    * distance <= maxHamming, via 4×15-bit banded candidates (complete for
+    * maxHamming <= 3 by pigeonhole) + exact bit_count. The banding engine
+    * shared by the text (SimHash) and media (MediaPhash) near-dup
+    * families — any 60-bit locality-preserving signature plugs in.
     */
-  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = fingerprints(docs)
+  def bandedHammingPairs(fp: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     val bands = fp
-      .select(col("doc_id"), col("fp"), explode(expr("sequence(0, 3)")).as("band"))
-      .select(col("doc_id"), col("fp"), col("band"), expr("shiftright(fp, band * 15) & 32767").as("bkey"))
+      .select(col(idCol).as("__id"), col("fp"), explode(expr("sequence(0, 3)")).as("band"))
+      .select(col("__id"), col("fp"), col("band"), expr("shiftright(fp, band * 15) & 32767").as("bkey"))
     bands
-      .select(col("doc_id").as("id_a"), col("fp").as("fa"), col("band"), col("bkey"))
+      .select(col("__id").as("id_a"), col("fp").as("fa"), col("band"), col("bkey"))
       .join(
-        bands.select(col("doc_id").as("id_b"), col("fp").as("fb"), col("band"), col("bkey")),
+        bands.select(col("__id").as("id_b"), col("fp").as("fb"), col("band"), col("bkey")),
         Seq("band", "bkey"),
       )
       .filter(col("id_a") < col("id_b"))
@@ -73,6 +75,12 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** All pairs (a < b) at Hamming distance <= maxHamming over document
+    * text fingerprints.
+    */
+  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(fingerprints(docs), "doc_id", maxHamming)
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.documents(s, dir)).orderBy("id_a", "id_b")

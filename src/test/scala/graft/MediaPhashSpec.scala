@@ -1,0 +1,127 @@
+package graft
+
+import graft.ops.{MediaPhash, MinHashDedup, SimHash}
+import org.apache.spark.sql.functions._
+
+/** Laws of the media perceptual-hash dedup family (r12):
+  * banding losslessness at the declared radius, dHash edit locality on
+  * the raw payload, and the fixture's designed cluster structure.
+  */
+class MediaPhashSpec extends SparkSpec {
+
+  private def fpMap: Map[Long, Long] =
+    MediaPhash
+      .phash60(MediaPhash.synthNearDup(spark).toDF())
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("banding is LOSSLESS at Hamming <= 3: banded pairs == brute force") {
+    // pigeonhole: 4 bands of 15 bits; <= 3 differing bits leave at least
+    // one band untouched, so the band equi-join cannot miss a pair —
+    // a completeness guarantee, not a recall curve
+    val fps = fpMap
+    val ids = fps.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= MediaPhash.MaxHamming
+    } yield (a, b)).toSet
+    val banded = SimHash
+      .bandedHammingPairs(
+        MediaPhash.phash60(MediaPhash.synthNearDup(spark).toDF()),
+        "media_id",
+        MediaPhash.MaxHamming,
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(banded == brute, s"banded ${banded.size} != brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture must produce near-dup pairs")
+  }
+
+  test("dHash edit locality: a single-byte payload edit flips at most 2 bits") {
+    // one byte sits in one region; a region sum feeds exactly two gradient
+    // comparisons (left and right neighbor) — the property that makes the
+    // signature PERCEPTUAL: small payload edits stay within the Hamming
+    // radius. Checked exhaustively over every (position, delta) for one
+    // payload via the same arithmetic the Spark kernel runs.
+    def fpOf(p: Array[Int]): Long = {
+      val nr = p.length / 4
+      val rv = Array.tabulate(nr)(r => p(4 * r) + p(4 * r + 1) + p(4 * r + 2) + p(4 * r + 3))
+      var fp = 0L
+      var i = 0
+      while (i < nr - 1 && i < 60) { if (rv(i) > rv(i + 1)) fp |= 1L << i; i += 1 }
+      fp
+    }
+    val base = Array.tabulate(MediaPhash.PayloadLen)(j => ((7 * ((j.toLong * j) % 251)) % 256).toInt)
+    val f0 = fpOf(base)
+    for (pos <- 0 until MediaPhash.PayloadLen; delta <- Seq(1, 13, 100, 255)) {
+      val edited = base.clone()
+      edited(pos) = (edited(pos) + delta) % 256
+      val flips = java.lang.Long.bitCount(f0 ^ fpOf(edited))
+      assert(flips <= 2, s"edit at $pos (+$delta) flipped $flips bits")
+    }
+  }
+
+  test("fixture structure: every group is one cluster, no cross-group merge") {
+    // the declared manifest must recover exactly the generator's 40 groups:
+    // min-id representative of group g is g itself, every member maps to it
+    val man = SparkEntry
+      .queries("dedup_media_phash")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(man.length == MediaPhash.NItems)
+    man.foreach { case (id, cid, kept) =>
+      assert(cid == id % MediaPhash.NGroups, s"media $id clustered to $cid")
+      assert(kept == (id == cid))
+    }
+    assert(man.count(_._3) == MediaPhash.NGroups)
+  }
+
+  test("scaling gate: banding shuffle grows at most 3x-linear in the corpus") {
+    // the declared key's fixture is fixed-size (240 ids — its oracle
+    // re-derives bytes from the id formula), so the sf-based
+    // ScalingLawSpec gate cannot see it; gate the ENGINE instead through
+    // the generator's n knob. Fingerprinting is map-side (zero shuffle);
+    // what moves is the 16-byte (id, fp) band frame — 10x rows must cost
+    // <= 30x shuffle or banding has degraded to something superlinear.
+    def bytesAt(n: Int): Long = shuffleBytes {
+      SimHash
+        .bandedHammingPairs(
+          MediaPhash.phash60(MediaPhash.synthNearDup(spark, n).toDF()),
+          "media_id",
+          MediaPhash.MaxHamming,
+        )
+        .count()
+      ()
+    }
+    val b1 = bytesAt(MediaPhash.NItems)
+    val b10 = bytesAt(MediaPhash.NItems * 10)
+    assert(b1 > 0)
+    assert(b10 <= b1 * 30, s"banding shuffle grew ${b10.toDouble / b1}x on 10x rows")
+  }
+
+  test("manifest components equal pair-graph components (shared cluster law)") {
+    val fp = MediaPhash.phash60(MediaPhash.synthNearDup(spark).toDF())
+    val pairs = SimHash
+      .bandedHammingPairs(fp, "media_id", MediaPhash.MaxHamming)
+      .select(col("id_a"), col("id_b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map((0L until MediaPhash.NItems.toLong).map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical min-label per component
+    val label = (0L until MediaPhash.NItems.toLong)
+      .groupBy(find)
+      .flatMap { case (_, members) => members.map(_ -> members.min) }
+    val man = SparkEntry
+      .queries("dedup_media_phash")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(man == label, "declared manifest diverged from reference union-find")
+  }
+}
