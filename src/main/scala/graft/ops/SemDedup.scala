@@ -588,8 +588,128 @@ object SemDedup {
       "FROM bset LEFT JOIN ds USING (batch_id) LEFT JOIN wb USING (batch_id) ORDER BY batch_id"
   }
 
+  // ------------------------------------------------------------------
+  // decontaminate_semantic — embedding-level eval decontamination (r12)
+  // ------------------------------------------------------------------
+
+  /** Eval slice of the md5 vec_id bucketing (the sample_hash_split idiom
+    * at vector grain): buckets ≥ this are the held-out benchmark, ~5%.
+    */
+  private[graft] val SemEvalBucketMin = 95
+
+  private def vecBucket =
+    conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** Embedding-level benchmark decontamination (r11 verdict #2): the
+    * n-gram `decontaminate` key only catches VERBATIM overlap; modern
+    * eval-integrity practice also screens paraphrases, which share
+    * embedding-space neighborhoods, not 5-grams. Composition of two
+    * machines this file already trusts, in the decontaminate broadcast
+    * shape (the eval side is a benchmark — tiny by construction):
+    *
+    *   - CANDIDATES from the hybrid linear families, eval-vs-corpus
+    *     instead of corpus-vs-corpus: (a) the corpus-trained dynamic-K
+    *     cell index, with each eval vector multi-probed to its
+    *     [[IvfProbes]] nearest corpus cells (the dedup_incremental
+    *     _semantic routing — training NEVER sees eval vectors, exactly
+    *     like a deployed corpus index); (b) dynamic-bits sign-LSH bucket
+    *     collisions between the corpus and eval sides of the shared
+    *     occupancy-capped bucket frame. Both eval-side frames BROADCAST.
+    *   - VERIFY with the exact native dot ≥ [[SemThreshold]] (precision
+    *     exactly 1, the family invariant).
+    *
+    * Output: per contaminated corpus vector, its distinct matching eval
+    * count and the maximum similarity — the frame a pipeline anti-joins
+    * against before training (and audits, via max_sim, for
+    * borderline-paraphrase review). 100 TB shape: corpus-sized work is
+    * one cell route + one bucketize (map-side against broadcast
+    * centroids/planes) + broadcast-hash candidate joins; nothing
+    * corpus-sized ever shuffles on a pair key.
+    */
+  private def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(vecBucket < SemEvalBucketMin)
+    val evalSet = e.filter(vecBucket >= SemEvalBucketMin)
+    // cell family: corpus-trained quantizer; eval multi-probes through it
+    val centA = IvfAnn.gridCentroidArraysOf(corpus)
+    val corpusCells = IvfAnn.routeToCells(corpus, centA, probes = 1).select("vec_id", "cid")
+    val evalRoutes = IvfAnn
+      .routeToCells(evalSet, centA, IvfProbes)
+      .select(col("vec_id").as("eval_id"), col("cid"))
+    val candCell = corpusCells.join(broadcast(evalRoutes), "cid").select("vec_id", "eval_id")
+    // LSH family: the dedup_semantic bucket chain over the FULL frame
+    // (bits sized by total n, occupancy capped corpus-wide), sides then
+    // split by the eval predicate — mirrored verbatim in the oracle
+    val bk0 = LshAnn.bucketize(
+      e.select(col("vec_id"), col("embedding").as("v")),
+      "vec_id",
+      "v",
+      LshAnn.dynamicPlanes(e.count()),
+    )
+    val bk = bk0
+      .withColumn(
+        "occ",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")),
+      )
+      .filter(col("occ") <= SemLshCap)
+      .drop("occ")
+    val corpusBk = bk.filter(vecBucket < SemEvalBucketMin)
+    val evalBk = bk
+      .filter(vecBucket >= SemEvalBucketMin)
+      .select(col("vec_id").as("eval_id"), col("table"), col("bucket"))
+    val candLsh = corpusBk
+      .join(broadcast(evalBk), Seq("table", "bucket"))
+      .select("vec_id", "eval_id")
+    // exact verify; candidates stay non-distinct until the aggregate
+    // (the r10 rule: a pair seen k times is dotted k times map-side
+    // rather than paying an exchange to dedupe first)
+    val ev = evalSet.select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
+    candCell
+      .unionByName(candLsh)
+      .join(corpus.select(col("vec_id"), col("embedding").as("cvec")), "vec_id")
+      .join(broadcast(ev), "eval_id")
+      .withColumn("dot", Vectors.nativeDot(col("cvec"), col("evec")))
+      .filter(col("dot") >= SemThreshold)
+      .groupBy("vec_id")
+      .agg(
+        countDistinct(col("eval_id")).as("n_eval_matches"),
+        round(max(col("dot")), 4).as("max_sim"),
+      )
+      .orderBy("vec_id")
+  }
+
+  private val decontaminateSemanticSql = {
+    val bkt = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 100"
+    val corpusSrc = s"(SELECT * FROM embeddings WHERE $bkt < $SemEvalBucketMin)"
+    val edist2 = "CAST(list_sum(list_transform(range(1, len(b.x6a) + 1), " +
+      "i -> (b.x6a[i] - c.c6a[i]) * (b.x6a[i] - c.c6a[i]))) AS BIGINT)"
+    s"WITH ${LshAnn.lshBucketsCteDynamicSql(SemLshCap)}, " +
+      IvfAnn.gridCellsCteSql(src = corpusSrc) + ", " +
+      "ex AS (SELECT vec_id AS eval_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(round(x * 1e6, 0) AS BIGINT)) AS x6a FROM embeddings " +
+      s"WHERE $bkt >= $SemEvalBucketMin), " +
+      s"ert0 AS (SELECT b.eval_id, c.cid, $edist2 AS dist2 FROM ex b, ca_c2 c), " +
+      "ert AS (SELECT eval_id, cid FROM (SELECT eval_id, cid, " +
+      s"row_number() OVER (PARTITION BY eval_id ORDER BY dist2, cid) AS rn FROM ert0) WHERE rn <= $IvfProbes), " +
+      "candc AS (SELECT cells.vec_id, ert.eval_id FROM cells JOIN ert ON ert.cid = cells.cid), " +
+      "candl AS (SELECT cb.vec_id, eb.vec_id AS eval_id " +
+      "FROM b cb JOIN b eb ON cb.tb = eb.tb AND cb.bucket = eb.bucket " +
+      "JOIN okb ON okb.tb = cb.tb AND okb.bucket = cb.bucket " +
+      s"WHERE ('0x' || substr(md5(CAST(cb.vec_id AS VARCHAR)), 1, 4))::BIGINT % 100 < $SemEvalBucketMin " +
+      s"AND ('0x' || substr(md5(CAST(eb.vec_id AS VARCHAR)), 1, 4))::BIGINT % 100 >= $SemEvalBucketMin), " +
+      "cand AS (SELECT vec_id, eval_id FROM candc UNION ALL SELECT vec_id, eval_id FROM candl), " +
+      "ver AS (SELECT cand.vec_id, cand.eval_id, list_dot_product(ce.v, ee.v) AS dot " +
+      "FROM cand JOIN e ce ON ce.vec_id = cand.vec_id JOIN e ee ON ee.vec_id = cand.eval_id " +
+      s"WHERE list_dot_product(ce.v, ee.v) >= $SemThreshold) " +
+      "SELECT vec_id, CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_matches, " +
+      "round(max(dot), 4) AS max_sim FROM ver GROUP BY 1 ORDER BY 1"
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
+    QueryDef("decontaminate_semantic", decontaminateSemantic, Some(decontaminateSemanticSql)),
     QueryDef("dedup_semantic_ivf", dedupSemanticIvf, Some(dedupSemanticIvfSql)),
     QueryDef("dedup_incremental_semantic", dedupIncrementalSemantic, Some(dedupIncrementalSemanticSql)),
   )

@@ -59,6 +59,7 @@ class ScalingLawSpec extends SparkSpec {
     "mine_hard_negatives" -> "cell-candidate pair mining: pairs ≈ n·2·occupancy at fixed cell target — linear; a cells regression to all-pairs is exactly what this gate would catch",
     "dedup_incremental_semantic" -> "shard-vs-manifest semantic dedup: cost must track the batch (routing against broadcast centroids + batch-cell equi-join), never re-cluster the seen corpus",
     "embed_cluster_drift" -> "broadcast-centroid assignment + k-row PSI aggregates: the exchange collapses to ~k rows per task map-side; the half split is a 1-row broadcast max",
+    "decontaminate_semantic" -> "eval-vs-corpus hybrid candidates: the corpus pays one cell route + one bucketize against BROADCAST eval frames, so cost tracks the corpus linearly; superlinear growth means a pair-key shuffle crept into the eval join",
   )
 
   test("shuffle bytes grow at most 3x-linear from sf0.01 to sf0.1 for scale-risk probes") {

@@ -290,6 +290,43 @@ class SemDedupSpec extends SparkSpec {
     assert(rel.subsetOf(full), "relational fallback emitted an unverified pair")
   }
 
+  test("decontaminate_semantic: precision 1 vs brute force, recall floor, counts bounded") {
+    // brute force truth: every corpus vector with ANY eval neighbor at
+    // dot >= threshold, with its true distinct-match count and max sim
+    val bucket = conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(bucket < 95)
+    val evalSet = e.filter(bucket >= 95)
+    val truth = corpus
+      .select(col("vec_id"), col("embedding").as("cv"))
+      .crossJoin(evalSet.select(col("vec_id").as("eval_id"), col("embedding").as("ev")))
+      .filter(Vectors.dot(col("cv"), col("ev")) >= SemDedup.SemThreshold)
+      .groupBy("vec_id")
+      .agg(countDistinct("eval_id").as("n_true"), max(Vectors.dot(col("cv"), col("ev"))).as("max_true"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val got = SparkEntry
+      .queries("decontaminate_semantic")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // precision exactly 1: every reported id is truly contaminated, its
+    // reported count never exceeds truth, and max_sim is a real eval sim
+    got.foreach { case (id, (n, ms)) =>
+      assert(truth.contains(id), s"false contamination call for $id")
+      assert(n >= 1 && n <= truth(id)._1, s"count $n out of [1, ${truth(id)._1}] for $id")
+      // 5e-5 slack: max_sim is declared round(. , 4)
+      assert(ms <= truth(id)._2 + 5e-5, s"max_sim $ms above true max ${truth(id)._2} for $id")
+    }
+    // recall floor: the hybrid candidates recover most contaminated ids
+    assert(truth.nonEmpty, "fixture must contain contaminated vectors")
+    val recall = got.keySet.count(truth.contains).toDouble / truth.size
+    assert(recall >= 0.6, s"decontamination recall $recall < 0.6 (${got.size}/${truth.size})")
+    info(s"contaminated truth=${truth.size} reported=${got.size} recall=$recall")
+  }
+
   test("dedup_incremental_semantic: replay statuses, precedence, precision of dup calls") {
     val rows = SparkEntry
       .queries("dedup_incremental_semantic")(spark, sfDir)
