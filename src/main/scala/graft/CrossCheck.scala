@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
   * (sums of the same integers in any order; no FP rounding to diverge).
   *
   * Independent formulations:
-  *   - graph_pagerank: TRANSPOSED contribution gather — each round sums
-  *     rank div deg over the IN-NEIGHBOR view (group by the receiving
-  *     node of a reversed edge list) where the declared plan scatters
-  *     over the out-edge view; integer picorank grid makes the two
-  *     orderings exactly equal.
+  *   - graph_pagerank: DRIVER-SIDE dense iteration over the collected
+  *     edge list — plain Scala HashMaps, no Spark joins or aggregates at
+  *     all, so no structural bug in the distributed join/aggregate shape
+  *     can be mirrored (r11 advice: the previous transposed-gather
+  *     formulation reused the declared key's edges⋈deg⋈ranks join shape
+  *     with renamed columns, making its independence claim near-vacuous).
+  *     The integer picorank grid makes the two evaluation orders exactly
+  *     equal; collecting the edge list is fine for a dev check main
+  *     (~6M pairs at sf1, a few hundred MB of driver heap).
   *   - graph_triangle_count: ID-ORDERED edge orientation (lower vec id →
   *     higher) instead of the declared degree-ordered orientation; a
   *     triangle is counted by exactly one wedge under either total order,
@@ -57,49 +61,43 @@ object CrossCheck {
       .select("s1", "s2")
   }
 
-  /** Transposed-gather pagerank: same picorank grid, contributions summed
-    * from the in-neighbor side of a REVERSED edge frame.
+  /** Driver-side dense pagerank: collect the bipartite edge list, iterate
+    * the same integer picorank recurrence in plain Scala HashMaps. All
+    * operands are positive, so Scala's truncating Long division equals
+    * Spark's `div` exactly, and the contribution sums are integer sums —
+    * order-independent, so the map iteration order cannot diverge.
     */
-  private def pagerankGather(s: SparkSession, dir: String): DataFrame = {
+  private def pagerankLocal(s: SparkSession, dir: String): DataFrame = {
     val SuppOffset = 1000000000000L
-    val e0 = Tables
+    import s.implicits._
+    val e0: Array[(Long, Long)] = Tables
       .lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("sp"))
+      .select(col("o_custkey").cast("long").as("c"), (col("l_suppkey") + SuppOffset).as("sp"))
       .distinct()
-    val edges = e0
-      .select(col("c").as("src"), col("sp").as("dst"))
-      .unionByName(e0.select(col("sp").as("src"), col("c").as("dst")))
-    // reversed view: one row per (receiver, in-neighbor)
-    val inb = edges.select(col("dst").as("node"), col("src").as("nbr"))
-    val deg = edges.groupBy(col("src").as("nbr")).agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes
-      .crossJoin(broadcast(nn))
-      .select(col("node"), expr("1000000000000 div n").as("pico"), col("n"))
+      .as[(Long, Long)]
+      .collect()
+    val edges: Array[(Long, Long)] = e0 ++ e0.map { case (c, sp) => (sp, c) }
+    val deg = new scala.collection.mutable.HashMap[Long, Long]()
+    edges.foreach { case (src, _) => deg.update(src, deg.getOrElse(src, 0L) + 1L) }
+    val nodes = deg.keySet.toArray
+    val n = nodes.length.toLong
+    var pico = scala.collection.mutable.HashMap(nodes.map(_ -> 1000000000000L / n): _*)
     for (_ <- 1 to 3) {
-      val contrib = inb
-        .join(deg, "nbr")
-        .join(ranks.select(col("node").as("nbr"), col("pico")), "nbr")
-        .groupBy("node")
-        .agg(sum(expr("pico div deg")).as("m"))
-      ranks = ranks
-        .select("node", "n")
-        .join(contrib, Seq("node"), "left")
-        .select(
-          col("node"),
-          (expr("150000000000 div n") + expr("(17 * coalesce(m, 0)) div 20")).as("pico"),
-          col("n"),
-        )
+      val m = new scala.collection.mutable.HashMap[Long, Long]()
+      edges.foreach { case (src, dst) =>
+        m.update(dst, m.getOrElse(dst, 0L) + pico(src) / deg(src))
+      }
+      val base = 150000000000L / n
+      pico = scala.collection.mutable.HashMap(
+        nodes.map(nd => nd -> (base + (17L * m.getOrElse(nd, 0L)) / 20L)): _*)
     }
-    ranks
-      .select(
-        col("node"),
-        when(col("node") >= SuppOffset, "supplier").otherwise("customer").as("node_type"),
-        col("pico").as("rank_pico"),
-        (col("pico") / lit(1e12)).as("rank"),
-      )
+    nodes.toSeq
+      .map { nd =>
+        val p = pico(nd)
+        (nd, if (nd >= SuppOffset) "supplier" else "customer", p, p / 1e12)
+      }
+      .toDF("node", "node_type", "rank_pico", "rank")
   }
 
   /** Id-ordered triangle enumeration: orient every support-2 edge from its
@@ -259,7 +257,7 @@ object CrossCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val checks: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      ("graph_pagerank", pagerankGather _),
+      ("graph_pagerank", pagerankLocal _),
       ("graph_triangle_count", trianglesIdOrder _),
       ("graph_kcore", kcoreAntiJoin _),
       ("graph_shortest_hops", hopsFrontierBfs _),
