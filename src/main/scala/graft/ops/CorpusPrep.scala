@@ -42,9 +42,9 @@ object CorpusPrep {
     * merging shingle sets; the replay legs are bounded (< 260) and cannot
     * collide with each other.
     */
-  private[ops] val ReplaySeenOffset = 10000000L
-  private[ops] val ReplayBatchOffset = 20000000L
-  private[ops] def guardedDocId(id: Column): Column =
+  private[graft] val ReplaySeenOffset = 10000000L
+  private[graft] val ReplayBatchOffset = 20000000L
+  private[graft] def guardedDocId(id: Column): Column =
     when(id >= lit(ReplaySeenOffset),
       raise_error(concat(
         lit("incremental-dedup replay-id guard: doc_id "), id.cast("string"),
