@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   * covers the cross-manifest (dup_of_seen) half, the part whose state
   * persists between shards.
   */
-class IncrementalDedupStreamSpec extends SparkSpec {
-  import spark.implicits._
+object IncrementalDedupStreamSpec {
+  /** Top-level (not spec-inner) so the Dataset encoder codegens — an inner
+    * case class needs the outer pointer and falls back to interpreter mode.
+    */
+  final case class DocShard(batch_id: Long, text: String)
+}
 
-  private case class DocShard(batch_id: Long, text: String)
+class IncrementalDedupStreamSpec extends SparkSpec {
+  import IncrementalDedupStreamSpec.DocShard
+  import spark.implicits._
 
   /** The keys' synthetic shard: new docs ∪ replays of seen ∪ within-batch
     * replays (the CorpusPrep leg definitions verbatim).
