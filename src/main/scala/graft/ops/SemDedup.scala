@@ -182,44 +182,74 @@ object SemDedup {
     * (double)bᵢ in index order — so a pair verifies here iff it verifies
     * in [[Vectors.nativeDot]] / DuckDB's list_dot_product.
     */
-  private[graft] def blockForestPairsOf(members: DataFrame): DataFrame = {
+  /** The in-task incremental union-find over one block's (sorted) member
+    * array — emits the block subgraph's spanning-forest edges.
+    */
+  private def forestEdgesOf(m: Array[(Long, Long, Array[Float])]): Iterator[(Long, Long)] = {
+    val parent = Array.tabulate(m.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < m.length) {
+      var j = i + 1
+      while (j < m.length) {
+        if (find(i) != find(j)) {
+          val a = m(i)._3
+          val b = m(j)._3
+          var acc = 0.0
+          var d = 0
+          while (d < a.length) { acc += a(d).toDouble * b(d).toDouble; d += 1 }
+          if (acc >= SemThreshold) {
+            parent(find(j)) = find(i)
+            out += ((m(i)._2, m(j)._2))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
+  private[graft] def blockForestPairsOf(members: DataFrame): DataFrame =
+    blockForestPairsCapped(members, Long.MaxValue, None)
+
+  /** The forest pass with the task-size cap enforced IN the task: a block
+    * buffers at most taskCap+1 rows before the union-find decision; one
+    * that exceeds the cap emits no edges — its remaining rows drain
+    * unbuffered and its bkey is recorded in `bigKeys` for the caller's
+    * relational pass. So an over-cap block costs its task O(occ) streaming
+    * and O(cap) heap, never occ² anything.
+    */
+  private def blockForestPairsCapped(
+      members: DataFrame,
+      taskCap: Long,
+      bigKeys: Option[org.apache.spark.util.CollectionAccumulator[Long]],
+  ): DataFrame = {
     val s = members.sparkSession
     import s.implicits._
     members
       .select(col("bkey"), col("vec_id"), col("embedding"))
       .as[(Long, Long, Array[Float])]
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val m = it.toArray.sortBy(_._2)
-        val parent = Array.tabulate(m.length)(identity)
-        def find(x: Int): Int = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-          r
+      .flatMapGroups { (k, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Float])]
+        var over = false
+        while (it.hasNext && !over) {
+          buf += it.next()
+          if (buf.length > taskCap) over = true
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var i = 0
-        while (i < m.length) {
-          var j = i + 1
-          while (j < m.length) {
-            if (find(i) != find(j)) {
-              val a = m(i)._3
-              val b = m(j)._3
-              var acc = 0.0
-              var d = 0
-              while (d < a.length) { acc += a(d).toDouble * b(d).toDouble; d += 1 }
-              if (acc >= SemThreshold) {
-                parent(find(j)) = find(i)
-                out += ((m(i)._2, m(j)._2))
-              }
-            }
-            j += 1
-          }
-          i += 1
-        }
-        out.iterator
+        if (over) {
+          bigKeys.foreach(_.add(k))
+          while (it.hasNext) it.next() // drain without buffering
+          Iterator.empty
+        } else forestEdgesOf(buf.toArray.sortBy(_._2))
       }
       .toDF("id_a", "id_b")
   }
@@ -274,34 +304,61 @@ object SemDedup {
   private[graft] val SemBlockTaskCap = 2048L
 
   /** Forest edges with the over-cap relational fallback: blocks at
-    * occupancy ≤ taskCap run the in-task union-find
-    * ([[blockForestPairsOf]]); larger blocks generate their verified
-    * pairs relationally (full edge set — more rows, but distributed).
+    * occupancy ≤ taskCap run the in-task union-find; larger blocks
+    * generate their verified pairs relationally (full edge set — more
+    * rows, but distributed, with AQE skew-join splitting the hot key).
     * Components of the union equal components of the full verified edge
     * set either way, so the downstream cluster loop — and the declared
-    * manifest — cannot see the cap. The occupancy window shuffles on the
-    * same bkey the forest pass groups by, so AQE reuses the exchange.
+    * manifest — cannot see the cap.
+    *
+    * Pathology-pays cost model (r12 — two cheaper designs measured and
+    * rejected at sf0.1: an occupancy count WINDOW doubles the full
+    * member-frame shuffle because the typed groupByKey cannot reuse its
+    * partitioning, 13.8 vs 4.7 MB / +0.45 s; a groupBy-count re-joined
+    * adds an AQE stage + replan, +0.5 s): the forest pass itself detects
+    * over-cap blocks in-task (O(cap) heap, streaming drain — see
+    * [[blockForestPairsCapped]]) and records their bkeys in an
+    * accumulator; the pass is materialized eagerly through
+    * [[Checkpoints.stable]] (the cluster loop would materialize these
+    * edges anyway, so the job is moved, not added), and ONLY if big
+    * blocks exist does a second, filtered relational pass run. The
+    * common case — every fixture, and any corpus whose k-means behaves —
+    * costs exactly the r11 single-exchange plan. Accumulator caveats:
+    * task retries can re-add a bkey (deduped by the Set) but can never
+    * add a small block's key (the cap+1 decision is deterministic per
+    * group); driver memory holds one Long per over-cap block, bounded by
+    * |members|/cap.
     */
   private[graft] def forestOrRelationalPairsOf(
       members: DataFrame,
       taskCap: Long = SemBlockTaskCap,
   ): DataFrame = {
-    val m = members.withColumn(
-      "__occ",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("bkey")),
-    )
-    val small = m.filter(col("__occ") <= taskCap).drop("__occ")
-    val big = m.filter(col("__occ") > taskCap).drop("__occ")
-    val bigPairs = big
-      .select(col("bkey"), col("vec_id").as("id_a"), col("embedding").as("va"))
-      .join(
-        big.select(col("bkey"), col("vec_id").as("id_b"), col("embedding").as("vb")),
-        "bkey")
-      .filter(col("id_a") < col("id_b"))
-      .filter(Vectors.nativeDot(col("va"), col("vb")) >= SemThreshold)
-      .select("id_a", "id_b")
-      .distinct()
-    blockForestPairsOf(small).unionByName(bigPairs)
+    val s = members.sparkSession
+    val acc = s.sparkContext.collectionAccumulator[Long]("graftOverCapBlocks")
+    val forest =
+      Checkpoints.stable(blockForestPairsCapped(members, taskCap, Some(acc)), eager = true)
+    val bigKeys = {
+      import scala.jdk.CollectionConverters._
+      acc.value.asScala.toSet
+    }
+    if (bigKeys.isEmpty) forest
+    else {
+      val keyDf = {
+        import s.implicits._
+        bigKeys.toSeq.toDF("bkey")
+      }
+      val big = members.join(broadcast(keyDf), "bkey")
+      val bigPairs = big
+        .select(col("bkey"), col("vec_id").as("id_a"), col("embedding").as("va"))
+        .join(
+          big.select(col("bkey"), col("vec_id").as("id_b"), col("embedding").as("vb")),
+          "bkey")
+        .filter(col("id_a") < col("id_b"))
+        .filter(Vectors.nativeDot(col("va"), col("vb")) >= SemThreshold)
+        .select("id_a", "id_b")
+        .distinct()
+      forest.unionByName(bigPairs)
+    }
   }
 
   /** The FULL verified hybrid edge set: pairs from BOTH linear candidate
