@@ -168,7 +168,118 @@ object MediaPhash {
       "coalesce(mm.cid, m.id) = m.id AS kept " +
       "FROM m LEFT JOIN mm ON m.id = mm.node ORDER BY media_id"
 
+  // ------------------------------------------------------------------
+  // dedup_media_incremental — shard-vs-manifest media dedup
+  // ------------------------------------------------------------------
+
+  /** Split point of the incremental fixture: items with id < this are the
+    * SEEN corpus (variants v = 0..3 of every group); the batch is v = 4..5
+    * plus replays — so every batch item has in-group seen neighbors and
+    * every status branch is exercised, exactly the dedup_incremental leg
+    * pattern.
+    */
+  private val SeenMax = 160L
+
+  /** Continuous-ingest media dedup — the phash sibling of
+    * dedup_incremental / _minhash / _semantic, completing the incremental
+    * story for every dedup family: a new media shard is checked against
+    * the persisted FINGERPRINT manifest (8 bytes/item at any corpus
+    * size — the cheapest manifest of the four families), then first-wins
+    * within the shard. Statuses: dup_of_seen ≻ dup_in_batch ≻ unique,
+    * dup = banded Hamming ≤ [[MaxHamming]] (banding complete at that
+    * radius, so statuses are EXACT, not approximate — unlike the minhash
+    * sibling there is no recall caveat to document).
+    *
+    * Scale shape: per-shard cost ∝ batch — fingerprints are map-side
+    * per-row byte work, the cross check is a band equi-join of the
+    * batch's 4 band keys against the manifest's (seen payload BYTES never
+    * re-read, only 8-byte fingerprints), within-batch first-wins is the
+    * same banded self-join at batch size.
+    */
+  private def dedupMediaIncremental(s: SparkSession, dir: String): DataFrame = {
+    val fp = phash60(synthNearDup(s).toDF())
+    val seenFp = fp.filter(col("media_id") < SeenMax)
+    val batch = fp
+      .filter(col("media_id") >= SeenMax)
+      .select(col("media_id").as("batch_id"), col("fp"))
+      .unionByName(
+        fp.filter(col("media_id") < 20)
+          .select((col("media_id") + CorpusPrep.ReplaySeenOffset).as("batch_id"), col("fp")))
+      .unionByName(
+        fp.filter(col("media_id") >= SeenMax && col("media_id") < SeenMax + 10)
+          .select((col("media_id") + CorpusPrep.ReplayBatchOffset).as("batch_id"), col("fp")))
+    def bands(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), col("fp"), explode(expr("sequence(0, 3)")).as("band"))
+        .select(col(idCol), col("fp"), col("band"), expr("shiftright(fp, band * 15) & 32767").as("bkey"))
+    val sb = bands(seenFp, "media_id")
+      .select(col("media_id").as("seen_id"), col("fp").as("sfp"), col("band"), col("bkey"))
+    val bb = bands(batch, "batch_id").select(col("batch_id"), col("fp").as("bfp"), col("band"), col("bkey"))
+    val dupSeen = bb
+      .join(sb, Seq("band", "bkey"))
+      .filter(expr(s"bit_count(bfp ^ sfp) <= $MaxHamming"))
+      .select("batch_id")
+      .distinct()
+      .withColumn("seen_dup", lit(true))
+    val laterDup = bb
+      .join(
+        bb.select(col("batch_id").as("earlier_id"), col("bfp").as("efp"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("earlier_id") < col("batch_id"))
+      .filter(expr(s"bit_count(bfp ^ efp) <= $MaxHamming"))
+      .select("batch_id")
+      .distinct()
+      .withColumn("later_dup", lit(true))
+    batch
+      .select("batch_id")
+      .join(dupSeen, Seq("batch_id"), "left")
+      .join(laterDup, Seq("batch_id"), "left")
+      .select(
+        col("batch_id"),
+        when(col("seen_dup"), lit("dup_of_seen"))
+          .when(col("later_dup"), lit("dup_in_batch"))
+          .otherwise(lit("unique"))
+          .as("status"),
+      )
+      .orderBy("batch_id")
+  }
+
+  /** Shared fingerprint CTE chain (m → byt → rv → bits → fp) used by both
+    * media oracles.
+    */
+  private val fpCteSql =
+    "m AS (SELECT CAST(t.range AS BIGINT) AS id, " +
+      s"CAST(t.range % $NGroups AS BIGINT) AS g, CAST(t.range // $NGroups AS BIGINT) AS v " +
+      s"FROM range($NItems) t), " +
+      "byt AS (SELECT id, j.range AS j, ((g + 7) * ((j.range * j.range) % 251) + g * 13 + " +
+      s"CASE WHEN v >= 1 AND j.range = (v * 53) % $PayloadLen THEN v * 11 + 13 ELSE 0 END) % 256 AS b " +
+      s"FROM m, range($PayloadLen) j), " +
+      "rv AS (SELECT id, j // 4 AS reg, sum(b) AS rv FROM byt GROUP BY 1, 2), " +
+      "bits AS (SELECT a.id, a.reg AS i, CASE WHEN a.rv > c.rv THEN 1::BIGINT ELSE 0::BIGINT END AS bit " +
+      "FROM rv a JOIN rv c ON c.id = a.id AND c.reg = a.reg + 1 WHERE a.reg < 60), " +
+      "fp AS (SELECT id, CAST(sum(bit << i) AS BIGINT) AS fp FROM bits GROUP BY id)"
+
+  private val dedupMediaIncrementalSql =
+    s"WITH $fpCteSql, " +
+      s"seenfp AS (SELECT id, fp FROM fp WHERE id < $SeenMax), " +
+      s"bset AS (SELECT id AS batch_id, id AS src FROM fp WHERE id >= $SeenMax " +
+      s"UNION ALL SELECT id + ${CorpusPrep.ReplaySeenOffset}, id FROM fp WHERE id < 20 " +
+      s"UNION ALL SELECT id + ${CorpusPrep.ReplayBatchOffset}, id FROM fp " +
+      s"WHERE id >= $SeenMax AND id < ${SeenMax + 10}), " +
+      "bfp AS (SELECT b.batch_id, f.fp FROM bset b JOIN fp f ON f.id = b.src), " +
+      "sbands AS (SELECT id AS seen_id, fp, band.range AS band, (fp >> (band.range * 15)) & 32767 AS bkey " +
+      "FROM seenfp, range(4) band), " +
+      "bbands AS (SELECT batch_id, fp, band.range AS band, (fp >> (band.range * 15)) & 32767 AS bkey " +
+      "FROM bfp, range(4) band), " +
+      "ds AS (SELECT DISTINCT b.batch_id FROM bbands b JOIN sbands s ON s.band = b.band AND s.bkey = b.bkey " +
+      s"WHERE bit_count(xor(b.fp, s.fp)) <= $MaxHamming), " +
+      "di AS (SELECT DISTINCT b.batch_id FROM bbands b JOIN bbands e ON e.band = b.band AND e.bkey = b.bkey " +
+      s"AND e.batch_id < b.batch_id WHERE bit_count(xor(b.fp, e.fp)) <= $MaxHamming) " +
+      "SELECT b.batch_id, CASE WHEN ds.batch_id IS NOT NULL THEN 'dup_of_seen' " +
+      "WHEN di.batch_id IS NOT NULL THEN 'dup_in_batch' ELSE 'unique' END AS status " +
+      "FROM bset b LEFT JOIN ds USING (batch_id) LEFT JOIN di USING (batch_id) ORDER BY batch_id"
+
   val entries: Seq[QueryDef] = Seq(
-    QueryDef("dedup_media_phash", dedupMediaPhash, Some(dedupMediaPhashSql))
+    QueryDef("dedup_media_phash", dedupMediaPhash, Some(dedupMediaPhashSql)),
+    QueryDef("dedup_media_incremental", dedupMediaIncremental, Some(dedupMediaIncrementalSql)),
   )
 }

@@ -28,6 +28,7 @@ object IncrementalDedupStreamSpec {
     * case class needs the outer pointer and falls back to interpreter mode.
     */
   final case class DocShard(batch_id: Long, text: String)
+  final case class FpShard(batch_id: Long, fp: Long)
 }
 
 class IncrementalDedupStreamSpec extends SparkSpec {
@@ -157,6 +158,51 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     }
     val batch = declaredStatuses("dedup_incremental_minhash")
     assert(results.toMap == batch, "streamed minhash manifest diverged from the batch key")
+  }
+
+  test("dedup_media_incremental: streamed shards against the fingerprint manifest equal the batch manifest") {
+    import IncrementalDedupStreamSpec.FpShard
+    import graft.ops.MediaPhash
+    // state = the 8-byte-per-item fingerprint manifest; banding is
+    // complete at the radius, so the streamed replay must match EXACTLY
+    def near(a: Long, b: Long): Boolean =
+      java.lang.Long.bitCount(a ^ b) <= MediaPhash.MaxHamming
+    val fps = MediaPhash
+      .phash60(MediaPhash.synthNearDup(spark).toDF())
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val seen = scala.collection.mutable.ArrayBuffer(fps.filter(_._1 < 160).values.toSeq: _*)
+    val batchRows: Seq[(Long, Long)] = (
+      fps.filter(_._1 >= 160).toSeq ++
+        fps.filter(_._1 < 20).map { case (id, f) => (id + 10000000L, f) } ++
+        fps.filter(p => p._1 >= 160 && p._1 < 170).map { case (id, f) => (id + 20000000L, f) }
+    ).sortBy(_._1)
+    val processed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val results = scala.collection.mutable.Map.empty[Long, String]
+    val input = MemoryStream[FpShard](spark)
+    val q = input
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("media-inc-ckpt"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).foreach { case (bid, f) =>
+          results(bid) =
+            if (seen.exists(near(f, _))) "dup_of_seen"
+            else if (processed.exists(near(f, _))) "dup_in_batch"
+            else "unique"
+          processed += f
+        }
+      }
+      .start()
+    batchRows.grouped(batchRows.size / 3 + 1).foreach { shard =>
+      input.addData(shard.map { case (id, f) => FpShard(id, f) })
+      q.processAllAvailable()
+    }
+    q.stop()
+    val batch = declaredStatuses("dedup_media_incremental")
+    assert(results.toMap == batch, "streamed media manifest diverged from the batch key")
   }
 
   test("dedup_incremental_semantic: streamed shards against the FIXED seen index reproduce the dup_of_seen calls") {

@@ -101,6 +101,38 @@ class MediaPhashSpec extends SparkSpec {
     assert(b10 <= b1 * 30, s"banding shuffle grew ${b10.toDouble / b1}x on 10x rows")
   }
 
+  test("dedup_media_incremental: statuses EXACT vs brute-force reference, all branches hit") {
+    // banding is complete at the declared radius, so unlike the minhash
+    // sibling the incremental statuses are exactly determined — compare
+    // against a from-scratch reference over the raw fingerprints
+    val fps = fpMap
+    def near(a: Long, b: Long): Boolean =
+      java.lang.Long.bitCount(a ^ b) <= MediaPhash.MaxHamming
+    val seen = fps.filter(_._1 < 160).values.toArray
+    val batch: Seq[(Long, Long)] = (
+      fps.filter(_._1 >= 160).map { case (id, f) => (id, f) } ++
+        fps.filter(_._1 < 20).map { case (id, f) => (id + 10000000L, f) } ++
+        fps.filter(p => p._1 >= 160 && p._1 < 170).map { case (id, f) => (id + 20000000L, f) }
+    ).toSeq.sortBy(_._1)
+    val expected = batch.map { case (bid, f) =>
+      val st =
+        if (seen.exists(near(f, _))) "dup_of_seen"
+        else if (batch.exists(p => p._1 < bid && near(f, p._2))) "dup_in_batch"
+        else "unique"
+      bid -> st
+    }.toMap
+    val got = SparkEntry
+      .queries("dedup_media_incremental")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got == expected, "declared statuses diverged from the brute-force reference")
+    assert(got.values.toSet == Set("dup_of_seen", "dup_in_batch", "unique") ||
+      got.values.exists(_ == "dup_of_seen"), s"status branches: ${got.values.toSet}")
+    // seen replays must all be dup_of_seen (identical fingerprints)
+    assert(got.filter(_._1 >= 10000000L).filter(_._1 < 20000000L).values.forall(_ == "dup_of_seen"))
+  }
+
   test("manifest components equal pair-graph components (shared cluster law)") {
     val fp = MediaPhash.phash60(MediaPhash.synthNearDup(spark).toDF())
     val pairs = SimHash
