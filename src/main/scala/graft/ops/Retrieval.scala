@@ -186,8 +186,125 @@ object Retrieval {
       "CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk FROM g) " +
       "SELECT doc_id, bm25_rank, cos_rank, rrf, rnk FROM r WHERE rnk <= 50 ORDER BY rnk"
 
+  // ------------------------------------------------------------------
+  // retrieval_mmr — maximal-marginal-relevance diversification (r12)
+  // ------------------------------------------------------------------
+
+  private[graft] val MmrK = 5 // selected per probe
+  private[graft] val MmrN = 20 // candidate pool per probe
+  // λ = 0.7 as the exact integer pair (7, 3): score10 = 7·sim6 − 3·maxSelSim6
+
+  /** MMR re-ranking (Carbonell & Goldstein 1998): from each probe's
+    * cosine top-[[MmrN]] pool, greedily select [[MmrK]] items maximizing
+    * λ·sim(probe, c) − (1−λ)·max over selected s of sim(c, s) — the
+    * relevance-vs-redundancy re-ranker RAG stacks and few-shot example
+    * pickers run on every top-k list. The greedy argmax runs on EXACT
+    * integers: sims land on the 1e-6 grid once (the grid6 idiom), then
+    * every round's score is 7·sim6 − 3·mx — no FP re-association anywhere,
+    * so the selection order is a cross-engine contract, not a tie-break
+    * hope. Round 1 has no selected set: score = 7·sim6, the pure-relevance
+    * argmax, expressed as the same formula with an empty max.
+    *
+    * Scale shape: the only corpus-sized work is the candidate scoring pass
+    * (the sim_topk_cosine map-side scan, WindowGroupLimit-pruned to N per
+    * probe before its one exchange); everything after — the N²-per-probe
+    * pairwise sims and the K unrolled greedy rounds — is |probes|·N²
+    * bounded, INDEPENDENT of corpus size. At 100 TB the pool would come
+    * from the ANN index (sim_ann_ivf_probe) instead of brute force; the
+    * MMR tail is identical.
+    */
+  private def retrievalMmr(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") < 100).select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
+    def sim6(a: Column, b: Column): Column =
+      round(Vectors.nativeDot(a, b) * lit(1e6), 0).cast("long")
+    val wTop = Window.partitionBy("probe_id").orderBy(col("sim6").desc, col("cand_id"))
+    val cands = probes
+      .crossJoin(corpus)
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim6", sim6(col("pvec"), col("cvec")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= MmrN)
+      .select("probe_id", "cand_id", "sim6")
+    val cv = cands.join(corpus, "cand_id").select(col("probe_id"), col("cand_id"), col("sim6"), col("cvec"))
+    val pairSims = cv
+      .select(col("probe_id"), col("cand_id"), col("cvec"))
+      .join(
+        cv.select(col("probe_id"), col("cand_id").as("other_id"), col("cvec").as("ovec")),
+        "probe_id")
+      .filter(col("cand_id") =!= col("other_id"))
+      .withColumn("psim6", sim6(col("cvec"), col("ovec")))
+      .select("probe_id", "cand_id", "other_id", "psim6")
+    val wPick = Window.partitionBy("probe_id").orderBy(col("score10").desc, col("cand_id"))
+    var sel = cands
+      .withColumn("score10", col("sim6") * 7)
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("cand_id"), lit(1L).as("mmr_rank"), col("score10"))
+    for (r <- 2 to MmrK) {
+      val selected = sel.select(col("probe_id"), col("cand_id"))
+      val mx = cands
+        .join(selected, Seq("probe_id", "cand_id"), "left_anti")
+        .join(pairSims, Seq("probe_id", "cand_id"))
+        .join(selected.select(col("probe_id"), col("cand_id").as("other_id")), Seq("probe_id", "other_id"))
+        .groupBy("probe_id", "cand_id", "sim6")
+        .agg(max("psim6").as("mx"))
+      val pick = mx
+        .withColumn("score10", col("sim6") * 7 - col("mx") * 3)
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("cand_id"), lit(r.toLong).as("mmr_rank"), col("score10"))
+      sel = sel.unionByName(pick)
+    }
+    sel
+      .select(
+        col("probe_id"),
+        col("mmr_rank"),
+        col("cand_id"),
+        (col("score10") / lit(1e7)).as("score"), // exact: |score10| < 2^53
+      )
+      .orderBy("probe_id", "mmr_rank")
+  }
+
+  private val retrievalMmrSql: String = {
+    def selUnion(upTo: Int): String =
+      (1 to upTo).map(i => s"SELECT probe_id, cand_id FROM s$i").mkString(" UNION ALL ")
+    def roundCte(r: Int): String = {
+      val su = selUnion(r - 1)
+      s"m$r AS (SELECT c.probe_id, c.cand_id, c.sim6, max(ps.psim6) AS mx FROM cands c " +
+        "JOIN ps ON ps.probe_id = c.probe_id AND ps.cand_id = c.cand_id " +
+        s"JOIN ($su) sel ON sel.probe_id = ps.probe_id AND sel.cand_id = ps.other_id " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM ($su) x " +
+        "WHERE x.probe_id = c.probe_id AND x.cand_id = c.cand_id) " +
+        "GROUP BY 1, 2, 3), " +
+        s"s$r AS (SELECT probe_id, cand_id, CAST($r AS BIGINT) AS mmr_rank, " +
+        s"7 * sim6 - 3 * mx AS score10 FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY probe_id ORDER BY 7 * sim6 - 3 * mx DESC, cand_id) AS rn FROM m$r) WHERE rn = 1)"
+    }
+    "WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "sims AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, " +
+      "CAST(round(list_dot_product(p.v, c.v) * 1e6, 0) AS BIGINT) AS sim6 " +
+      "FROM ev p JOIN ev c ON c.vec_id <> p.vec_id WHERE p.vec_id < 100), " +
+      "cands AS (SELECT probe_id, cand_id, sim6 FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY probe_id ORDER BY sim6 DESC, cand_id) AS rn FROM sims) WHERE rn <= $MmrN), " +
+      "ps AS (SELECT a.probe_id, a.cand_id, b.cand_id AS other_id, " +
+      "CAST(round(list_dot_product(ca.v, cb.v) * 1e6, 0) AS BIGINT) AS psim6 " +
+      "FROM cands a JOIN cands b ON a.probe_id = b.probe_id AND a.cand_id <> b.cand_id " +
+      "JOIN ev ca ON ca.vec_id = a.cand_id JOIN ev cb ON cb.vec_id = b.cand_id), " +
+      "s1 AS (SELECT probe_id, cand_id, CAST(1 AS BIGINT) AS mmr_rank, 7 * sim6 AS score10 " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim6 DESC, cand_id) AS rn " +
+      "FROM cands) WHERE rn = 1), " +
+      (2 to MmrK).map(roundCte).mkString(", ") + " " +
+      s"SELECT probe_id, mmr_rank, cand_id, score10 / 1e7 AS score FROM " +
+      s"(${(1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")}) " +
+      "ORDER BY probe_id, mmr_rank"
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("text_bm25_topk", textBm25Topk, Some(textBm25TopkSql)),
     QueryDef("retrieval_rrf", retrievalRrf, Some(retrievalRrfSql)),
+    QueryDef("retrieval_mmr", retrievalMmr, Some(retrievalMmrSql)),
   )
 }

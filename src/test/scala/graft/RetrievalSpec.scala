@@ -84,4 +84,108 @@ class RetrievalSpec extends SparkSpec {
     val cr = got.map(_.getAs[Long]("cos_rank")).filter(_ > 0)
     assert(cr.distinct.length == cr.length && cr.forall(_ <= 100))
   }
+
+  // ------------------------------------------------------------------
+  // retrieval_mmr laws (r12)
+  // ------------------------------------------------------------------
+
+  /** In-memory greedy MMR over the same 1e-6 integer sim grid — the
+    * reference the declared unrolled-relational selection must match
+    * EXACTLY (integer arithmetic end to end, so no tolerance).
+    */
+  private def mmrInMemory(): Map[(Long, Long), (Long, Double)] = {
+    val vecs = Tables
+      .embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def sim6(a: Array[Float], b: Array[Float]): Long =
+      BigDecimal(dot(a, b) * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val out = scala.collection.mutable.Map.empty[(Long, Long), (Long, Double)]
+    for (p <- vecs.keys.toSeq.sorted if p < 100) {
+      val pool = vecs.keys.toSeq
+        .filter(_ != p)
+        .map(c => c -> sim6(vecs(p), vecs(c)))
+        .sortBy { case (c, s6) => (-s6, c) }
+        .take(ops.Retrieval.MmrN)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (r <- 1 to ops.Retrieval.MmrK) {
+        val scored = pool
+          .filter(c => !selected.contains(c._1))
+          .map { case (c, s6) =>
+            val mx = if (selected.isEmpty) 0L
+            else selected.map(s => sim6(vecs(c), vecs(s))).max
+            (c, 7 * s6 - (if (selected.isEmpty) 0L else 3 * mx))
+          }
+        val (pick, score10) = scored.minBy { case (c, sc) => (-sc, c) }
+        selected += pick
+        out((p, r.toLong)) = (pick, score10 / 1e7)
+      }
+    }
+    out.toMap
+  }
+
+  test("retrieval_mmr: exact match vs in-memory greedy reference") {
+    val got = run("retrieval_mmr")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val ref = mmrInMemory()
+    assert(got.size == ref.size, s"${got.size} vs ${ref.size} selections")
+    val diffs = ref.keys.filter(k => got.get(k) != ref.get(k)).toSeq.sorted.take(5)
+    assert(diffs.isEmpty, s"diverged at $diffs: got ${diffs.map(got.get)} ref ${diffs.map(ref.get)}")
+  }
+
+  test("retrieval_mmr: rank 1 is the pure-relevance argmax and selection diversifies") {
+    val vecs = Tables
+      .embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val rows = run("retrieval_mmr").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byProbe = rows.groupBy(_._1)
+    def maxPairSim(ids: Seq[Long]): Double =
+      (for { a <- ids; b <- ids if a < b } yield dot(vecs(a), vecs(b))).max
+    var mmrRedundancy = 0.0
+    var topkRedundancy = 0.0
+    byProbe.foreach { case (p, sel) =>
+      // rank 1 = argmax sim (ties to lower id) — pure relevance
+      val r1 = sel.find(_._2 == 1L).get._3
+      val best = vecs.keys
+        .filter(_ != p)
+        .map(c => c -> dot(vecs(p), vecs(c)))
+        .toSeq
+        .sortBy { case (c, s) => (-s, c) }
+        .head
+        ._1
+      assert(r1 == best, s"probe $p rank-1 $r1 != relevance argmax $best")
+      val topK = vecs.keys
+        .filter(_ != p)
+        .map(c => c -> dot(vecs(p), vecs(c)))
+        .toSeq
+        .sortBy { case (c, s) => (-s, c) }
+        .take(ops.Retrieval.MmrK)
+        .map(_._1)
+      mmrRedundancy += maxPairSim(sel.map(_._3).toSeq)
+      topkRedundancy += maxPairSim(topK)
+    }
+    // the POINT of MMR: selected sets are less mutually redundant than
+    // plain top-k on average (strict on this fixture's dup-heavy corpus)
+    assert(
+      mmrRedundancy < topkRedundancy,
+      s"MMR redundancy $mmrRedundancy !< top-k $topkRedundancy",
+    )
+  }
 }
