@@ -277,7 +277,70 @@ object Evaluation {
       "SELECT p_id, user_id, NULL, NULL, NULL FROM p WHERE p_id NOT IN (SELECT p_id FROM m) " +
       "ORDER BY p_id"
 
+  // ------------------------------------------------------------------
+  // ml_eval_ann_recall — recall@k of the deployed ANN index vs truth
+  // ------------------------------------------------------------------
+
+  /** ANN quality evaluation — the monitor a deployment runs when tuning
+    * nprobe / deciding to retrain: recall@10 of the DECLARED sim_ann_ivf
+    * ranking against the brute-force cosine truth, per probe. Wraps the
+    * declared subplan (the shared-subplan doctrine — the eval can never
+    * drift from the index it audits); the truth side is the
+    * sim_topk_cosine contract (round(dot, 4) desc, cand_id tiebreak), so
+    * "recall" here is recall against a deterministic, totally-ordered
+    * truth list — tie-boundary sensitivity is part of the contract, not
+    * noise. Output: (probe_id, n_hit, recall_ppm).
+    *
+    * Scale: truth is one map-side |probes|·n scoring pass pruned to 10
+    * per probe before the exchange (at 100 TB you sample probes — recall
+    * estimation needs hundreds, not millions); the join against the ANN
+    * list and the aggregate are |probes|·10 bounded.
+    */
+  private def mlEvalAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ivf = IvfAnn
+      .simAnnIvfGrid(s, dir)
+      .select(col("probe_id"), col("cand_id"))
+      .withColumn("hit", lit(1L))
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") < 100).select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    val truth = probes
+      .crossJoin(corpus)
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", round(Vectors.nativeDot(col("pvec"), col("cvec")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= IvfAnn.GridTopKShared)
+      .select("probe_id", "cand_id")
+    truth
+      .join(ivf, Seq("probe_id", "cand_id"), "left")
+      .groupBy("probe_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(
+        col("probe_id"),
+        col("n_hit"),
+        (col("n_hit") * lit(1000000L) / lit(IvfAnn.GridTopKShared.toLong)).cast("long").as("recall_ppm"),
+      )
+      .orderBy("probe_id")
+  }
+
+  private val mlEvalAnnRecallSql =
+    IvfAnn.simAnnIvfRkCte + ", " +
+      s"iv AS (SELECT probe_id, cand_id FROM rk WHERE rn <= ${IvfAnn.GridTopKShared}), " +
+      "tr AS (SELECT probe_id, cand_id FROM (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, " +
+      "row_number() OVER (PARTITION BY p.vec_id " +
+      "ORDER BY round(list_dot_product(p.v, c.v), 4) DESC, c.vec_id) AS rn " +
+      "FROM e p JOIN e c ON c.vec_id <> p.vec_id WHERE p.vec_id < 100) " +
+      s"WHERE rn <= ${IvfAnn.GridTopKShared}), " +
+      "h AS (SELECT t.probe_id, count(iv.cand_id) AS n_hit FROM tr t " +
+      "LEFT JOIN iv ON iv.probe_id = t.probe_id AND iv.cand_id = t.cand_id GROUP BY 1) " +
+      "SELECT probe_id, CAST(n_hit AS BIGINT) AS n_hit, " +
+      s"CAST(n_hit * 1000000 // ${IvfAnn.GridTopKShared} AS BIGINT) AS recall_ppm " +
+      "FROM h ORDER BY probe_id"
+
   val entries: Seq[QueryDef] = Seq(
+    QueryDef("ml_eval_ann_recall", mlEvalAnnRecall, Some(mlEvalAnnRecallSql)),
     QueryDef("ml_eval_confusion", mlEvalConfusion, Some(mlEvalConfusionSql)),
     QueryDef("embed_outlier_knn_dist", embedOutlierKnnDist, Some(embedOutlierKnnDistSql)),
     QueryDef("privacy_k_anonymity", privacyKAnonymity, Some(privacyKAnonymitySql)),

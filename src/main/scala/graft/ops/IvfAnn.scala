@@ -420,7 +420,7 @@ object IvfAnn {
     * the DuckDB oracle with zero session state. The deployment shape is the
     * split pair below.
     */
-  private def simAnnIvfGrid(s: SparkSession, dir: String): DataFrame =
+  private[ops] def simAnnIvfGrid(s: SparkSession, dir: String): DataFrame =
     gridProbeStage(s, dir, trainGridCentroids(s, dir))
 
   /** Index-build key: the trained centroid grid joined with its
@@ -620,7 +620,11 @@ object IvfAnn {
       "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dl) WHERE rn = 1)"
   }
 
-  private val simAnnIvfGridSql =
+  /** CTE chain of the fused-IVF oracle up to `rk` (the per-probe exact
+    * re-rank) — shared with ml_eval_ann_recall's oracle, which consumes
+    * the same ranking the declared key emits.
+    */
+  private[ops] val simAnnIvfRkCte =
     gridTrainCte + ", " +
       "routes AS (SELECT vec_id AS probe_id, cid FROM (SELECT vec_id, cid, " +
       "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dl WHERE vec_id < 100) " +
@@ -631,7 +635,12 @@ object IvfAnn {
       "r AS (SELECT probe_id, cand_id, round(list_dot_product(pe.v, ce.v), 4) AS sim " +
       "FROM cand JOIN e pe ON pe.vec_id = cand.probe_id JOIN e ce ON ce.vec_id = cand.cand_id), " +
       "rk AS (SELECT probe_id, cand_id, sim, " +
-      "CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn FROM r) " +
+      "CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rn FROM r)"
+
+  private[ops] val GridTopKShared = GridTopK
+
+  private val simAnnIvfGridSql =
+    simAnnIvfRkCte + " " +
       s"SELECT probe_id, cand_id, sim, rn FROM rk WHERE rn <= $GridTopK ORDER BY probe_id, rn"
 
   /** Build oracle: the trained centroid grid + per-list occupancy. */
