@@ -339,8 +339,103 @@ object Evaluation {
       s"CAST(n_hit * 1000000 // ${IvfAnn.GridTopKShared} AS BIGINT) AS recall_ppm " +
       "FROM h ORDER BY probe_id"
 
+  // ------------------------------------------------------------------
+  // embed_dim_truncation_eval — which serving dimension is safe (r12)
+  // ------------------------------------------------------------------
+
+  private val TruncDims = Seq(8, 16, 32, 64)
+  private val TruncTopK = 10
+
+  /** Matryoshka-style dimension-truncation evaluation (Kusupati et al.
+    * 2022, public): before serving a truncated-prefix vector index, a
+    * pipeline must know how much retrieval quality each prefix length
+    * keeps. For each dim d ∈ [[TruncDims]], rank the corpus per probe by
+    * the PREFIX dot (first d coordinates, the sim_topk_cosine contract:
+    * round(dot, 4) desc, cand_id tiebreak) and report recall@[[TruncTopK]]
+    * of that truncated ranking against the full-64-d truth, aggregated
+    * over the probe set. d = 64 is the built-in 1.0-recall anchor (prefix
+    * of 64 IS the full vector), so the output is self-calibrating.
+    *
+    * Scale: probes broadcast and the corpus is scored in place — one pass
+    * computes all four prefix dots per pair (8+16+32+64 = 120 multiplies,
+    * ~2× a single full dot) and explodes to (dim, sim) rows whose
+    * rank ≤ k filter compiles to WindowGroupLimit, pruning to k per
+    * (dim, probe) map-side before the only exchange; the truth pass is
+    * the ml_eval_ann_recall shape. Everything after the windows is
+    * |dims|·|probes|·k bounded. At 100 TB you sample probes — recall
+    * estimation needs hundreds, not millions.
+    */
+  private def embedDimTruncationEval(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val probes = e
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
+    val pairs = corpus.crossJoin(broadcast(probes)).filter(col("probe_id") =!= col("cand_id"))
+    val dsims = array(TruncDims.map { d =>
+      struct(
+        lit(d.toLong).as("dim"),
+        round(Vectors.nativeDot(slice(col("pvec"), 1, d), slice(col("cvec"), 1, d)), 4).as("sim"),
+      )
+    }: _*)
+    val wd = Window.partitionBy("dim", "probe_id").orderBy(col("sim").desc, col("cand_id"))
+    val approx = pairs
+      .select(col("probe_id"), col("cand_id"), explode(dsims).as("ds"))
+      .select(col("probe_id"), col("cand_id"), col("ds.dim").as("dim"), col("ds.sim").as("sim"))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= TruncTopK)
+      .select("dim", "probe_id", "cand_id")
+    val wt = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    val truth = pairs
+      .withColumn("sim", round(Vectors.nativeDot(col("pvec"), col("cvec")), 4))
+      .withColumn("rn", row_number().over(wt))
+      .filter(col("rn") <= TruncTopK)
+      .select(col("probe_id"), col("cand_id"))
+      .withColumn("hit", lit(1L))
+    approx
+      .join(truth, Seq("probe_id", "cand_id"), "left")
+      .groupBy("dim")
+      .agg(
+        countDistinct(col("probe_id")).as("n_probes"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+      )
+      .select(
+        col("dim"),
+        col("n_probes"),
+        col("n_hit"),
+        (col("n_hit") * lit(1000000L) / (lit(TruncTopK.toLong) * col("n_probes")))
+          .cast("long")
+          .as("recall_ppm"),
+      )
+      .orderBy("dim")
+  }
+
+  private val embedDimTruncationEvalSql = {
+    val dims = TruncDims.map(d => s"($d)").mkString(", ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"d(dim) AS (VALUES $dims), " +
+      "sc AS (SELECT d.dim, p.vec_id AS probe_id, c.vec_id AS cand_id, " +
+      "round(list_dot_product(p.v[1:d.dim], c.v[1:d.dim]), 4) AS sim " +
+      "FROM e p JOIN e c ON c.vec_id <> p.vec_id CROSS JOIN d WHERE p.vec_id < 100), " +
+      "ap AS (SELECT dim, probe_id, cand_id FROM (SELECT dim, probe_id, cand_id, " +
+      "row_number() OVER (PARTITION BY dim, probe_id ORDER BY sim DESC, cand_id) AS rn FROM sc) " +
+      s"WHERE rn <= $TruncTopK), " +
+      "tr AS (SELECT probe_id, cand_id FROM (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, " +
+      "row_number() OVER (PARTITION BY p.vec_id " +
+      "ORDER BY round(list_dot_product(p.v, c.v), 4) DESC, c.vec_id) AS rn " +
+      s"FROM e p JOIN e c ON c.vec_id <> p.vec_id WHERE p.vec_id < 100) WHERE rn <= $TruncTopK), " +
+      "h AS (SELECT ap.dim, count(DISTINCT ap.probe_id) AS n_probes, count(tr.cand_id) AS n_hit " +
+      "FROM ap LEFT JOIN tr ON tr.probe_id = ap.probe_id AND tr.cand_id = ap.cand_id GROUP BY 1) " +
+      "SELECT CAST(dim AS BIGINT) AS dim, CAST(n_probes AS BIGINT) AS n_probes, " +
+      "CAST(n_hit AS BIGINT) AS n_hit, " +
+      s"CAST(n_hit * 1000000 // ($TruncTopK * n_probes) AS BIGINT) AS recall_ppm " +
+      "FROM h ORDER BY dim"
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("ml_eval_ann_recall", mlEvalAnnRecall, Some(mlEvalAnnRecallSql)),
+    QueryDef("embed_dim_truncation_eval", embedDimTruncationEval, Some(embedDimTruncationEvalSql)),
     QueryDef("ml_eval_confusion", mlEvalConfusion, Some(mlEvalConfusionSql)),
     QueryDef("embed_outlier_knn_dist", embedOutlierKnnDist, Some(embedOutlierKnnDistSql)),
     QueryDef("privacy_k_anonymity", privacyKAnonymity, Some(privacyKAnonymitySql)),

@@ -77,6 +77,44 @@ class EvaluationSpec extends SparkSpec {
     info(s"sim_ann_ivf recall@10 vs brute truth: $mean")
   }
 
+  test("embed_dim_truncation_eval: matches exact prefix-dot recompute; d=64 anchors at 1.0") {
+    val got = run("embed_dim_truncation_eval")
+      .collect()
+      .map(r => r.getAs[Long]("dim") -> (r.getAs[Long]("n_probes"), r.getAs[Long]("n_hit"), r.getAs[Long]("recall_ppm")))
+      .toMap
+    assert(got.keySet == Set(8L, 16L, 32L, 64L))
+    val vecs = Tables
+      .embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    def sim4(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      BigDecimal(acc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probes = vecs.keys.toSeq.filter(_ < 100).sorted
+    def topk(p: Long, d: Int): Set[Long] = vecs.keys.toSeq
+      .filter(_ != p)
+      .map(c => c -> sim4(vecs(p), vecs(c), d))
+      .sortBy { case (c, s) => (-s, c) }
+      .take(10)
+      .map(_._1)
+      .toSet
+    val truth = probes.map(p => p -> topk(p, 64)).toMap
+    for (d <- Seq(8, 16, 32, 64)) {
+      val hits = probes.map(p => topk(p, d).intersect(truth(p)).size.toLong).sum
+      val (np, nh, ppm) = got(d.toLong)
+      assert(np == probes.size.toLong, s"dim $d n_probes")
+      assert(nh == hits, s"dim $d: got $nh expected $hits")
+      assert(ppm == hits * 1000000L / (10L * probes.size), s"dim $d ppm")
+    }
+    // the full prefix IS the full vector: the eval self-calibrates at 1.0
+    assert(got(64L)._3 == 1000000L)
+    info(s"truncation recall ppm by dim: ${got.toSeq.sortBy(_._1).map { case (d, v) => s"$d→${v._3}" }.mkString(", ")}")
+  }
+
   test("embed_outlier_knn_dist: mean_sim reconciles with the knn graph; ranks dense per label") {
     val rows = run("embed_outlier_knn_dist").collect()
     assert(rows.nonEmpty)
