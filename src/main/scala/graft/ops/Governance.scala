@@ -5,6 +5,7 @@ import graft.Qf._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-6 batch 7 — data-governance & corpus-curation verbs: the
   * key-uniqueness audit, the training-data mix card, deterministic
@@ -327,8 +328,63 @@ object Governance {
       "CAST(sum(n_g) AS BIGINT) AS n_orders, CAST(max(t_ppm) AS BIGINT) AS max_t_ppm, " +
       "max(t_ppm) > 300000 AS breach_03 FROM tvd GROUP BY 1 ORDER BY t_decile"
 
+  // ------------------------------------------------------------------
+  // privacy_dp_counts — ε-DP histogram release of corpus counts (r12)
+  // ------------------------------------------------------------------
+
+  /** Differentially-private histogram release (Dwork et al. 2006, the
+    * Laplace mechanism): per (lang, source) document counts with Laplace
+    * noise at ε = 1, sensitivity 1 (add/remove one document moves one
+    * cell by one) — the mechanism a curator uses to publish corpus
+    * composition without revealing any single document's presence.
+    * Noise is the seedless-md5 idiom shared with sample_importance_dsir:
+    * u = (hash52("dp#", lang|source) + 0.5) / 2^52 — exactly
+    * representable, identical in both engines — and the Laplace inverse
+    * CDF ln(2u) / −ln(2(1−u)) is the one transcendental, rounded to the
+    * 1e-6 DECIMAL grid to absorb libm ULP drift before the exact decimal
+    * add (the surprisal idiom). The true count column makes the noise
+    * law spec-checkable; a real release would drop it (and the
+    * determinism is a TEST harness property — production would draw real
+    * randomness — but the mechanism arithmetic is exactly what ships).
+    *
+    * Scale: one map-side-combined groupBy to the |langs|×|sources| grain;
+    * noise is per-GROUP arithmetic on that bounded frame. Zero joins.
+    */
+  private def privacyDpCounts(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables
+      .documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(nrows.as("n"))
+    val u =
+      (hash52("dp#", concat(col("lang"), lit("|"), col("source"))) + lit(0.5)) / lit(Hash52Range)
+    val noise =
+      when(u < 0.5, log(lit(2.0) * u)).otherwise(-log(lit(2.0) * (lit(1.0) - u)))
+    g.withColumn("noise6", round(noise, 6).cast(DecimalType(18, 6)))
+      .select(
+        col("lang"),
+        col("source"),
+        col("n"),
+        // decimal-grid add, then a single exact DECIMAL→DOUBLE conversion
+        // (|n_dp6|·1e6 < 2^53) — DECIMAL itself can't be the declared type
+        // (SURVEY §2.0 rule 6: pandas coerces it to object/float64)
+        (col("n").cast(DecimalType(18, 6)) + col("noise6"))
+          .cast(DecimalType(18, 6))
+          .cast("double")
+          .as("n_dp6"),
+      )
+      .orderBy("lang", "source")
+  }
+
+  private val privacyDpCountsSql =
+    "WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2), " +
+      s"un AS (SELECT lang, source, n, (${hash52Sql("dp#", "lang || '|' || source")} + 0.5) / $Hash52Range AS u FROM g) " +
+      "SELECT lang, source, n, CAST(CAST(CAST(n AS DECIMAL(18,6)) + " +
+      "CAST(round(CASE WHEN u < 0.5 THEN ln(2*u) ELSE -ln(2*(1-u)) END, 6) AS DECIMAL(18,6)) " +
+      "AS DECIMAL(18,6)) AS DOUBLE) AS n_dp6 FROM un ORDER BY lang, source"
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("dq_uniqueness", dqUniqueness, Some(dqUniquenessSql)),
+    QueryDef("privacy_dp_counts", privacyDpCounts, Some(privacyDpCountsSql)),
     QueryDef("corpus_mix_report", corpusMixReport, Some(corpusMixReportSql)),
     QueryDef("sample_balanced_class", sampleBalancedClass, Some(sampleBalancedClassSql)),
     QueryDef("fn_url_parse", fnUrlParse, Some(fnUrlParseSql)),

@@ -111,6 +111,41 @@ class GovernanceSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_orders")).sum == totalOrders)
   }
 
+  test("privacy_dp_counts: true counts exact; noise is the Laplace inverse-CDF of the md5 seed") {
+    val rows = run("privacy_dp_counts").collect()
+    val truth = Tables
+      .documents(spark, sfDir)
+      .groupBy("lang", "source")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(rows.length == truth.size)
+    var absSum = 0.0
+    rows.foreach { r =>
+      val (lang, source) = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      val n = r.getAs[Long]("n")
+      assert(n == truth((lang, source)), s"count mismatch for ($lang,$source)")
+      // recompute the noise from scratch: md5 → 52-bit uniform → Laplace
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"dp#$lang|$source".getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+        .take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+      val lap = if (u < 0.5) math.log(2 * u) else -math.log(2 * (1 - u))
+      val noise6 = BigDecimal(lap).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val expected = (BigDecimal(n) + noise6).toDouble
+      assert(r.getAs[Double]("n_dp6") == expected, s"noise mismatch for ($lang,$source)")
+      absSum += noise6.abs.toDouble
+    }
+    // mechanism sanity: E|Laplace(b=1)| = 1; the seedless draws must look like it
+    val meanAbs = absSum / rows.length
+    assert(meanAbs > 0.4 && meanAbs < 2.5, s"mean |noise| implausible for b=1: $meanAbs")
+    info(f"privacy_dp_counts: ${rows.length} cells, mean |noise| = $meanAbs%.3f (E=1)")
+  }
+
   test("privacy_t_closeness: TVD deciles reconcile with the exact in-memory recompute") {
     import org.apache.spark.sql.functions.{col, floor}
     val out = SparkEntry.queries("privacy_t_closeness")(spark, sfDir).collect()
