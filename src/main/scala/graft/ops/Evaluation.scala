@@ -394,7 +394,8 @@ object Evaluation {
       .select(col("probe_id"), col("cand_id"))
       .withColumn("hit", lit(1L))
     approx
-      .join(truth, Seq("probe_id", "cand_id"), "left")
+      // truth is |probes|·k rows by construction — always broadcast-able
+      .join(broadcast(truth), Seq("probe_id", "cand_id"), "left")
       .groupBy("dim")
       .agg(
         countDistinct(col("probe_id")).as("n_probes"),

@@ -282,9 +282,77 @@ object Graph {
       "e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT u FROM k3) AND v IN (SELECT u FROM k3)) " +
       "SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e3 GROUP BY u ORDER BY node"
 
+  // ------------------------------------------------------------------
+  // graph_label_propagation — community detection, 3 sync rounds (r12)
+  // ------------------------------------------------------------------
+
+  /** Synchronous label propagation (Raghavan–Albert–Kumara 2007) over the
+    * customer–supplier transaction graph: init label(v) = v, then each
+    * round every node adopts the most frequent label among its neighbors
+    * (tie → smallest label). Three rounds are unrolled into one static
+    * plan like pagerank/kcore — on a bipartite graph SYNC updates can
+    * two-color oscillate, so a fixed round count with a deterministic
+    * tie-break IS the contract (the declared output is "labels after 3
+    * sync rounds", not an unstable fixpoint). Pure integer counts and a
+    * min-label tie-break: no floating point anywhere, nothing for the
+    * engines to round differently.
+    *
+    * Scale: each round is one |E| join carrying only (node, label) — 16
+    * bytes a row — into a map-side-combined groupBy at the (node, label)
+    * grain (≤ Σdeg rows, partial-aggregated before the exchange), and the
+    * rank-1 filter compiles to WindowGroupLimit, pruning to one row per
+    * node map-side. The edge list is reused across rounds (AQE stage
+    * reuse, the pagerank measurement); an open-ended fixpoint would add
+    * per-round checkpoint truncation exactly like MinHashDedup.clusters.
+    */
+  private def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = Tables
+      .lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("sp"))
+      .distinct()
+    val edges = e0
+      .select(col("c").as("src"), col("sp").as("dst"))
+      .unionByName(e0.select(col("sp").as("src"), col("c").as("dst")))
+    val w = Window.partitionBy("node").orderBy(col("c").desc, col("lbl"))
+    var labels = edges.select(col("src").as("node")).distinct().withColumn("lbl", col("node"))
+    for (_ <- 1 to 3) {
+      labels = edges
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(nrows.as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "lbl")
+    }
+    val sz = labels.groupBy("lbl").agg(nrows.as("community_n"))
+    labels
+      .join(sz, "lbl")
+      .select(col("node"), col("lbl").as("label"), col("community_n"))
+      .orderBy("node")
+  }
+
+  private val labelPropagationSql = {
+    def iter(prev: String, out: String): String =
+      s"n$out AS (SELECT e.src AS node, l.lbl, count(*) AS c " +
+        s"FROM edges e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2), " +
+        s"$out AS (SELECT node, lbl FROM (SELECT node, lbl, " +
+        s"row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM n$out) WHERE rn = 1)"
+    "WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000000 AS sp " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+      "edges AS (SELECT c AS src, sp AS dst FROM e0 UNION ALL SELECT sp, c FROM e0), " +
+      "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges), " +
+      iter("l0", "l1") + ", " + iter("l1", "l2") + ", " + iter("l2", "l3") + ", " +
+      "sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_n FROM l3 GROUP BY 1) " +
+      "SELECT l3.node, l3.lbl AS label, sz.community_n " +
+      "FROM l3 JOIN sz ON l3.lbl = sz.lbl ORDER BY node"
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("graph_triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("graph_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("graph_kcore", graphKcore, Some(graphKcoreSql)),
+    QueryDef("graph_label_propagation", labelPropagation, Some(labelPropagationSql)),
   )
 }

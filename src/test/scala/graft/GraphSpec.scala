@@ -54,6 +54,46 @@ class GraphSpec extends SparkSpec {
     assert(meanSupp > meanCust, s"supplier mean $meanSupp <= customer mean $meanCust")
   }
 
+  test("graph_label_propagation: exact match vs in-memory 3-round sync LPA; sizes conserve") {
+    val e0 = Tables
+      .lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000000L).as("sp"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0 ++ e0.map { case (c, s) => (s, c) }
+    val nbrs = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = edges.map(_._1).distinct.sorted
+
+    // reference: synchronous rounds, most-frequent neighbor label, min tie
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = nodes.map { v =>
+        val counts = nbrs(v).map(lbl).groupBy(identity).map { case (l, xs) => (l, xs.length) }
+        val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        v -> best
+      }.toMap
+    }
+
+    val got = SparkEntry
+      .queries("graph_label_propagation")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> (r.getAs[Long]("label"), r.getAs[Long]("community_n")))
+      .toMap
+    assert(got.size == nodes.length)
+    nodes.foreach(v => assert(got(v)._1 == lbl(v), s"node $v: spark ${got(v)._1} != reference ${lbl(v)}"))
+
+    // community sizes: each node's reported size equals its label's true
+    // cohort size, and the sizes partition |V| exactly
+    val cohort = lbl.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    nodes.foreach(v => assert(got(v)._2 == cohort(lbl(v)), s"size mismatch at $v"))
+    assert(cohort.values.sum == nodes.length.toLong)
+    // the propagation must actually coarsen: strictly fewer communities than nodes
+    assert(cohort.size < nodes.length, s"LPA did not coarsen: ${cohort.size} communities")
+    info(s"graph_label_propagation: ${nodes.length} nodes → ${cohort.size} communities after 3 rounds")
+  }
+
   test("graph_pagerank reads each base table exactly once despite 3 unrolled iterations") {
     // the edge subplan is referenced ~10x across iterations; the plan string
     // shows dozens of scans, but AQE's runtime stage reuse must collapse

@@ -311,6 +311,23 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("embed_dim_truncation_eval: probes broadcast; both rank filters prune map-side") {
+    val p = planString("embed_dim_truncation_eval")
+    // the corpus is scored in place against broadcast probes — a sort-merge
+    // here would shuffle the whole corpus twice (truth + truncated passes)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "corpus must never shuffle as scoring input")
+    // rank<=k on both the (dim, probe) and truth windows must compile to
+    // WindowGroupLimit so only ~k rows per group reach each exchange
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, s"expected both top-k prunes:\n${p.take(1500)}")
+  }
+
+  test("graph_label_propagation: rank-1 label vote prunes map-side every round; no products") {
+    val p = planString("graph_label_propagation")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 3, s"one prune per sync round expected:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("text_keyword_rake: no product joins; score join stays vocabulary-grain") {
     val p = planString("text_keyword_rake")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
