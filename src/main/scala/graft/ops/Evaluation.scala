@@ -320,7 +320,10 @@ object Evaluation {
       .select(
         col("probe_id"),
         col("n_hit"),
-        (col("n_hit") * lit(1000000L) / lit(IvfAnn.GridTopKShared.toLong)).cast("long").as("recall_ppm"),
+        // integer div keeps the ppm on the exact grid (repo-wide idiom) —
+        // the double-division + cast was value-identical today but leaves
+        // a latent truncate-vs-floor divergence class (r12 advice)
+        expr(s"n_hit * 1000000 div ${IvfAnn.GridTopKShared}").as("recall_ppm"),
       )
       .orderBy("probe_id")
   }
@@ -338,6 +341,122 @@ object Evaluation {
       "SELECT probe_id, CAST(n_hit AS BIGINT) AS n_hit, " +
       s"CAST(n_hit * 1000000 // ${IvfAnn.GridTopKShared} AS BIGINT) AS recall_ppm " +
       "FROM h ORDER BY probe_id"
+
+  // ------------------------------------------------------------------
+  // sim_ann_ivf_recall_curve — the published recall/cost tradeoff (r13)
+  // ------------------------------------------------------------------
+
+  private val CurveNprobes = Seq(2, 4, 8, 12)
+
+  /** The nprobe sensitivity curve of the deployed IVF index: recall@10 vs
+    * brute-force truth at nprobe ∈ [[CurveNprobes]], aggregated over the
+    * probe set — the r12 verdict's ask that the 0.63-recall default stop
+    * being a single unpublished point and become an oracle-checked
+    * tradeoff table (a deployment picks its operating point from THIS
+    * frame; EvaluationSpec pins recall ≥ 0.9 at the nprobe = 12 setting).
+    *
+    * One candidate-generation pass serves the whole curve: probes route
+    * to their max-nprobe nearest cells once with the route rank kept, each
+    * candidate carries min_rnp = the best rank of a routed list containing
+    * it, and the nprobe = p candidate set is exactly {min_rnp ≤ p} — so
+    * adding curve points costs an explode + K-bounded windows, never a
+    * second corpus scan. Consumes the session-cached index
+    * ([[IvfAnn.gridCentroids]] — the deployment build-once shape; the
+    * oracle re-derives training, so values are identical cold or warm).
+    *
+    * Scale: candidates are ~(maxNprobe/k)·n per probe and truth is the
+    * ml_eval_ann_recall map-side pass — at 100 TB you sample probes
+    * (recall estimation needs hundreds, not millions); everything after
+    * the windows is |nprobes|·|probes|·k bounded.
+    */
+  private def simAnnIvfRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cent = IvfAnn.gridCentroids(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val g = IvfAnn.grid6(e)
+    val lists = IvfAnn.gridAssign(g, cent).select(col("vec_id").as("cand_id"), col("cid"))
+    val routeW = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
+    val routes = g
+      .filter(col("vec_id") < 100)
+      .join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6"))).as("dist2"))
+      .withColumn("rnp", row_number().over(routeW).cast("long"))
+      .filter(col("rnp") <= CurveNprobes.max)
+      .select(col("vec_id").as("probe_id"), col("cid"), col("rnp"))
+    val pv = e.filter(col("vec_id") < 100).select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
+    val scored = routes
+      .join(lists, "cid")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .groupBy("probe_id", "cand_id")
+      .agg(min("rnp").as("min_rnp"))
+      .join(pv, "probe_id")
+      .join(cv, "cand_id")
+      .withColumn("sim", round(Vectors.nativeDot(col("pvec"), col("cvec")), 4))
+      .select("probe_id", "cand_id", "min_rnp", "sim")
+    val npArr = array(CurveNprobes.map(p => lit(p.toLong)): _*)
+    val wk = Window.partitionBy("nprobe", "probe_id").orderBy(col("sim").desc, col("cand_id"))
+    val ivf = scored
+      .select(col("probe_id"), col("cand_id"), col("min_rnp"), col("sim"), explode(npArr).as("nprobe"))
+      .filter(col("min_rnp") <= col("nprobe"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= IvfAnn.GridTopKShared)
+      .select(col("nprobe"), col("probe_id"), col("cand_id"))
+      .withColumn("hit", lit(1L))
+    val wt = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    val truth = pv
+      .crossJoin(cv)
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", round(Vectors.nativeDot(col("pvec"), col("cvec")), 4))
+      .withColumn("rn", row_number().over(wt))
+      .filter(col("rn") <= IvfAnn.GridTopKShared)
+      .select("probe_id", "cand_id")
+    truth
+      .select(col("probe_id"), col("cand_id"), explode(npArr).as("nprobe"))
+      .join(ivf, Seq("nprobe", "probe_id", "cand_id"), "left")
+      .groupBy("nprobe")
+      .agg(
+        countDistinct(col("probe_id")).as("n_probes"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+      )
+      .select(
+        col("nprobe"),
+        col("n_probes"),
+        col("n_hit"),
+        expr(s"n_hit * 1000000 div (${IvfAnn.GridTopKShared} * n_probes)").as("recall_ppm"),
+      )
+      .orderBy("nprobe")
+  }
+
+  private val simAnnIvfRecallCurveSql = {
+    val npVals = CurveNprobes.map(p => s"($p)").mkString(", ")
+    IvfAnn.gridTrainCte + ", " +
+      "routes AS (SELECT vec_id AS probe_id, cid, CAST(rn AS BIGINT) AS rnp FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM dl WHERE vec_id < 100) " +
+      s"WHERE rn <= ${CurveNprobes.max}), " +
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cand AS (SELECT probe_id, cand_id, min(rnp) AS min_rnp FROM routes JOIN lists USING (cid) " +
+      "WHERE probe_id <> cand_id GROUP BY 1, 2), " +
+      "r AS (SELECT probe_id, cand_id, min_rnp, round(list_dot_product(pe.v, ce.v), 4) AS sim " +
+      "FROM cand JOIN e pe ON pe.vec_id = cand.probe_id JOIN e ce ON ce.vec_id = cand.cand_id), " +
+      s"np(nprobe) AS (VALUES $npVals), " +
+      "rk AS (SELECT nprobe, probe_id, cand_id, row_number() OVER " +
+      "(PARTITION BY nprobe, probe_id ORDER BY sim DESC, cand_id) AS rn " +
+      "FROM r JOIN np ON r.min_rnp <= np.nprobe), " +
+      s"iv AS (SELECT nprobe, probe_id, cand_id FROM rk WHERE rn <= ${IvfAnn.GridTopKShared}), " +
+      "tr AS (SELECT probe_id, cand_id FROM (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, " +
+      "row_number() OVER (PARTITION BY p.vec_id " +
+      "ORDER BY round(list_dot_product(p.v, c.v), 4) DESC, c.vec_id) AS rn " +
+      s"FROM e p JOIN e c ON c.vec_id <> p.vec_id WHERE p.vec_id < 100) WHERE rn <= ${IvfAnn.GridTopKShared}), " +
+      "h AS (SELECT np.nprobe, count(DISTINCT tr.probe_id) AS n_probes, count(iv.cand_id) AS n_hit " +
+      "FROM tr CROSS JOIN np LEFT JOIN iv ON iv.nprobe = np.nprobe " +
+      "AND iv.probe_id = tr.probe_id AND iv.cand_id = tr.cand_id GROUP BY 1) " +
+      "SELECT CAST(nprobe AS BIGINT) AS nprobe, CAST(n_probes AS BIGINT) AS n_probes, " +
+      "CAST(n_hit AS BIGINT) AS n_hit, " +
+      s"CAST(n_hit * 1000000 // (${IvfAnn.GridTopKShared} * n_probes) AS BIGINT) AS recall_ppm " +
+      "FROM h ORDER BY nprobe"
+  }
 
   // ------------------------------------------------------------------
   // embed_dim_truncation_eval — which serving dimension is safe (r12)
@@ -405,9 +524,8 @@ object Evaluation {
         col("dim"),
         col("n_probes"),
         col("n_hit"),
-        (col("n_hit") * lit(1000000L) / (lit(TruncTopK.toLong) * col("n_probes")))
-          .cast("long")
-          .as("recall_ppm"),
+        // integer div — same grid rationale as ml_eval_ann_recall above
+        expr(s"n_hit * 1000000 div ($TruncTopK * n_probes)").as("recall_ppm"),
       )
       .orderBy("dim")
   }
@@ -436,6 +554,7 @@ object Evaluation {
 
   val entries: Seq[QueryDef] = Seq(
     QueryDef("ml_eval_ann_recall", mlEvalAnnRecall, Some(mlEvalAnnRecallSql)),
+    QueryDef("sim_ann_ivf_recall_curve", simAnnIvfRecallCurve, Some(simAnnIvfRecallCurveSql)),
     QueryDef("embed_dim_truncation_eval", embedDimTruncationEval, Some(embedDimTruncationEvalSql)),
     QueryDef("ml_eval_confusion", mlEvalConfusion, Some(mlEvalConfusionSql)),
     QueryDef("embed_outlier_knn_dist", embedOutlierKnnDist, Some(embedOutlierKnnDistSql)),

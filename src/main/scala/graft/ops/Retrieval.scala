@@ -212,6 +212,14 @@ object Retrieval {
     * bounded, INDEPENDENT of corpus size. At 100 TB the pool would come
     * from the ANN index (sim_ann_ivf_probe) instead of brute force; the
     * MMR tail is identical.
+    *
+    * Plan shape (r13): `cands` and `pairSims` are lineage-truncated ONCE
+    * and `sel` is checkpointed per greedy round — without this, round r
+    * re-derives rounds 1..r−1's full plans and the driver replans the
+    * shared subtrees ~2^K times (r12 bench: 9.6 s for 92 KB of shuffle,
+    * all of it driver-side re-derivation). Same fixpoint-loop doctrine as
+    * [[MinHashDedup]]: non-eager [[Checkpoints.stable]], one materialize
+    * at the terminal action, cluster-safe under reliable-checkpoint mode.
     */
   private def retrievalMmr(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -228,6 +236,7 @@ object Retrieval {
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= MmrN)
       .select("probe_id", "cand_id", "sim6")
+      .transform(Checkpoints.stable(_, eager = false))
     val cv = cands.join(corpus, "cand_id").select(col("probe_id"), col("cand_id"), col("sim6"), col("cvec"))
     val pairSims = cv
       .select(col("probe_id"), col("cand_id"), col("cvec"))
@@ -237,6 +246,7 @@ object Retrieval {
       .filter(col("cand_id") =!= col("other_id"))
       .withColumn("psim6", sim6(col("cvec"), col("ovec")))
       .select("probe_id", "cand_id", "other_id", "psim6")
+      .transform(Checkpoints.stable(_, eager = false))
     val wPick = Window.partitionBy("probe_id").orderBy(col("score10").desc, col("cand_id"))
     var sel = cands
       .withColumn("score10", col("sim6") * 7)
@@ -256,7 +266,7 @@ object Retrieval {
         .withColumn("rn", row_number().over(wPick))
         .filter(col("rn") === 1)
         .select(col("probe_id"), col("cand_id"), lit(r.toLong).as("mmr_rank"), col("score10"))
-      sel = sel.unionByName(pick)
+      sel = Checkpoints.stable(sel.unionByName(pick), eager = false)
     }
     sel
       .select(

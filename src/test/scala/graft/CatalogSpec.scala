@@ -25,6 +25,26 @@ class CatalogSpec extends SparkSpec {
     assert(dups.isEmpty, s"duplicate catalog keys: ${dups.mkString(", ")}")
   }
 
+  test("SURVEY §2 lists every declared key (doc-drift lint)") {
+    // The r11 and r12 verdicts both found declared keys missing from
+    // SURVEY §2, which §0 promises is the full declared surface. Enforce
+    // the promise mechanically: every SparkEntry.queries key must appear
+    // backticked inside the §2 section of SURVEY.md.
+    val src = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8,
+    )
+    val start = src.indexOf("## §2.")
+    val end = src.indexOf("## §3.")
+    assert(start >= 0 && end > start, "SURVEY.md §2/§3 headings not found")
+    val section2 = src.substring(start, end)
+    val missing = SparkEntry.queries.keySet.filterNot(k => section2.contains(s"`$k`"))
+    assert(
+      missing.isEmpty,
+      s"declared keys missing from SURVEY.md §2: ${missing.toSeq.sorted.mkString(", ")}",
+    )
+  }
+
   test("entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

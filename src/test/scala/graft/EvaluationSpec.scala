@@ -77,6 +77,28 @@ class EvaluationSpec extends SparkSpec {
     info(s"sim_ann_ivf recall@10 vs brute truth: $mean")
   }
 
+  test("sim_ann_ivf_recall_curve: monotone in nprobe, ≥0.9 at the published point, ties out with ml_eval_ann_recall") {
+    val got = run("sim_ann_ivf_recall_curve")
+      .collect()
+      .map(r =>
+        r.getAs[Long]("nprobe") ->
+          (r.getAs[Long]("n_probes"), r.getAs[Long]("n_hit"), r.getAs[Long]("recall_ppm")))
+      .toMap
+    assert(got.keySet == Set(2L, 4L, 8L, 12L))
+    assert(got.values.forall(_._1 == 100L), "full probe set at every curve point")
+    // recall is monotone non-decreasing in nprobe (candidate sets are nested)
+    val ppms = Seq(2L, 4L, 8L, 12L).map(got(_)._3)
+    assert(ppms == ppms.sorted, s"curve not monotone: $ppms")
+    // the published operating point: recall@10 ≥ 0.9 at nprobe = 12
+    assert(got(12L)._3 >= 900000L, s"published nprobe=12 point below 0.9: ${got(12L)._3} ppm")
+    // cross-plan law: the curve's nprobe=4 aggregate equals the sum of
+    // ml_eval_ann_recall's per-probe hits (both audit the same index at
+    // GridNprobe=4 against the same truth contract)
+    val perProbe = run("ml_eval_ann_recall").collect().map(_.getAs[Long]("n_hit")).sum
+    assert(got(4L)._2 == perProbe, s"curve nprobe=4 ${got(4L)._2} != ml_eval_ann_recall sum $perProbe")
+    info(s"IVF recall@10 curve (ppm): ${Seq(2L, 4L, 8L, 12L).map(p => s"nprobe=$p:${got(p)._3}").mkString(" ")}")
+  }
+
   test("embed_dim_truncation_eval: matches exact prefix-dot recompute; d=64 anchors at 1.0") {
     val got = run("embed_dim_truncation_eval")
       .collect()
