@@ -342,10 +342,20 @@ object Governance {
     * representable, identical in both engines — and the Laplace inverse
     * CDF ln(2u) / −ln(2(1−u)) is the one transcendental, rounded to the
     * 1e-6 DECIMAL grid to absorb libm ULP drift before the exact decimal
-    * add (the surprisal idiom). The true count column makes the noise
-    * law spec-checkable; a real release would drop it (and the
-    * determinism is a TEST harness property — production would draw real
-    * randomness — but the mechanism arithmetic is exactly what ships).
+    * add (the surprisal idiom).
+    *
+    * ⚠ AS SHIPPED THIS PROVIDES ZERO DIFFERENTIAL PRIVACY (r12 advice):
+    * the noise is a deterministic function of the PUBLISHED group key, so
+    * anyone who knows the mechanism inverts it exactly and recovers the
+    * true counts — and the true count column is emitted anyway so the
+    * noise law is spec-checkable. This key demonstrates the mechanism
+    * ARITHMETIC on the exact cross-engine grid (what the oracle can
+    * hash-gate); it is NOT a release path. A production lift must
+    * (a) replace the hash-seeded u with a fresh cryptographic uniform
+    * draw per release — not merely a different seed — and (b) drop the
+    * true-count column. The output column is named `n_dp6` with this
+    * caveat to deter copy-paste misuse; treat any deterministic-noise
+    * variant as a demo, never a privacy guarantee.
     *
     * Scale: one map-side-combined groupBy to the |langs|×|sources| grain;
     * noise is per-GROUP arithmetic on that bounded frame. Zero joins.

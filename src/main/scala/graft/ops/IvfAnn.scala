@@ -419,6 +419,13 @@ object IvfAnn {
     * execution so the whole path (training included) hash-checks against
     * the DuckDB oracle with zero session state. The deployment shape is the
     * split pair below.
+    *
+    * NOTE (r12 advice): the sibling fused `sim_ann_ivfpq` key DOES serve
+    * training from the session cache (its training is ~5× heavier), so the
+    * two fused keys deliberately follow opposite conventions: this key
+    * keeps per-run hash coverage of training; the PQ key's bench number is
+    * a warm-cache figure. The asymmetry is recorded in PERF.md so bench
+    * readers don't compare the two as like-for-like.
     */
   private[ops] def simAnnIvfGrid(s: SparkSession, dir: String): DataFrame =
     gridProbeStage(s, dir, trainGridCentroids(s, dir))

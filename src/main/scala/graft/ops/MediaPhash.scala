@@ -172,13 +172,20 @@ object MediaPhash {
   // dedup_media_incremental — shard-vs-manifest media dedup
   // ------------------------------------------------------------------
 
-  /** Split point of the incremental fixture: items with id < this are the
-    * SEEN corpus (variants v = 0..3 of every group); the batch is v = 4..5
-    * plus replays — so every batch item has in-group seen neighbors and
-    * every status branch is exercised, exactly the dedup_incremental leg
-    * pattern.
+  /** Incremental fixture split: the SEEN corpus is variants v = 0..3 of
+    * groups 0..[[SeenGroups]]−1 ONLY (id < [[SeenMax]] AND group < 30);
+    * the batch is v = 4..5 of EVERY group plus replays. Groups 0..29's
+    * batch items near-dup their seen variants → dup_of_seen; groups
+    * 30..39 have NO seen members, so their v = 4 items (no earlier
+    * in-batch neighbor) are unique and their v = 5 items near-dup the
+    * group's v = 4 (Hamming ≤ 3, simulation-verified over the id
+    * formula) → dup_in_batch. r12 advice: the original all-groups seen
+    * set made every batch item dup_of_seen, so the other two status
+    * branches were never exercised nontrivially — MediaPhashSpec now
+    * pins the exact 90/10/10 split.
     */
   private val SeenMax = 160L
+  private[graft] val SeenGroups = 30L
 
   /** Continuous-ingest media dedup — the phash sibling of
     * dedup_incremental / _minhash / _semantic, completing the incremental
@@ -198,7 +205,7 @@ object MediaPhash {
     */
   private def dedupMediaIncremental(s: SparkSession, dir: String): DataFrame = {
     val fp = phash60(synthNearDup(s).toDF())
-    val seenFp = fp.filter(col("media_id") < SeenMax)
+    val seenFp = fp.filter(col("media_id") < SeenMax && col("media_id") % NGroups < SeenGroups)
     val batch = fp
       .filter(col("media_id") >= SeenMax)
       .select(col("media_id").as("batch_id"), col("fp"))
@@ -260,7 +267,7 @@ object MediaPhash {
 
   private val dedupMediaIncrementalSql =
     s"WITH $fpCteSql, " +
-      s"seenfp AS (SELECT id, fp FROM fp WHERE id < $SeenMax), " +
+      s"seenfp AS (SELECT id, fp FROM fp WHERE id < $SeenMax AND id % $NGroups < $SeenGroups), " +
       s"bset AS (SELECT id AS batch_id, id AS src FROM fp WHERE id >= $SeenMax " +
       s"UNION ALL SELECT id + ${CorpusPrep.ReplaySeenOffset}, id FROM fp WHERE id < 20 " +
       s"UNION ALL SELECT id + ${CorpusPrep.ReplayBatchOffset}, id FROM fp " +

@@ -79,6 +79,34 @@ class IncrementalDedupStreamSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1))
       .toMap
 
+  /** The keys with a streamed-shard parity test in THIS suite. */
+  private val StreamedParityCovered = Set(
+    "dedup_incremental",
+    "dedup_incremental_minhash",
+    "dedup_media_incremental",
+    "dedup_incremental_semantic",
+  )
+
+  test("mechanical enumeration: every incremental-manifest key has a streamed-shard parity law") {
+    // r12 verdict #8: the ingest-order parity law enumerates its event keys
+    // from the catalog; do the same here so a future incremental family
+    // cannot ship without a streamed-shard law. The manifest contract is
+    // structural — an incremental key emits (batch_id, status) — so the
+    // enumeration is schema-driven, not name-driven: any declared key whose
+    // output carries both columns is an incremental-manifest key and MUST
+    // appear in [[StreamedParityCovered]] (adding one without a parity test
+    // fails here; removing one without pruning the set also fails).
+    val manifestKeys = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val fields = SparkEntry.queries(name)(spark, sfDir).schema.fieldNames.toSet
+      Set("batch_id", "status").subsetOf(fields)
+    }.toSet
+    assert(
+      manifestKeys == StreamedParityCovered,
+      s"incremental-manifest keys without a streamed parity law: ${manifestKeys -- StreamedParityCovered}; " +
+        s"stale coverage entries: ${StreamedParityCovered -- manifestKeys}",
+    )
+  }
+
   test("dedup_incremental: streamed shards against the hash manifest equal the batch manifest") {
     // state = the content-hash manifest, exactly what the key's scaladoc
     // says a deployment persists: origin 'seen' rows never overwritten
@@ -172,7 +200,9 @@ class IncrementalDedupStreamSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
-    val seen = scala.collection.mutable.ArrayBuffer(fps.filter(_._1 < 160).values.toSeq: _*)
+    val seen = scala.collection.mutable.ArrayBuffer(
+      fps.filter(p => p._1 < 160 && p._1 % MediaPhash.NGroups < MediaPhash.SeenGroups)
+        .values.toSeq: _*)
     val batchRows: Seq[(Long, Long)] = (
       fps.filter(_._1 >= 160).toSeq ++
         fps.filter(_._1 < 20).map { case (id, f) => (id + 10000000L, f) } ++

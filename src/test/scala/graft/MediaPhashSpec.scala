@@ -108,7 +108,10 @@ class MediaPhashSpec extends SparkSpec {
     val fps = fpMap
     def near(a: Long, b: Long): Boolean =
       java.lang.Long.bitCount(a ^ b) <= MediaPhash.MaxHamming
-    val seen = fps.filter(_._1 < 160).values.toArray
+    val seen = fps
+      .filter(p => p._1 < 160 && p._1 % MediaPhash.NGroups < MediaPhash.SeenGroups)
+      .values
+      .toArray
     val batch: Seq[(Long, Long)] = (
       fps.filter(_._1 >= 160).map { case (id, f) => (id, f) } ++
         fps.filter(_._1 < 20).map { case (id, f) => (id + 10000000L, f) } ++
@@ -127,8 +130,18 @@ class MediaPhashSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1))
       .toMap
     assert(got == expected, "declared statuses diverged from the brute-force reference")
-    assert(got.values.toSet == Set("dup_of_seen", "dup_in_batch", "unique") ||
-      got.values.exists(_ == "dup_of_seen"), s"status branches: ${got.values.toSet}")
+    // all three branches MUST be hit nontrivially (r12 advice: the old
+    // all-groups seen set made every row dup_of_seen and the old assertion
+    // had a tautological fallback disjunct). The unseen groups 30..39 give
+    // exactly: v=4 items unique, v=5 items dup_in_batch.
+    assert(
+      got.values.toSet == Set("dup_of_seen", "dup_in_batch", "unique"),
+      s"status branches: ${got.values.toSet}",
+    )
+    val byStatus = got.groupBy(_._2).view.mapValues(_.keySet).toMap
+    assert(byStatus("unique") == (190L until 200L).toSet, s"unique set: ${byStatus("unique")}")
+    assert(byStatus("dup_in_batch") == (230L until 240L).toSet,
+      s"dup_in_batch set: ${byStatus("dup_in_batch")}")
     // seen replays must all be dup_of_seen (identical fingerprints)
     assert(got.filter(_._1 >= 10000000L).filter(_._1 < 20000000L).values.forall(_ == "dup_of_seen"))
   }
