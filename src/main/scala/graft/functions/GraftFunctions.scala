@@ -39,6 +39,17 @@ object GraftFunctions {
         },
     ),
     (
+      FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) =>
+        children match {
+          case Seq(a, b) => LshBuckets(a, b)
+          case _ =>
+            throw new IllegalArgumentException(
+              s"graft_lsh_buckets expects 2 arguments, got ${children.length}")
+        },
+    ),
+    (
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       // optional second arg (nHashes) must be a foldable int; defaults to 128

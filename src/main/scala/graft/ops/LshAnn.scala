@@ -69,17 +69,20 @@ object LshAnn {
     GraftFunctions.register(vecs.sparkSession)
     val planesLit: Column =
       typedlit(planes.map(_.map(_.map(_.toFloat).toSeq).toSeq).toSeq)
-    val perTable: Seq[Column] = planes.indices.map { t =>
-      val bucket = planes(t).indices
-        .map { j =>
-          val plane = element_at(element_at(planesLit, t + 1), j + 1)
-          when(Vectors.nativeDot(col(vecCol), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
-        }
-        .reduce(_ + _)
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }
-    vecs.select(col(idCol), explode(array(perTable: _*)).as("tb"))
-      .select(col(idCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    // r13 JIT fix: all tables×bits sign dots run inside ONE compact custom
+    // kernel ([[graft.functions.LshBuckets]] — same fold order, identical
+    // buckets) instead of tables×bits inlined graft_dot trees. The inlined
+    // form fused Project+Generate into a single generated method past the
+    // JVM's 8 KB huge-method limit, so the bucketize stage ran as
+    // never-JIT-compiled bytecode — measured 213 CPU-seconds for 20k
+    // vectors at sf1 (~1000× kernel cost), dominating every LSH-path key.
+    // posexplode's pos IS the table index (same 0-based ints the old
+    // lit(t) emitted), so the output contract is unchanged.
+    vecs.select(
+      col(idCol),
+      posexplode(call_function("graft_lsh_buckets", col(vecCol), planesLit))
+        .as(Seq("table", "bucket")),
+    )
   }
 
   /** ANN top-k: bucket both sides, equi-join on (table, bucket) for
