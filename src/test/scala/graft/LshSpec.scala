@@ -9,6 +9,40 @@ import org.apache.spark.sql.expressions.Window
   */
 class LshSpec extends SparkSpec {
 
+  test("graft_lsh_buckets kernel: matches the in-memory sign-dot reference on real embeddings") {
+    // the r13 fused kernel replaced tables×bits inlined graft_dot trees
+    // (JIT huge-method bailout) — pin bucket-for-bucket equality against a
+    // from-scratch double-fold reference, covering every (vector, table)
+    import graft.ops.LshAnn
+    val planes = LshAnn.hyperplanes(nTables = 8, bits = 8, dim = 64) // = defaultPlanes
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val got = LshAnn
+      .bucketize(e.withColumnRenamed("embedding", "v"), "vec_id", "v", planes)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(vecs.nonEmpty)
+    var checked = 0
+    for ((id, v) <- vecs; t <- planes.indices) {
+      var bucket = 0L
+      for (j <- planes(t).indices) {
+        var acc = 0.0
+        var d = 0
+        while (d < v.length) { acc += v(d).toDouble * planes(t)(j)(d).toFloat.toDouble; d += 1 }
+        if (acc >= 0.0) bucket |= 1L << j
+      }
+      assert(got((id, t)) == bucket, s"vec $id table $t: got ${got((id, t))} want $bucket")
+      checked += 1
+    }
+    assert(checked == vecs.length * planes.length)
+    // null-poisoned dot contributes bit 0 (the pre-r13 when/otherwise law)
+    import spark.implicits._
+    val short = Seq((0L, Array(1.0f))).toDF("vec_id", "v") // length mismatch vs 64-d planes
+    val sb = LshAnn.bucketize(short, "vec_id", "v", planes).collect()
+    assert(sb.length == planes.length && sb.forall(_.getLong(2) == 0L))
+  }
+
   test("MinHash LSH recall >= 0.95 vs exact Jaccard pairs, with a small candidate set") {
     val docs = Tables.documents(spark, sfDir)
     val sh = MinHashDedup.shingleSet(docs)
