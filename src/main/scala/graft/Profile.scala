@@ -152,8 +152,31 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_PROFILE_STAGES: per-key top stages by wall time with task count
+    // and total executor CPU — the huge-method / single-task pathology
+    // detector (see profileDecon; r13)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Double)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val sec = (for { s <- i.submissionTime; c <- i.completionTime } yield (c - s) / 1e3)
+          .getOrElse(-1.0)
+        val cpu = i.taskMetrics.executorCpuTime / 1e9
+        stages.add((i.stageId, f"tasks=${i.numTasks}%4d cpu=$cpu%7.2f", sec))
+      }
+    })
+    def dumpStages(): Unit =
+      if (sys.env.contains("GRAFT_PROFILE_STAGES")) {
+        Thread.sleep(200)
+        stages.toArray(Array.empty[(Int, String, Double)]).sortBy(-_._3).take(8).foreach {
+          case (id, nm, sec) => println(f"    stage $id%5d $sec%7.2f s  $nm")
+        }
+        stages.clear()
+      }
     val fns = keys.map(k => k -> SparkEntry.queries(k))
     fns.foreach { case (_, fn) => fn(spark, sfDir).count() } // warm-up pass
+    stages.clear()
     val times = collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector())
     (1 to 3).foreach { pass =>
       fns.foreach { case (k, fn) =>
@@ -162,6 +185,7 @@ object Profile {
         val dt = (System.nanoTime() - t0) / 1e9
         times(k) :+= dt
         println(f"pass $pass  $k%-24s $dt%8.2f s")
+        dumpStages()
       }
     }
     println("-" * 48)
