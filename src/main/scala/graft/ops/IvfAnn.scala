@@ -300,8 +300,32 @@ object IvfAnn {
       .transform(toArrays)
   }
 
-  private[graft] def gridCellsOf(e: DataFrame, target: Long = CellTarget, probes: Int = 1): DataFrame =
-    routeToCells(e, gridCentroidArraysOf(e, target), probes)
+  /** Cell assignment with optionally SESSION-CACHED training (r13): a
+    * caller that knows its input frame's stable identity (the declared
+    * keys: full embeddings of a data dir) passes `cacheKey = Some(id)` and
+    * the trained centroid arrays are served from the session index cache —
+    * the decontaminate_semantic / gridCentroids amortization, now shared
+    * by every dynamic-K consumer of the same corpus (dedup_semantic,
+    * dedup_semantic_ivf, mine_hard_negatives train IDENTICAL centroids:
+    * training is probe-independent). Identity stays the CALLER's problem
+    * on purpose — keying on the DataFrame's plan would silently alias
+    * distinct synthetic frames in specs. Values are unchanged cold or warm
+    * (training is a pure function of the rows; every Verify session's
+    * first execution still exercises it against the oracle hash).
+    */
+  private[graft] def gridCellsOf(
+      e: DataFrame,
+      target: Long = CellTarget,
+      probes: Int = 1,
+      cacheKey: Option[String] = None,
+  ): DataFrame = {
+    val centA = cacheKey match {
+      case Some(id) =>
+        cachedCentroids(e.sparkSession, s"cellsA:$target:$id")(gridCentroidArraysOf(e, target))
+      case None => gridCentroidArraysOf(e, target)
+    }
+    routeToCells(e, centA, probes)
+  }
 
   /** DuckDB mirror of [[gridCellsOf]] on the `embeddings` table — a CTE
     * chain ending in `cells(vec_id, cid)`. K is the same

@@ -280,9 +280,13 @@ object SemDedup {
   /** Cell-family block members under `probes`-nearest routing; bkeys are
     * offset past the LSH key space (tables < 8 ⇒ lsh bkeys < 2^35).
     */
-  private def cellBlockMembersOf(e: DataFrame, probes: Int): DataFrame =
+  private def cellBlockMembersOf(
+      e: DataFrame,
+      probes: Int,
+      cacheKey: Option[String] = None,
+  ): DataFrame =
     IvfAnn
-      .gridCellsOf(e, probes = probes)
+      .gridCellsOf(e, probes = probes, cacheKey = cacheKey)
       .select((col("cid") + lit(1L << 40)).as("bkey"), col("vec_id"))
       .join(e, "vec_id")
       .select(col("bkey"), col("vec_id"), col("embedding"))
@@ -389,17 +393,26 @@ object SemDedup {
   /** Block members of BOTH candidate families (LSH buckets and
     * single-probe cells are just different bkey ranges of one frame).
     */
-  private[graft] def hybridBlockMembersOf(e: DataFrame): DataFrame =
-    lshBlockMembersOf(e, SemLshCap).unionByName(cellBlockMembersOf(e, probes = 1))
+  private[graft] def hybridBlockMembersOf(
+      e: DataFrame,
+      cacheKey: Option[String] = None,
+  ): DataFrame =
+    lshBlockMembersOf(e, SemLshCap).unionByName(cellBlockMembersOf(e, probes = 1, cacheKey))
 
-  private[graft] def hybridForestPairsOf(e: DataFrame): DataFrame =
-    forestOrRelationalPairsOf(hybridBlockMembersOf(e))
+  private[graft] def hybridForestPairsOf(
+      e: DataFrame,
+      cacheKey: Option[String] = None,
+  ): DataFrame =
+    forestOrRelationalPairsOf(hybridBlockMembersOf(e, cacheKey))
 
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val lab = MinHashDedup.clusters(
       e.select(col("vec_id").as("doc_id")),
-      hybridForestPairsOf(e.select(col("vec_id"), col("embedding"))),
+      // training session-cached per corpus (r13 — see IvfAnn.gridCellsOf):
+      // the cells centroids are shared with dedup_semantic_ivf and
+      // mine_hard_negatives, so one training pass serves all three
+      hybridForestPairsOf(e.select(col("vec_id"), col("embedding")), Some("emb:" + dir)),
     )
     lab
       .select(
@@ -479,14 +492,17 @@ object SemDedup {
   /** Forest-reduced edge set of the multi-probe cell family — same
     * components as [[ivfSemanticPairsOf]] at the declared probes.
     */
-  private[graft] def ivfForestPairsOf(e: DataFrame): DataFrame =
-    forestOrRelationalPairsOf(cellBlockMembersOf(e, probes = IvfProbes))
+  private[graft] def ivfForestPairsOf(
+      e: DataFrame,
+      cacheKey: Option[String] = None,
+  ): DataFrame =
+    forestOrRelationalPairsOf(cellBlockMembersOf(e, probes = IvfProbes, cacheKey))
 
   private def dedupSemanticIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val lab = MinHashDedup.clusters(
       e.select(col("vec_id").as("doc_id")),
-      ivfForestPairsOf(e.select(col("vec_id"), col("embedding"))),
+      ivfForestPairsOf(e.select(col("vec_id"), col("embedding")), Some("emb:" + dir)),
     )
     lab
       .select(

@@ -260,7 +260,9 @@ object Vectors {
   private def mineHardNegatives(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cells = IvfAnn.gridCellsOf(e, probes = 2)
+    // shares the session-cached corpus centroids with the semantic-dedup
+    // family (r13 — IvfAnn.gridCellsOf scaladoc): same target, same corpus
+    val cells = IvfAnn.gridCellsOf(e, probes = 2, cacheKey = Some("emb:" + dir))
     // ship each member's embedding to its cells ONCE (n·probes rows), then
     // self-join on cid so pair enumeration, the dot, and the band filter
     // all fuse into the join stage — candidate pairs never cross an
