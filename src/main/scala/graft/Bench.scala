@@ -29,6 +29,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Footgun guard (r13 verdict #7): an unset SPARK_GRAFT_CPUS silently
+    // runs local[4], producing numbers incomparable with the official
+    // local[32] BENCH/PERF rows. A SUBSET run (dev loop) may proceed with a
+    // loud warning; a FULL-catalog sweep — the kind that gets recorded —
+    // refuses, unless explicitly overridden.
+    if (!sys.env.contains("SPARK_GRAFT_CPUS")) {
+      val fullCatalog = !sys.env.contains("SPARK_GRAFT_BENCH_KEYS")
+      if (fullCatalog && !sys.env.contains("SPARK_GRAFT_ALLOW_DEFAULT_CPUS")) {
+        System.err.println(
+          "[bench] REFUSING full-catalog sweep: SPARK_GRAFT_CPUS is unset " +
+          s"(would default to local[$cpus], incomparable with the official " +
+          "local[32] rows). Set SPARK_GRAFT_CPUS=32, or " +
+          "SPARK_GRAFT_ALLOW_DEFAULT_CPUS=1 to proceed anyway.")
+        sys.exit(2)
+      }
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_CPUS unset — running " +
+        s"local[$cpus]; do not compare with official local[32] rows.")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -191,7 +209,7 @@ object Bench {
         s""""drift_factor":${optJson(driftFactor)}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","pass":"median of 3 interleaved warm sweeps (after 1 warm-up sweep)","n_queries":${names.size},""" +
+        s""""sf":"$sfDir","cpus":$cpus,"pass":"median of 3 interleaved warm sweeps (after 1 warm-up sweep)","n_queries":${names.size},""" +
         s""""value_normalized":${r3(normOf(total))},"queries_normalized":$qsNorm,"canary":$canaryJson,""" +
         s""""passes":$ps,"shuffle_bytes":$sb,"throttled":[${throttled.mkString(",")}],""" +
         s""""failures":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
@@ -206,7 +224,7 @@ object Bench {
       (canaryKeys ++ med.toSeq.sortBy { case (k, t) => (-t, k) }.map(_._1))
         .distinct.filter(med.contains)
     val head =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,""" +
         s""""n_queries":${names.size},"pass":"median of 3 interleaved warm sweeps","detail":"bench.json",""" +
         s""""value_normalized":${r3(normOf(total))},""" +
         s""""canary_drift":${driftFactor.map(f => r3(f).toString).getOrElse("null")},""" +

@@ -375,15 +375,10 @@ object Evaluation {
     val e = Tables.embeddings(s, dir)
     val g = IvfAnn.grid6(e)
     val lists = IvfAnn.gridAssign(g, cent).select(col("vec_id").as("cand_id"), col("cid"))
-    val routeW = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
-    val routes = g
-      .filter(col("vec_id") < 100)
-      .join(broadcast(cent), "dim")
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6"))).as("dist2"))
-      .withColumn("rnp", row_number().over(routeW).cast("long"))
-      .filter(col("rnp") <= CurveNprobes.max)
-      .select(col("vec_id").as("probe_id"), col("cid"), col("rnp"))
+    // shared routing (r13 ADVICE): the SAME implementation the declared
+    // fused/probe keys run, rank kept — the curve cannot drift from the
+    // index whose operating point it publishes
+    val routes = IvfAnn.gridRoutes(g, cent, CurveNprobes.max)
     val pv = e.filter(col("vec_id") < 100).select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
     val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
     val scored = routes

@@ -30,8 +30,20 @@ class CatalogSpec extends SparkSpec {
     // SURVEY §2, which §0 promises is the full declared surface. Enforce
     // the promise mechanically: every SparkEntry.queries key must appear
     // backticked inside the §2 section of SURVEY.md.
+    // Anchor the path to the repo root rather than the test JVM's cwd
+    // (r13 ADVICE): walk up from user.dir until SURVEY.md is found, so a
+    // forked runner with a nested working directory still lints instead
+    // of failing with a bare file-not-found.
+    val root = Iterator
+      .iterate(java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)(p =>
+        Option(p.getParent).getOrElse(p))
+      .take(6)
+      .find(p => java.nio.file.Files.exists(p.resolve("SURVEY.md")))
+    assert(root.isDefined,
+      s"SURVEY.md not found from ${sys.props("user.dir")} upward — " +
+        "run tests from within the repo")
     val src = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.file.Files.readAllBytes(root.get.resolve("SURVEY.md")),
       java.nio.charset.StandardCharsets.UTF_8,
     )
     val start = src.indexOf("## §2.")

@@ -69,11 +69,11 @@ class EvaluationSpec extends SparkSpec {
       assert(got(p) == ((hits, hits * 100000L)), s"probe $p: got ${got(p)} expected $hits")
       totalHit += hits
     }
-    // the index must actually be an index: nontrivially better than random
-    // (random 10-of-n recall is ~2% at this fixture) but imperfect recall
-    // is the PRICE of nprobe=4/16 — both sides of the contract asserted
+    // r14: the default IS the published operating point (nprobe = 12 of
+    // 16) — the curve proves ≥0.9 recall@10 there, so the served index
+    // must hold it (floor 0.85 leaves seed-sensitivity margin)
     val mean = totalHit.toDouble / (got.size * 10)
-    assert(mean >= 0.5, s"IVF recall@10 collapsed: $mean")
+    assert(mean >= 0.85, s"IVF recall@10 below the published operating point: $mean")
     info(s"sim_ann_ivf recall@10 vs brute truth: $mean")
   }
 
@@ -91,11 +91,13 @@ class EvaluationSpec extends SparkSpec {
     assert(ppms == ppms.sorted, s"curve not monotone: $ppms")
     // the published operating point: recall@10 ≥ 0.9 at nprobe = 12
     assert(got(12L)._3 >= 900000L, s"published nprobe=12 point below 0.9: ${got(12L)._3} ppm")
-    // cross-plan law: the curve's nprobe=4 aggregate equals the sum of
-    // ml_eval_ann_recall's per-probe hits (both audit the same index at
-    // GridNprobe=4 against the same truth contract)
+    // cross-plan law: the curve's aggregate at the catalog default equals
+    // the sum of ml_eval_ann_recall's per-probe hits (both audit the same
+    // index at GridNprobe against the same truth contract)
+    val np = graft.ops.IvfAnn.GridNprobe.toLong
+    assert(Set(2L, 4L, 8L, 12L).contains(np), s"default nprobe $np left the curve — extend CurveNprobes")
     val perProbe = run("ml_eval_ann_recall").collect().map(_.getAs[Long]("n_hit")).sum
-    assert(got(4L)._2 == perProbe, s"curve nprobe=4 ${got(4L)._2} != ml_eval_ann_recall sum $perProbe")
+    assert(got(np)._2 == perProbe, s"curve nprobe=$np ${got(np)._2} != ml_eval_ann_recall sum $perProbe")
     info(s"IVF recall@10 curve (ppm): ${Seq(2L, 4L, 8L, 12L).map(p => s"nprobe=$p:${got(p)._3}").mkString(" ")}")
   }
 

@@ -41,6 +41,20 @@ class LshSpec extends SparkSpec {
     val short = Seq((0L, Array(1.0f))).toDF("vec_id", "v") // length mismatch vs 64-d planes
     val sb = LshAnn.bucketize(short, "vec_id", "v", planes).collect()
     assert(sb.length == planes.length && sb.forall(_.getLong(2) == 0L))
+    // r13 ADVICE edge cases, both mirroring the pre-r13 column formulation:
+    // (1) a NULL vector yields bucket 0 in EVERY table — the row must
+    // survive bucketize (the old when/otherwise emitted 0, not NULL)
+    val nullVec = Seq((1L, Option.empty[Array[Float]])).toDF("vec_id", "v")
+    val nb = LshAnn.bucketize(nullVec, "vec_id", "v", planes).collect()
+    assert(nb.length == planes.length, s"NULL vector dropped: ${nb.length} rows")
+    assert(nb.forall(_.getLong(2) == 0L))
+    // (2) a NaN element makes every dot NaN, and Spark's nan-safe >= orders
+    // NaN above 0 — so every bit is SET (all-ones bucket per table)
+    val nanVec = Seq((2L, Array.fill(64)(Float.NaN))).toDF("vec_id", "v")
+    val xb = LshAnn.bucketize(nanVec, "vec_id", "v", planes).collect()
+    val allBits = (1L << planes.head.length) - 1
+    assert(xb.length == planes.length && xb.forall(_.getLong(2) == allBits),
+      s"NaN dot must set bits (nan-safe >=): ${xb.map(_.getLong(2)).mkString(",")}")
   }
 
   test("MinHash LSH recall >= 0.95 vs exact Jaccard pairs, with a small candidate set") {
