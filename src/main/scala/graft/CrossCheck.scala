@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
   *   - graph_shortest_hops: frontier BFS (distinct frontier sets, visited
   *     anti-join) instead of the declared min-relaxation rounds; with
   *     unit weights and matched round counts the distance maps coincide.
+  *   - dedup_semantic / dedup_semantic_ivf: full verified edge set +
+  *     neighbor-min label relaxation instead of per-block spanning forests
+  *     + pointer jumping (see the per-method docs; the ivf alt also
+  *     retrains centroids instead of reading the session cache).
+  *   - decontaminate_semantic: distinct-pairs + stock HOF dot verify +
+  *     plain count instead of map-side duplicate dots + codegen kernel +
+  *     countDistinct.
   *
   * Usage: graft.CrossCheck <sfDir> [key1,key2,...]
   * Prints one PASS/FAIL line per key; exit 1 on any FAIL.
@@ -203,11 +210,20 @@ object CrossCheck {
   private def semanticFullEdgeLabels(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val e0 = ops.SemDedup.hybridSemanticPairsOf(e.select(col("vec_id"), col("embedding")))
+    relaxToManifest(e.select(col("vec_id")), e0)
+  }
+
+  /** Per-round neighbor-min label relaxation over an explicit edge set →
+    * the (vec_id, cluster_id, kept) manifest contract — the non-forest,
+    * non-pointer-jumping clustering machinery shared by the semantic-family
+    * alts (factored r14 when dedup_semantic_ivf joined the check set).
+    */
+  private def relaxToManifest(ids: DataFrame, e0: DataFrame): DataFrame = {
     val edges = e0
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(e0.select(col("id_b").as("a"), col("id_a").as("b")))
       .persist()
-    var labels = e.select(col("vec_id").as("node"), col("vec_id").as("lab"))
+    var labels = ids.select(col("vec_id").as("node"), col("vec_id").as("lab"))
     var moved = 1L
     var rounds = 0
     while (moved > 0 && rounds < 30) {
@@ -232,6 +248,56 @@ object CrossCheck {
         col("node").as("vec_id"),
         col("lab").as("cluster_id"),
         (col("node") === col("lab")).as("kept"),
+      )
+      .orderBy("vec_id")
+  }
+
+  /** Independent dedup_semantic_ivf manifest (r14, r13 verdict #6): the
+    * declared plan reduces each cell block to a SPANNING FOREST inside
+    * flatMapGroups union-find (ivfForestPairsOf, session-cached centroids)
+    * and clusters via checkpointed pointer jumping. This formulation keeps
+    * the candidate CONTRACT (the multi-probe dynamic-K cell manifest) but
+    * shares none of that machinery: the FULL verified edge set from the
+    * relational cells self-join (ivfSemanticPairsOf — every same-cell pair
+    * exact-dotted, no union-find, centroids RETRAINED rather than served
+    * from the session cache, so the cache's identical-cold-or-warm claim is
+    * exercised too), then plain neighbor-min relaxation.
+    */
+  private def semanticIvfFullEdgeLabels(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val e0 = ops.SemDedup.ivfSemanticPairsOf(e.select(col("vec_id"), col("embedding")))
+    relaxToManifest(e.select(col("vec_id")), e0)
+  }
+
+  /** Independent decontaminate_semantic verify+aggregate (r14, r13 verdict
+    * #6): consumes the declared plan's candidate stream (the contract —
+    * corpus-trained cell routes ∪ capped LSH collisions) but swaps every
+    * piece of machinery after it: candidates are DISTINCT'd first (the
+    * declared plan dots duplicates map-side and counts distinct at the
+    * aggregate), the exact dot is the stock zip_with/aggregate HOF fold
+    * (no graft codegen kernel — same left-to-right double fold, so the
+    * ≥ threshold test must agree bit-exactly), joins carry no broadcast
+    * hints, and the aggregate is a plain count over the deduped pairs.
+    * A kernel/HOF dot divergence, a broadcast-join row loss, or a
+    * countDistinct-vs-distinct mismatch would all surface here.
+    */
+  private def deconHofVerify(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, evalSet, cand) = ops.SemDedup.decontaminateCandidates(s, dir)
+    cand
+      .distinct()
+      .join(corpus.select(col("vec_id"), col("embedding").as("cvec")), "vec_id")
+      .join(evalSet.select(col("vec_id").as("eval_id"), col("embedding").as("evec")), "eval_id")
+      .withColumn(
+        "dot",
+        expr(
+          "aggregate(zip_with(cvec, evec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+            "0D, (acc, x) -> acc + x)"),
+      )
+      .filter(col("dot") >= ops.SemDedup.SemThreshold)
+      .groupBy("vec_id")
+      .agg(
+        count(lit(1)).as("n_eval_matches"),
+        round(max(col("dot")), 4).as("max_sim"),
       )
       .orderBy("vec_id")
   }
@@ -262,6 +328,8 @@ object CrossCheck {
       ("graph_kcore", kcoreAntiJoin _),
       ("graph_shortest_hops", hopsFrontierBfs _),
       ("dedup_semantic", semanticFullEdgeLabels _),
+      ("dedup_semantic_ivf", semanticIvfFullEdgeLabels _),
+      ("decontaminate_semantic", deconHofVerify _),
     )
     var failed = false
     checks

@@ -152,9 +152,10 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // GRAFT_PROFILE_STAGES: per-key top stages by wall time with task count
-    // and total executor CPU — the huge-method / single-task pathology
-    // detector (see profileDecon; r13)
+    // GRAFT_PROFILE_STAGES: per-key top stages by wall time with task count,
+    // total executor CPU, shuffle read/write and SPILL bytes — the
+    // huge-method / single-task / under-partitioned-aggregate pathology
+    // detector (see profileDecon; r13, spill columns r14)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Double)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
@@ -162,8 +163,16 @@ object Profile {
         val i = sc.stageInfo
         val sec = (for { s <- i.submissionTime; c <- i.completionTime } yield (c - s) / 1e3)
           .getOrElse(-1.0)
-        val cpu = i.taskMetrics.executorCpuTime / 1e9
-        stages.add((i.stageId, f"tasks=${i.numTasks}%4d cpu=$cpu%7.2f", sec))
+        val m = i.taskMetrics
+        val cpu = m.executorCpuTime / 1e9
+        def mb(b: Long) = b / 1e6
+        stages.add((
+          i.stageId,
+          f"tasks=${i.numTasks}%4d cpu=$cpu%7.2f shW=${mb(m.shuffleWriteMetrics.bytesWritten)}%8.0fMB " +
+            f"shR=${mb(m.shuffleReadMetrics.totalBytesRead)}%8.0fMB " +
+            f"spillMem=${mb(m.memoryBytesSpilled)}%8.0fMB spillDisk=${mb(m.diskBytesSpilled)}%7.0fMB",
+          sec,
+        ))
       }
     })
     def dumpStages(): Unit =
@@ -178,7 +187,8 @@ object Profile {
     fns.foreach { case (_, fn) => fn(spark, sfDir).count() } // warm-up pass
     stages.clear()
     val times = collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector())
-    (1 to 3).foreach { pass =>
+    val nPasses = sys.env.get("GRAFT_PROFILE_PASSES").map(_.toInt).getOrElse(3)
+    (1 to nPasses).foreach { pass =>
       fns.foreach { case (k, fn) =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

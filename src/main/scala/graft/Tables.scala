@@ -46,6 +46,21 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
 
+  /** On-disk bytes of one table — a driver-side filesystem listing, no
+    * Spark job. Scale-adaptive plans (Modeling.pairAggPartitions, r14) use
+    * this as their cheap "is this input big enough to bother?" gate so
+    * that small-sf plans stay BYTE-IDENTICAL to the pre-gate plans (the
+    * bench rows and plan-invariant specs at dev scales must not move when
+    * a scale path is added). Goes through the same Hadoop FS abstraction
+    * as the reads, so it answers for any supported filesystem, not just
+    * local disk.
+    */
+  def inputBytes(s: SparkSession, dir: String, name: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+  }
+
   /** `events.ts` has shipped in two encodings across driver testdata
     * generations: Parquet INT64 TIMESTAMP(NANOS) (rounds 1-5; Spark's
     * vectorized reader rejects it, so the nanosAsLong legacy conf reads it

@@ -166,10 +166,16 @@ object Resampling {
     // the hub cap bounding per-key pair fan-out at cap² (Modeling
     // .PairDegreeCap doc); both sides mirrored in the oracle SQL
     val spb = sp.join(Modeling.pairableKeys(sp, "p", Modeling.PairDegreeCap), Seq("p"), "left_semi")
-    val inter = spb
+    val pairs = spb
       .withColumnRenamed("sk", "s2")
       .join(spb, Seq("p"))
       .filter(col("sk") < col("s2"))
+    // scale path (r14): above the byte gate, spread the pair aggregate
+    // over work-proportional partitions — see Modeling.pairAggPartitions
+    val inter = Modeling
+      .pairAggPartitions(s, dir)
+      .map(n => pairs.repartition(n, col("sk"), col("s2")))
+      .getOrElse(pairs)
       .groupBy(col("sk").as("s1"), col("s2"))
       .agg(nrows.as("inter"))
     inter

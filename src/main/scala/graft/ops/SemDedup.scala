@@ -699,7 +699,18 @@ object SemDedup {
     * centroids/planes) + broadcast-hash candidate joins; nothing
     * corpus-sized ever shuffles on a pair key.
     */
-  private def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+  /** The declared decontaminate_semantic plan up to (and including) its
+    * candidate stream: (corpus, evalSet, non-distinct (vec_id, eval_id)
+    * candidates). Factored (r14) so CrossCheck can verify the SAME
+    * candidate contract through structurally independent verify/aggregate
+    * machinery (stock HOF dots, distinct-pairs-first aggregation, no
+    * broadcast hints) — a pure extraction, the declared plan graph is
+    * unchanged.
+    */
+  private[graft] def decontaminateCandidates(
+      s: SparkSession,
+      dir: String,
+  ): (DataFrame, DataFrame, DataFrame) = {
     GraftFunctions.register(s)
     // Partition by WORK, not bytes (r13): the embeddings scan is byte-small
     // (~300 B/vector) so the file splitter hands the whole corpus to ONE
@@ -752,12 +763,16 @@ object SemDedup {
     val candLsh = corpusBk
       .join(broadcast(evalBk), Seq("table", "bucket"))
       .select("vec_id", "eval_id")
+    (corpus, evalSet, candCell.unionByName(candLsh))
+  }
+
+  private def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, evalSet, cand) = decontaminateCandidates(s, dir)
     // exact verify; candidates stay non-distinct until the aggregate
     // (the r10 rule: a pair seen k times is dotted k times map-side
     // rather than paying an exchange to dedupe first)
     val ev = evalSet.select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
-    candCell
-      .unionByName(candLsh)
+    cand
       .join(corpus.select(col("vec_id"), col("embedding").as("cvec")), "vec_id")
       .join(broadcast(ev), "eval_id")
       .withColumn("dot", Vectors.nativeDot(col("cvec"), col("evec")))
