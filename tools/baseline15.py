@@ -32,6 +32,7 @@ Dialect notes (DuckDB oracle -> Spark SQL):
   unnest(list_transform((x,i) -> struct)) -> LATERAL VIEW posexplode
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -41,11 +42,15 @@ from pyspark.sql import functions as F
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+# r14: same-core comparisons at other core counts (the sample_balanced_class
+# crossover is a PARALLELISM story — the stock plan windows over 3 class
+# partitions no matter how many cores exist). Default stays the original 4.
+CPUS = int(os.environ.get("GRAFT_BASELINE_CPUS", "4"))
 
 spark = (
-    SparkSession.builder.master("local[4]")
+    SparkSession.builder.master(f"local[{CPUS}]")
     .appName("graft-baseline15")
-    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.shuffle.partitions", CPUS)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
@@ -620,7 +625,7 @@ def main():
             {
                 "metric": "baseline15",
                 "sf": SF,
-                "config": "pyspark local[4] shuffle=4, median of 3 interleaved warm passes",
+                "config": f"pyspark local[{CPUS}] shuffle={CPUS}, median of 3 interleaved warm passes",
                 "total": round(sum(med.values()), 3),
                 "queries": med,
                 "passes": times,
