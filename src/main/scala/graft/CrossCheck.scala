@@ -322,19 +322,27 @@ object CrossCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val checks: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      ("graph_pagerank", pagerankLocal _),
-      ("graph_triangle_count", trianglesIdOrder _),
-      ("graph_kcore", kcoreAntiJoin _),
-      ("graph_shortest_hops", hopsFrontierBfs _),
-      ("dedup_semantic", semanticFullEdgeLabels _),
-      ("dedup_semantic_ivf", semanticIvfFullEdgeLabels _),
-      ("decontaminate_semantic", deconHofVerify _),
+    // per-check nonempty-input probe (r14 ADVICE): the graph checks run on
+    // the co-purchase edge stream, the semantic family on embeddings — a
+    // vacuous both-empty agreement must be vouched for by ITS OWN input,
+    // not by an unrelated table's row count.
+    val graphProbe: (SparkSession, String) => Long =
+      (sp, d) => copurchasePairs(sp, d).count()
+    val embProbe: (SparkSession, String) => Long =
+      (sp, d) => Tables.embeddings(sp, d).count()
+    val checks: Seq[(String, (SparkSession, String) => DataFrame, (SparkSession, String) => Long)] = Seq(
+      ("graph_pagerank", pagerankLocal _, graphProbe),
+      ("graph_triangle_count", trianglesIdOrder _, graphProbe),
+      ("graph_kcore", kcoreAntiJoin _, graphProbe),
+      ("graph_shortest_hops", hopsFrontierBfs _, graphProbe),
+      ("dedup_semantic", semanticFullEdgeLabels _, embProbe),
+      ("dedup_semantic_ivf", semanticIvfFullEdgeLabels _, embProbe),
+      ("decontaminate_semantic", deconHofVerify _, embProbe),
     )
     var failed = false
     checks
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, alt) =>
+      .filter { case (name, _, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, alt, probe) =>
         val t0 = System.nanoTime()
         val declared = SparkEntry.queries(name)(spark, sfDir)
         val (n, aNotB, bNotA) = frameDiff(declared, alt(spark, sfDir))
@@ -342,10 +350,10 @@ object CrossCheck {
         // An empty result both ways is a real agreement (graph_kcore's
         // 3-round k=3 core IS empty at sf1: support-2 co-purchase edges
         // thin out as parts² outgrows orders) — but only counts as
-        // evidence if the INPUT graph was nonempty, so the pipelines
+        // evidence if THIS check's input was nonempty, so the pipelines
         // demonstrably ran on real data rather than an empty scan.
         val inputEdges =
-          if (n == 0) copurchasePairs(spark, sfDir).count() else -1L
+          if (n == 0) probe(spark, sfDir) else -1L
         val ok = aNotB == 0 && bNotA == 0 && (n > 0 || inputEdges > 0)
         if (!ok) failed = true
         val tag =

@@ -210,6 +210,22 @@ object GenData {
         col("label"))
   }
 
+  /** Write one generated table — and DISARM the session caches (r14
+    * verdict #7): regenerating parquet in place is exactly the dev flow
+    * that triggers the regenerate-in-place hazard documented on
+    * IvfAnn.cachedCentroids (dir-keyed session caches silently serving the
+    * OLD corpus), so every write through GenData invalidates the writing
+    * session's centroid frames and pair-volume estimates itself instead of
+    * relying on the developer to remember the hook. Production paths are
+    * unaffected — a deployment versions its data dirs and never writes
+    * through GenData.
+    */
+  def writeTable(outDir: String, name: String, df: DataFrame): Unit = {
+    df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    graft.ops.IvfAnn.invalidateSessionCaches(df.sparkSession)
+    graft.ops.PairBudget.invalidateSessionEstimates(df.sparkSession)
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val sf = args(1).toDouble // e.g. 1.0 → 10× the bench scale
@@ -224,7 +240,7 @@ object GenData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def emit(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      writeTable(outDir, name, df)
       println(s"[gen] $name done")
     }
     def cnt(base: Long): Long = math.max(1L, (base * sf).toLong)

@@ -187,7 +187,15 @@ object Profile {
     fns.foreach { case (_, fn) => fn(spark, sfDir).count() } // warm-up pass
     stages.clear()
     val times = collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector())
-    val nPasses = sys.env.get("GRAFT_PROFILE_PASSES").map(_.toInt).getOrElse(3)
+    // guarded parse (r14 ADVICE): a non-numeric value must not crash the
+    // profiler, and 0/negative must not silently skip every timed pass
+    val nPasses = math.max(
+      1,
+      sys.env
+        .get("GRAFT_PROFILE_PASSES")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .getOrElse(3),
+    )
     (1 to nPasses).foreach { pass =>
       fns.foreach { case (k, fn) =>
         val t0 = System.nanoTime()

@@ -306,8 +306,11 @@ object Evaluation {
     val probes = e.filter(col("vec_id") < 100).select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
     val corpus = e.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
-    val truth = probes
-      .crossJoin(corpus)
+    // the probe frame is 100 rows by construction — broadcast EXPLICITLY so
+    // the truth pass is a BroadcastNestedLoopJoin at any corpus size, never
+    // a CartesianProductExec from a missed size estimate (r14 verdict)
+    val truth = corpus
+      .crossJoin(broadcast(probes))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", round(Vectors.nativeDot(col("pvec"), col("cvec")), 4))
       .withColumn("rn", row_number().over(w))
@@ -400,8 +403,10 @@ object Evaluation {
       .select(col("nprobe"), col("probe_id"), col("cand_id"))
       .withColumn("hit", lit(1L))
     val wt = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
-    val truth = pv
-      .crossJoin(cv)
+    // 100-row probe frame broadcast explicitly — same rationale as
+    // ml_eval_ann_recall's truth pass (r14 verdict)
+    val truth = cv
+      .crossJoin(broadcast(pv))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", round(Vectors.nativeDot(col("pvec"), col("cvec")), 4))
       .withColumn("rn", row_number().over(wt))

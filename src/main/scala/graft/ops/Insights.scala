@@ -174,14 +174,21 @@ object Insights {
     // jaccard denominators stays computed on the FULL item set.
     val bounded = items
       .join(Modeling.pairableKeys(items, "l_orderkey", Modeling.PairDegreeCap), Seq("l_orderkey"), "left_semi")
-    val pairs = bounded
+    val joined = bounded
       .as("a")
       .join(
         bounded.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"),
       )
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    // scale path (r15): size the basket-pair aggregate to the work above
+    // the byte gate — see Modeling.basketPairAggPartitions
+    val pairs = Modeling
+      .basketPairAggPartitions(s, dir)
+      .map(n => joined.repartition(n, col("pa"), col("pb")))
+      .getOrElse(joined)
+      .groupBy("pa", "pb")
       .agg(nrows.as("n_ab"))
       .filter(col("n_ab") >= MinNeighborSupport)
     val sym = pairs

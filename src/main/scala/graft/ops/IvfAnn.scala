@@ -73,7 +73,7 @@ object IvfAnn {
         .foreach(df => df.unpersist()))
     }
 
-  private[ops] def cachedCentroids(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+  private[graft] def cachedCentroids(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
     centroidCache.synchronized {
       val perDir = Option(centroidCache.get(s)).getOrElse {
         val m =

@@ -61,14 +61,22 @@ object Mining {
     // 1-row total-baskets frame, broadcast via crossJoin (the tf-idf N pattern)
     val tot = items.agg(countDistinct(col("l_orderkey")).as("n_total"))
     val supp = items.groupBy("l_partkey").agg(nrows.as("n_item"))
-    val pairs = items
+    val joined = items
       .as("a")
       .join(
         items.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"),
       )
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    // scale path (r15): above the byte gate, spread the basket-pair
+    // aggregate over work-proportional partitions (r14 measured this key at
+    // 10.6× on a 10× decade — the graph keys' spill wall, one decade out)
+    val pairs = Modeling
+      .basketPairAggPartitions(s, dir)
+      .map(n => joined.repartition(n, col("part_a"), col("part_b")))
+      .getOrElse(joined)
+      .groupBy("part_a", "part_b")
       .agg(nrows.as("n_ab"))
       .filter(col("n_ab") >= MinPairSupport)
     pairs

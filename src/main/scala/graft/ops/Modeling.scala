@@ -72,62 +72,37 @@ object Modeling {
       .filter(col("__df") >= 2 && col("__df") <= cap)
       .select(key)
 
-  /** Per-task row budget for a pair aggregate's hash state: ~2M (s1, s2,
-    * counts) entries ≈ 100–200 MB — comfortably inside an executor task's
-    * share of unified memory, so the aggregate never touches the spill
-    * path. */
-  private[graft] val PairAggRowsPerTask = 2000000L
-
-  /** Input-bytes gate below which [[pairAggPartitions]] is a no-op: sf0.1
-    * and sf1 lineitem are ~12 MB / ~120 MB, sf10 ~1.2 GB — the measured
-    * spill regime starts in the second decade. */
-  private[graft] val PairAggByteGate = 256L * 1024 * 1024
-
   /** Work-proportional partition count for the per-part supplier-pair
     * AGGREGATES (graph_adamic_adar / graph_jaccard_neighbors) — the r14
-    * fix for the first super-linear growth measured in a second decade:
-    * at sf10 the pair stream is ~10⁹ rows, and at the session's fixed 32
-    * shuffle partitions both the map-side partial aggregate and the final
-    * aggregate outgrow task memory and thrash the spill path (measured:
-    * 93 GB memory-spill / 8.9 GB disk-spill on the pair stage alone,
-    * 20.6× time growth on 10× rows vs ~13× pair-row growth). Map-side
-    * combine is ineffective here by nature — (s1, s2) keys are mostly
-    * unique within a partition — so the cure is partition count, not
-    * combining: hash-repartition the pair stream by its grouping keys to
-    * ⌈pairs / [[PairAggRowsPerTask]]⌉ tasks, which the following
-    * aggregate reuses (its clustered distribution is already satisfied —
-    * no second exchange).
-    *
-    * The pair-volume estimate is one column-pruned aggregate over raw
-    * lineitem (Σ c·(c−1)/2 over per-part row counts — an upper bound on
-    * the post-distinct, post-cap pair count; oversizing slightly is free,
-    * the partitions just come out smaller). Below [[PairAggByteGate]] (or
-    * when the estimate fits the default parallelism) the answer is None
-    * and callers keep their EXACT pre-r14 plan — dev-scale bench rows,
-    * plan invariants, and scaling-law gates are untouched; results are
-    * partitioning-invariant either way (§2.0), so the oracle hash is
-    * unchanged at every scale.
-    *
-    * At 100 TB this whole helper is what a cluster job would get from
-    * `spark.sql.shuffle.partitions` sized to the cluster — but a library
-    * cannot assume its host session is tuned per operator, so the scale
-    * path sizes itself.
+    * fix for the first super-linear growth measured in a second decade
+    * (93 GB of spill at the dev session's fixed 32 shuffle partitions;
+    * zero after sizing — mechanics, memoization, and the baseline rule
+    * live in [[PairBudget]]). The estimate is one column-pruned aggregate
+    * over raw lineitem: Σ c·(c−1)/2 over per-part row counts, an upper
+    * bound on the post-distinct, post-cap pair count (oversizing slightly
+    * is free — the partitions just come out smaller). Below the byte gate
+    * callers keep their EXACT small-scale plan; results are
+    * partitioning-invariant either way (§2.0).
     */
-  private[graft] def pairAggPartitions(s: SparkSession, dir: String): Option[Int] = {
-    if (Tables.inputBytes(s, dir, "lineitem") < PairAggByteGate) None
-    else {
-      val est = Tables
-        .lineitem(s, dir)
-        .select(col("l_partkey"))
-        .groupBy("l_partkey")
-        .agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * (col("c") - lit(1)) / lit(2)).as("pairs"))
-        .collect()(0)
-      val pairs = Option(est.getAs[Any]("pairs")).map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.0)
-      val n = math.ceil(pairs / PairAggRowsPerTask).toInt
-      if (n <= s.sparkContext.defaultParallelism) None else Some(math.min(n, 4096))
-    }
-  }
+  private[graft] def pairAggPartitions(s: SparkSession, dir: String): Option[Int] =
+    PairBudget.sizedPartitions(s, dir, "lineitem", s"pairagg:part:$dir")(
+      Tables.lineitem(s, dir).select(col("l_partkey")),
+      "l_partkey",
+    )
+
+  /** Same sizing for the BASKET-pair aggregates (market_basket_lift /
+    * recs_item_neighbors), whose pair stream is keyed by order basket:
+    * Σ c·(c−1)/2 over per-ORDER lineitem counts upper-bounds the
+    * post-distinct basket-pair count. r14 measured market_basket_lift at
+    * 10.6× growth on a 10× decade — the same fixed-partition aggregate
+    * wall as the graph keys, one decade later; this sizes it before it
+    * hits.
+    */
+  private[graft] def basketPairAggPartitions(s: SparkSession, dir: String): Option[Int] =
+    PairBudget.sizedPartitions(s, dir, "lineitem", s"pairagg:basket:$dir")(
+      Tables.lineitem(s, dir).select(col("l_orderkey")),
+      "l_orderkey",
+    )
 
   // ------------------------------------------------------------------
   // stats_ks_test — binned two-sample Kolmogorov-Smirnov distance

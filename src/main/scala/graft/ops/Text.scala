@@ -247,11 +247,24 @@ object Text {
       size(col("shs")).cast("long").as("n_sh"),
       explode(col("shs")).as("sh"),
     )
+    // EXACT-pair budget pre-flight (r15): above the documents byte gate,
+    // one df aggregate prices the pair stream (Σ df·(df−1)/2 — the exact
+    // a<b row count this join will emit). Within budget → the pair
+    // aggregate is sized to the work; past it → refuse in seconds naming
+    // dedup_minhash_lsh, instead of dying in spill after minutes (the r14
+    // closed-vocab sf10 kill: 11.76 B pairs vs 77 GB of disk). Below the
+    // gate the plan is byte-identical and no estimate job runs.
+    val sized = PairBudget.exactPairPreflight(
+      s, dir, "dedup_near_jaccard", s"exactpair:near_jaccard:$dir", "dedup_minhash_lsh")(
+      sh.select("sh"), "sh")
     val pairable = pairableShingles(sh)
-    pairable
+    val paired = pairable
       .select(col("doc_id").as("id_a"), col("n_sh").as("na"), col("sh"))
       .join(pairable.select(col("doc_id").as("id_b"), col("n_sh").as("nb"), col("sh")), "sh")
       .filter(col("id_a") < col("id_b"))
+    sized
+      .map(n => paired.repartition(n, col("id_a"), col("id_b")))
+      .getOrElse(paired)
       .groupBy("id_a", "id_b")
       .agg(nrows.as("n_inter"), min("na").as("n_a"), min("nb").as("n_b"))
       .withColumn(
@@ -295,12 +308,20 @@ object Text {
       size(col("shs")).cast("long").as("n_sh"),
       explode(col("shs")).as("sh"),
     )
+    // same exact-pair pre-flight as dedup_near_jaccard (its own cache key:
+    // this stream includes the synthesized excerpts)
+    val sized = PairBudget.exactPairPreflight(
+      s, dir, "dedup_containment", s"exactpair:containment:$dir", "dedup_minhash_lsh")(
+      sh.select("sh"), "sh")
     val pairable = pairableShingles(sh) // n_sh still counts ALL shingles
     val subFirst = col("n_a") <= col("n_b") // ties → id_a, which is the smaller id
-    pairable
+    val paired = pairable
       .select(col("doc_id").as("id_a"), col("n_sh").as("na"), col("sh"))
       .join(pairable.select(col("doc_id").as("id_b"), col("n_sh").as("nb"), col("sh")), "sh")
       .filter(col("id_a") < col("id_b"))
+    sized
+      .map(n => paired.repartition(n, col("id_a"), col("id_b")))
+      .getOrElse(paired)
       .groupBy("id_a", "id_b")
       .agg(nrows.as("n_inter"), min("na").as("n_a"), min("nb").as("n_b"))
       .withColumn(
