@@ -17,7 +17,11 @@ import java.nio.file.{Files, Paths}
   * (r4 funnel_conversion: 4.0 s twice against a quiet-host 0.53 s; r6
   * text_tfidf_topk: 1.83 s recorded vs 0.52 s quiet). Interleaving makes a
   * window hit at most one sample per key, and the median discards that one
-  * outlier without the optimistic bias of a min.
+  * outlier without the optimistic bias of a min. Keys whose three samples
+  * still spread >3× are REQUEUED once at the end of the run (r14 verdict
+  * #4 — a later window by construction) and re-estimated as the median of
+  * their 3 fastest samples; keys that stay spread are explicit residuals
+  * in "throttled", with both medians recorded under "requeue".
   *
   * Failed queries are excluded from the total and counted in `"failures"`
   * (a broken query must not silently lower the perf metric). The JSON line
@@ -171,16 +175,7 @@ object Bench {
     def median3(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
     val complete = names.filter(k => passes(k).size == 3)
     val failed = names.filterNot(complete.contains)
-    val med = complete.map(k => k -> median3(passes(k))).toMap
     def r3(x: Double) = math.rint(x * 1000) / 1000
-    val qs = names.map { k =>
-      if (med.contains(k)) "\"" + k + "\":" + med(k) else "\"" + k + "\":null"
-    }.mkString("{", ",", "}")
-    val ps = complete.map { k =>
-      "\"" + k + "\":[" + passes(k).map(r3).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val sb = complete.flatMap(k => bytesOf.get(k).map(b => "\"" + k + "\":" + b)).mkString("{", ",", "}")
-    val total = med.values.sum
     // Self-annotating throttle evidence: a >3× spread between the fastest
     // and slowest of a key's three interleaved samples is the signature of
     // this host's throttle windows, not a plan property; with the median
@@ -189,8 +184,40 @@ object Bench {
     // the 0.5 s floor keeps millisecond-scale scheduling jitter (tiny sf
     // runs) from flooding the annotation — a real throttle window costs
     // seconds, not tens of ms
+    def isThrottled(xs: List[Double]): Boolean =
+      xs.max > 0.5 && xs.max / xs.min > 3.0
+    val throttledInitial = complete.filter(k => isThrottled(passes(k)))
+    // Auto-requeue (r14 verdict #4): the r14 driver record carried 36
+    // throttle flags from one noisy window. Each flagged key gets ONE
+    // extra timed sample here — minutes after its flagged sweep by
+    // construction (the whole record ran in between) — and its estimate
+    // becomes the median of the 3 FASTEST of its 4 samples (dropping the
+    // max: throttle outliers are always high, so a throttled requeue
+    // sample self-discards and the original median stands). Keys whose
+    // kept samples STILL spread >3× stay flagged as explicit residuals;
+    // both medians are recorded under "requeue".
+    val extraSample: Map[String, Double] =
+      throttledInitial.flatMap(k => timeOnce(SparkEntry.queries(k)).map(k -> _)).toMap
+    def keptSamples(k: String): List[Double] = extraSample.get(k) match {
+      case Some(e) => (passes(k) :+ e).sorted.take(3)
+      case None    => passes(k)
+    }
+    val med = complete.map(k => k -> median3(keptSamples(k))).toMap
+    val medBefore = complete.map(k => k -> median3(passes(k))).toMap
+    val qs = names.map { k =>
+      if (med.contains(k)) "\"" + k + "\":" + med(k) else "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val ps = complete.map { k =>
+      "\"" + k + "\":[" + passes(k).map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val sb = complete.flatMap(k => bytesOf.get(k).map(b => "\"" + k + "\":" + b)).mkString("{", ",", "}")
+    val total = med.values.sum
+    val requeueJson = throttledInitial.map { k =>
+      "\"" + k + "\":{\"extra\":" + extraSample.get(k).map(e => r3(e).toString).getOrElse("null") +
+        ",\"median_before\":" + r3(medBefore(k)) + ",\"median_after\":" + r3(med(k)) + "}"
+    }.mkString("{", ",", "}")
     val throttled = complete.collect {
-      case k if passes(k).max > 0.5 && passes(k).max / passes(k).min > 3.0 => "\"" + k + "\""
+      case k if isThrottled(keptSamples(k)) => "\"" + k + "\""
     }
     val driftFactor: Option[Double] = best.driftFactor
     val normOf: Double => Double = t => driftFactor.fold(t)(f => t / f)
@@ -212,6 +239,7 @@ object Bench {
         s""""sf":"$sfDir","cpus":$cpus,"pass":"median of 3 interleaved warm sweeps (after 1 warm-up sweep)","n_queries":${names.size},""" +
         s""""value_normalized":${r3(normOf(total))},"queries_normalized":$qsNorm,"canary":$canaryJson,""" +
         s""""passes":$ps,"shuffle_bytes":$sb,"throttled":[${throttled.mkString(",")}],""" +
+        s""""throttled_initial":[${throttledInitial.map("\"" + _ + "\"").mkString(",")}],"requeue":$requeueJson,""" +
         s""""failures":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
     Files.writeString(Paths.get("bench.json"), line + "\n")
     // The driver records only the LAST 2000 chars of stdout and parses a JSON
