@@ -25,27 +25,30 @@ class CatalogSpec extends SparkSpec {
     assert(dups.isEmpty, s"duplicate catalog keys: ${dups.mkString(", ")}")
   }
 
+  /** Repo root located by walking up from the test JVM's cwd (r13 ADVICE:
+    * a forked runner with a nested working directory must still lint
+    * instead of failing with a bare file-not-found).
+    */
+  private def repoFile(name: String): String = {
+    val root = Iterator
+      .iterate(java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)(p =>
+        Option(p.getParent).getOrElse(p))
+      .take(6)
+      .find(p => java.nio.file.Files.exists(p.resolve(name)))
+    assert(root.isDefined,
+      s"$name not found from ${sys.props("user.dir")} upward — run tests from within the repo")
+    new String(
+      java.nio.file.Files.readAllBytes(root.get.resolve(name)),
+      java.nio.charset.StandardCharsets.UTF_8,
+    )
+  }
+
   test("SURVEY §2 lists every declared key (doc-drift lint)") {
     // The r11 and r12 verdicts both found declared keys missing from
     // SURVEY §2, which §0 promises is the full declared surface. Enforce
     // the promise mechanically: every SparkEntry.queries key must appear
     // backticked inside the §2 section of SURVEY.md.
-    // Anchor the path to the repo root rather than the test JVM's cwd
-    // (r13 ADVICE): walk up from user.dir until SURVEY.md is found, so a
-    // forked runner with a nested working directory still lints instead
-    // of failing with a bare file-not-found.
-    val root = Iterator
-      .iterate(java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)(p =>
-        Option(p.getParent).getOrElse(p))
-      .take(6)
-      .find(p => java.nio.file.Files.exists(p.resolve("SURVEY.md")))
-    assert(root.isDefined,
-      s"SURVEY.md not found from ${sys.props("user.dir")} upward — " +
-        "run tests from within the repo")
-    val src = new String(
-      java.nio.file.Files.readAllBytes(root.get.resolve("SURVEY.md")),
-      java.nio.charset.StandardCharsets.UTF_8,
-    )
+    val src = repoFile("SURVEY.md")
     val start = src.indexOf("## §2.")
     val end = src.indexOf("## §3.")
     assert(start >= 0 && end > start, "SURVEY.md §2/§3 headings not found")
@@ -54,6 +57,34 @@ class CatalogSpec extends SparkSpec {
     assert(
       missing.isEmpty,
       s"declared keys missing from SURVEY.md §2: ${missing.toSeq.sorted.mkString(", ")}",
+    )
+  }
+
+  test("README operating-points table covers every family with a published point") {
+    // r14 verdict #6: the accuracy/cost points a deployment copies (IVF
+    // nprobe, minhash recall law, SimHash completeness radius, the
+    // exact-pair budget rule, sketch error bands) must live in ONE
+    // user-facing table, and this lint keeps each family's row — anchored
+    // by the load-bearing published value — from silently drifting out.
+    val readme = repoFile("README.md")
+    val start = readme.indexOf("## Published operating points")
+    assert(start >= 0, "README.md is missing the '## Published operating points' section")
+    val end = readme.indexOf("\n## ", start + 10)
+    val section = if (end > start) readme.substring(start, end) else readme.substring(start)
+    val required: Map[String, Seq[String]] = Map(
+      "ANN/IVF"          -> Seq("nprobe = 12", "0.93", "sim_ann_ivf_recall_curve"),
+      "MinHash LSH"      -> Seq("recall ≥ 0.95", "dedup_minhash_lsh"),
+      "SimHash"          -> Seq("Hamming ≤ 3", "dedup_simhash"),
+      "exact pair"       -> Seq("spark.graft.exactPair.maxPairs", "dedup_near_jaccard"),
+      "semantic dedup"   -> Seq("cosine threshold 0.4", "dedup_semantic"),
+      "approx sketches"  -> Seq("rsd = 5%", "count-min", "agg_approx_percentile"),
+    )
+    val gaps = required.toSeq.sortBy(_._1).flatMap { case (family, anchors) =>
+      anchors.filterNot(section.contains).map(a => s"$family: '$a'")
+    }
+    assert(
+      gaps.isEmpty,
+      s"operating-points table missing anchors: ${gaps.mkString("; ")}",
     )
   }
 
