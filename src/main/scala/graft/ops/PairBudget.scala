@@ -51,13 +51,29 @@ private[graft] object PairBudget {
     */
   private[graft] val RowsPerTask = 2000000L
 
-  /** Input-bytes gate below which every helper here is a no-op: sf0.1 and
+  /** Input-bytes gate below which the SIZING helpers are a no-op: sf0.1 and
     * sf1 lineitem are ~12 MB / ~120 MB, sf10 ~1.2 GB — the measured spill
-    * regime starts in the second decade. Override (mainly for tests) with
-    * [[ByteGateConf]].
+    * regime starts in the second decade, and lineitem (numeric fact
+    * columns) compresses only mildly, so on-disk bytes track row count.
+    * Override (mainly for tests) with [[ByteGateConf]].
     */
   private[graft] val ByteGateDefault = 256L * 1024 * 1024
   private[graft] val ByteGateConf = "spark.graft.pairAgg.byteGate"
+
+  /** Input-bytes gate for the EXACT-pair pre-flight — deliberately ~16×
+    * lower than [[ByteGateDefault]], because compressed TEXT bytes
+    * under-represent shingle volume in exactly the adversarial direction:
+    * a saturated (closed) vocabulary is both the quadratic-pair regime AND
+    * the best-compressing corpus (measured: the closed-vocab sf10 corpus
+    * whose 11.76 B-pair stream kills the operator is 55 MB on disk — a
+    * 256 MB gate never arms there, r15 refusal test). Over-triggering is
+    * harmless — the estimate is one memoized aggregate costing ~a second
+    * at this gate's scale, against an operator that costs many — while
+    * under-triggering is the ungoverned spill death the pre-flight exists
+    * to prevent. Driver scales stay untouched (sf0.1 documents = 0.6 MB).
+    */
+  private[graft] val ExactPairByteGateDefault = 16L * 1024 * 1024
+  private[graft] val ExactPairByteGateConf = "spark.graft.exactPair.byteGate"
 
   /** Hard ceiling on an EXACT pair operator's estimated pair volume, in
     * pairs. Explicit override via [[MaxPairsConf]]; the default derives
@@ -84,6 +100,9 @@ private[graft] object PairBudget {
 
   private def byteGate(s: SparkSession): Long =
     s.conf.getOption(ByteGateConf).map(_.toLong).getOrElse(ByteGateDefault)
+
+  private def exactPairByteGate(s: SparkSession): Long =
+    s.conf.getOption(ExactPairByteGateConf).map(_.toLong).getOrElse(ExactPairByteGateDefault)
 
   private[graft] def maxPairs(s: SparkSession): Double =
     s.conf.getOption(MaxPairsConf).map(_.toDouble).getOrElse {
@@ -156,8 +175,9 @@ private[graft] object PairBudget {
       s: SparkSession,
       dir: String,
       gateTable: String,
+      gateBytes: Long,
       cacheKey: String)(stream: => DataFrame, keyCol: String): Option[Double] =
-    if (Tables.inputBytes(s, dir, gateTable) < byteGate(s)) None
+    if (Tables.inputBytes(s, dir, gateTable) < gateBytes) None
     else Some(cachedEstimate(s, cacheKey)(sumPairs(stream, keyCol)))
 
   /** The sizing half only — for pair aggregates whose volume is linear-ish
@@ -169,7 +189,8 @@ private[graft] object PairBudget {
       dir: String,
       gateTable: String,
       cacheKey: String)(stream: => DataFrame, keyCol: String): Option[Int] =
-    gatedEstimate(s, dir, gateTable, cacheKey)(stream, keyCol).flatMap(partitionsFor(s, _))
+    gatedEstimate(s, dir, gateTable, byteGate(s), cacheKey)(stream, keyCol)
+      .flatMap(partitionsFor(s, _))
 
   /** The full pre-flight for EXACT pair operators (dedup_near_jaccard /
     * dedup_containment), whose volume is quadratic on adversarial input by
@@ -182,7 +203,7 @@ private[graft] object PairBudget {
       op: String,
       cacheKey: String,
       scalePath: String)(stream: => DataFrame, keyCol: String): Option[Int] =
-    gatedEstimate(s, dir, "documents", cacheKey)(stream, keyCol).flatMap { pairs =>
+    gatedEstimate(s, dir, "documents", exactPairByteGate(s), cacheKey)(stream, keyCol).flatMap { pairs =>
       val ceiling = maxPairs(s)
       if (pairs > ceiling)
         throw new PairBudgetExceeded(

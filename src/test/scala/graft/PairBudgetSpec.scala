@@ -128,7 +128,7 @@ class PairBudgetSpec extends SparkSpec {
     val keys = Seq("dedup_near_jaccard", "dedup_containment", "market_basket_lift",
       "recs_item_neighbors", "graph_adamic_adar", "graph_jaccard_neighbors")
     val expected = keys.map(k => k -> rows(k)).toMap
-    withConf(PairBudget.ByteGateConf -> "0") {
+    withConf(PairBudget.ByteGateConf -> "0", PairBudget.ExactPairByteGateConf -> "0") {
       keys.foreach { k =>
         assert(rows(k).sameElements(expected(k)), s"$k rows changed under the forced-on scale path")
       }
@@ -136,7 +136,7 @@ class PairBudgetSpec extends SparkSpec {
   }
 
   test("past the budget: exact-pair keys refuse at plan construction, naming dedup_minhash_lsh") {
-    withConf(PairBudget.ByteGateConf -> "0", PairBudget.MaxPairsConf -> "1") {
+    withConf(PairBudget.ExactPairByteGateConf -> "0", PairBudget.MaxPairsConf -> "1") {
       Seq("dedup_near_jaccard", "dedup_containment").foreach { k =>
         val ex = intercept[PairBudget.PairBudgetExceeded] {
           SparkEntry.queries(k)(spark, sfDir) // construction, no action
