@@ -47,11 +47,14 @@ object Graph {
     * overflows.
     */
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables
-      .lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("sp"))
-      .distinct()
+    // scale path (r15): sized raw-row distinct (byte-gated); the lineitem
+    // row count is a 1:1 upper bound on this post-join stream
+    val e0 = Modeling.sizedDistinct(
+      s, dir,
+      Tables
+        .lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("sp")))
     val edges = e0
       .select(col("c").as("src"), col("sp").as("dst"))
       .unionByName(e0.select(col("sp").as("src"), col("c").as("dst")))
@@ -123,10 +126,12 @@ object Graph {
     * 2·tri/(deg·(deg−1)) is a round(4) ratio of exact ints.
     */
   private def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val os = Tables
-      .lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
+    // scale path (r15): sized raw-row distinct (byte-gated — see
+    // Modeling.sizedDistinct); dev plans untouched, incl. the AQE-reuse
+    // materialization point discussed below
+    val os = Modeling.sizedDistinct(
+      s, dir,
+      Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey").as("p")))
     // Support-1 pairs dominate the pair-count exchange (sf0.1: only 3,573
     // of 1,196,000 distinct pairs reach support 2) and partial aggregation
     // cannot collapse distinct keys, so a TwoBloomDf dup-sketch prune
@@ -232,10 +237,10 @@ object Graph {
   private val KCoreRounds = 3
 
   private def graphKcore(s: SparkSession, dir: String): DataFrame = {
-    val os = Tables
-      .lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
+    // scale path (r15): sized raw-row distinct (byte-gated)
+    val os = Modeling.sizedDistinct(
+      s, dir,
+      Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey").as("p")))
     val pairs = os
       .select(col("ok"), col("p").as("pa"))
       .join(os.select(col("ok"), col("p").as("pb")), "ok")
@@ -307,11 +312,13 @@ object Graph {
     */
   private def labelPropagation(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e0 = Tables
-      .lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("sp"))
-      .distinct()
+    // scale path (r15): sized raw-row distinct (byte-gated)
+    val e0 = Modeling.sizedDistinct(
+      s, dir,
+      Tables
+        .lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("sp")))
     val edges = e0
       .select(col("c").as("src"), col("sp").as("dst"))
       .unionByName(e0.select(col("sp").as("src"), col("c").as("dst")))

@@ -160,10 +160,10 @@ object Insights {
   private val NeighborsK = 5
 
   private def recsItemNeighbors(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables
-      .lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
+    // scale path (r15): sized raw-row distinct (byte-gated — see
+    // Modeling.sizedDistinct)
+    val items = Modeling.sizedDistinct(
+      s, dir, Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")))
     val supp = items.groupBy("l_partkey").agg(nrows.as("n_i"))
     // basket-size cap (the hub cap for order-keyed pair fan-out): a basket
     // of b items explodes b² pairs, so one degenerate mega-order would own

@@ -54,10 +54,11 @@ object Mining {
   private val MinPairSupport = 3
 
   private def marketBasketLift(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables
-      .lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
+    // scale path (r15): the raw-row distinct is the last spilling stage at
+    // sf10 — sized like the pair aggregate below (byte-gated, see
+    // Modeling.sizedDistinct)
+    val items = Modeling.sizedDistinct(
+      s, dir, Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")))
     // 1-row total-baskets frame, broadcast via crossJoin (the tf-idf N pattern)
     val tot = items.agg(countDistinct(col("l_orderkey")).as("n_total"))
     val supp = items.groupBy("l_partkey").agg(nrows.as("n_item"))

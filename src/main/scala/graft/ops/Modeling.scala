@@ -104,6 +104,37 @@ object Modeling {
       "l_orderkey",
     )
 
+  /** Scale-sized DISTINCT for the linear key streams that FEED the pair
+    * joins (r15 — the one spilling stage the r15 basket-pair sizing left
+    * behind: the raw (orderkey, partkey) distinct, 1.1 GB memory-spill at
+    * sf10's 32 tasks). Above the byte gate, hash-repartition the raw rows
+    * on ALL the distinct keys to a work-proportional count before the
+    * aggregate: the explicit-n exchange satisfies the aggregate's
+    * clustering requirement (no second exchange) and is exempt from AQE
+    * coalescing, so the distinct's hash state is split
+    * rows/[[PairBudget.RowsPerLinearTask]] ways. The row estimate is the
+    * lineitem parquet-metadata count — exact for the (orderkey, partkey)
+    * streams and a 1:1 upper bound for the order-join customer–supplier
+    * stream. Below the gate: plain distinct(), byte-identical plan.
+    */
+  private[graft] def sizedDistinct(s: SparkSession, dir: String, df: DataFrame): DataFrame =
+    distinctWith(
+      PairBudget.linearAggPartitions(s, dir, "lineitem", s"rows:lineitem:$dir")(
+        Tables.lineitem(s, dir).count().toDouble),
+      df,
+    )
+
+  /** The plumbing half of [[sizedDistinct]], split out so the repartition
+    * branch is unit-testable at spec scale (where the real row counts never
+    * clear the session baseline): hash-repartition on ALL columns, then
+    * distinct — the exchange satisfies the aggregate's clustering
+    * requirement, so the distinct runs at exactly n tasks.
+    */
+  private[graft] def distinctWith(n: Option[Int], df: DataFrame): DataFrame =
+    n.map(p => df.repartition(p, df.columns.map(col).toIndexedSeq: _*))
+      .getOrElse(df)
+      .distinct()
+
   // ------------------------------------------------------------------
   // stats_ks_test — binned two-sample Kolmogorov-Smirnov distance
   // ------------------------------------------------------------------

@@ -51,6 +51,16 @@ private[graft] object PairBudget {
     */
   private[graft] val RowsPerTask = 2000000L
 
+  /** Per-task row budget for a LINEAR key exchange — the distinct() /
+    * per-key aggregate over raw fact rows that FEEDS a pair join, one key
+    * per input row. r15 measurement (PERF.md): the (l_orderkey, l_partkey)
+    * distinct at sf10 (~60 M rows) memory-spills ~1.1 GB across 32 tasks
+    * (1.9 M two-long hash-state entries each), so the linear budget sits
+    * at half the pair budget: 1 M rows keeps a task's state well inside
+    * its unified-memory share with the usual 32-concurrent-task split.
+    */
+  private[graft] val RowsPerLinearTask = 1000000L
+
   /** Input-bytes gate below which the SIZING helpers are a no-op: sf0.1 and
     * sf1 lineitem are ~12 MB / ~120 MB, sf10 ~1.2 GB — the measured spill
     * regime starts in the second decade, and lineitem (numeric fact
@@ -160,9 +170,12 @@ private[graft] object PairBudget {
     * that fits the session's shuffle width needs no extra exchange at all
     * (r14 ADVICE).
     */
-  private[graft] def partitionsFor(s: SparkSession, pairs: Double): Option[Int] = {
+  private[graft] def partitionsFor(
+      s: SparkSession,
+      pairs: Double,
+      perTask: Long = RowsPerTask): Option[Int] = {
     val base = math.max(s.sparkContext.defaultParallelism, s.sessionState.conf.numShufflePartitions)
-    val n = math.ceil(pairs / RowsPerTask).toInt
+    val n = math.ceil(pairs / perTask).toInt
     if (n <= base) None else Some(math.min(n, MaxPartitions))
   }
 
@@ -179,6 +192,21 @@ private[graft] object PairBudget {
       cacheKey: String)(stream: => DataFrame, keyCol: String): Option[Double] =
     if (Tables.inputBytes(s, dir, gateTable) < gateBytes) None
     else Some(cachedEstimate(s, cacheKey)(sumPairs(stream, keyCol)))
+
+  /** Work-proportional partition count for the LINEAR distinct/aggregate
+    * exchanges that feed the pair joins (r15 — the one spilling stage the
+    * basket-pair sizing left behind: the raw (orderkey, partkey) distinct,
+    * 1.1 GB memory-spill at sf10/32 tasks). Row count is a parquet
+    * metadata-only count, memoized like every other estimate; below the
+    * byte gate the count never runs and callers keep their exact plan.
+    */
+  private[graft] def linearAggPartitions(
+      s: SparkSession,
+      dir: String,
+      gateTable: String,
+      cacheKey: String)(rowCount: => Double): Option[Int] =
+    if (Tables.inputBytes(s, dir, gateTable) < byteGate(s)) None
+    else partitionsFor(s, cachedEstimate(s, cacheKey)(rowCount), RowsPerLinearTask)
 
   /** The sizing half only — for pair aggregates whose volume is linear-ish
     * by construction (hub-capped graph keys, basket-bounded mining keys):

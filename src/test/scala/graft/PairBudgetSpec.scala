@@ -74,6 +74,16 @@ class PairBudgetSpec extends SparkSpec {
       PairBudget.partitionsFor(spark, 1e9 * PairBudget.RowsPerTask)
         .contains(PairBudget.MaxPartitions),
       "runaway estimates must cap")
+    // r15: the linear budget (distinct-feeding streams) sizes at its own
+    // smaller per-task row count through the same baseline/cap rules
+    assert(
+      PairBudget
+        .partitionsFor(spark, 10.0 * PairBudget.RowsPerLinearTask, PairBudget.RowsPerLinearTask)
+        .contains(10))
+    assert(
+      PairBudget
+        .partitionsFor(spark, 3.0 * PairBudget.RowsPerLinearTask, PairBudget.RowsPerLinearTask)
+        .isEmpty)
   }
 
   test("partitionsFor never repartitions DOWN below a host session tuned above core count") {
@@ -109,6 +119,8 @@ class PairBudgetSpec extends SparkSpec {
     val jobs = jobsDuring {
       SparkEntry.queries("dedup_near_jaccard")(spark, sfDir)
       SparkEntry.queries("dedup_containment")(spark, sfDir)
+      SparkEntry.queries("market_basket_lift")(spark, sfDir)
+      SparkEntry.queries("graph_pagerank")(spark, sfDir)
       Modeling.pairAggPartitions(spark, sfDir)
       Modeling.basketPairAggPartitions(spark, sfDir)
     }
@@ -126,13 +138,31 @@ class PairBudgetSpec extends SparkSpec {
         .map(_.toString)
         .sorted
     val keys = Seq("dedup_near_jaccard", "dedup_containment", "market_basket_lift",
-      "recs_item_neighbors", "graph_adamic_adar", "graph_jaccard_neighbors")
+      "recs_item_neighbors", "graph_adamic_adar", "graph_jaccard_neighbors",
+      // r15: the sized linear distinct feeding the pair joins
+      "graph_pagerank", "graph_kcore", "graph_triangle_count", "graph_label_propagation")
     val expected = keys.map(k => k -> rows(k)).toMap
     withConf(PairBudget.ByteGateConf -> "0", PairBudget.ExactPairByteGateConf -> "0") {
       keys.foreach { k =>
         assert(rows(k).sameElements(expected(k)), s"$k rows changed under the forced-on scale path")
       }
     }
+  }
+
+  test("distinctWith: the sized branch keeps distinct semantics and runs at exactly n tasks") {
+    // r15 linear-exchange sizing: the repartition-on-all-columns exchange
+    // must satisfy the distinct aggregate's clustering requirement (one
+    // exchange, n tasks) and must not change the result multiset
+    val df = spark.range(1000).selectExpr("id % 97 AS a", "id % 13 AS b")
+    val plain = Modeling.distinctWith(None, df)
+    val sized = Modeling.distinctWith(Some(7), df)
+    assert(sized.rdd.getNumPartitions == 7, "distinct must run at the sized partition count")
+    assert(plain.exceptAll(sized).isEmpty && sized.exceptAll(plain).isEmpty,
+      "sized distinct changed the result multiset")
+    val p = sized.queryExecution.executedPlan.toString()
+    assert(p.contains("hashpartitioning"), "sized branch must hash-repartition")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"sized distinct must plan exactly ONE exchange (repartition satisfies the aggregate): $p")
   }
 
   test("past the budget: exact-pair keys refuse at plan construction, naming dedup_minhash_lsh") {
