@@ -124,16 +124,28 @@ object Modeling {
       df,
     )
 
-  /** The plumbing half of [[sizedDistinct]], split out so the repartition
-    * branch is unit-testable at spec scale (where the real row counts never
-    * clear the session baseline): hash-repartition on ALL columns, then
-    * distinct — the exchange satisfies the aggregate's clustering
-    * requirement, so the distinct runs at exactly n tasks.
+  /** The plumbing half of [[sizedDistinct]], split out so the sized branch
+    * is unit-testable at spec scale (where the real row counts never clear
+    * the session baseline): hash-repartition on ALL columns so the distinct
+    * aggregate runs at exactly n tasks (the exchange satisfies its
+    * clustering requirement), then CHECKPOINT the result. The checkpoint is
+    * load-bearing, not an optimization nicety: every caller references the
+    * distinct frame 3–5 times (self-join sides, support aggregates, node
+    * frames), and a REPARTITION_BY_NUM exchange defeats AQE's runtime stage
+    * reuse — measured at sf10, the un-checkpointed sized plan materialized
+    * the 571 MB scan→exchange subtree three times and ran 1.8× SLOWER than
+    * the unsized plan whose ENSURE_REQUIREMENTS exchange was stage-reused
+    * (95 s vs 55 s, market_basket_lift). Checkpointing computes the sized,
+    * spill-free distinct ONCE and every consumer reads the materialized
+    * blocks — which also beats the unsized plan's shape, where the final
+    * distinct aggregate re-ran per consumer. Below the gate (None) the
+    * plain distinct keeps dev plans byte-identical.
     */
   private[graft] def distinctWith(n: Option[Int], df: DataFrame): DataFrame =
-    n.map(p => df.repartition(p, df.columns.map(col).toIndexedSeq: _*))
-      .getOrElse(df)
-      .distinct()
+    n.map { p =>
+      Checkpoints.stable(
+        df.repartition(p, df.columns.map(col).toIndexedSeq: _*).distinct())
+    }.getOrElse(df.distinct())
 
   // ------------------------------------------------------------------
   // stats_ks_test — binned two-sample Kolmogorov-Smirnov distance
