@@ -285,9 +285,12 @@ object Modeling {
     // at 3.7× SLOWER (10.7 s vs 2.9 s at sf0.1): higher-order functions
     // run interpreted per element (the r4 decontaminate lesson), while
     // this join stays inside whole-stage codegen end to end. Both self-join
-    // sides and the df frame are the SAME distinct subtree, so its exchange
-    // is planned once and AQE stage reuse feeds all three references.
-    val sp = Tables.lineitem(s, dir).select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    // sides and the df frame are the SAME distinct subtree: below the byte
+    // gate its exchange is planned once and AQE stage reuse feeds all three
+    // references; above it (r15) the sized distinct is checkpointed and all
+    // three read the materialized blocks (see sizedDistinct).
+    val sp = sizedDistinct(
+      s, dir, Tables.lineitem(s, dir).select(col("l_partkey").as("p"), col("l_suppkey").as("sk")))
     // two-sided support: df >= 2 (hapax parts generate no pairs) AND
     // df <= cap — the hub cap. A part shared by d suppliers fans out d²
     // pairs; one planet-hot hub would put its whole d² in one task, while

@@ -158,7 +158,11 @@ object Resampling {
     * pair stream; jac_ppm = inter·10⁶ div (da + db − inter) is all-integer.
     */
   private def graphJaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
-    val sp = Tables.lineitem(s, dir).select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    // scale path (r15): sized + checkpointed raw-row distinct (byte-gated —
+    // see Modeling.sizedDistinct); sp is referenced 4× (deg, pairable, both
+    // pair sides), so the checkpoint also turns those into block reads
+    val sp = Modeling.sizedDistinct(
+      s, dir, Tables.lineitem(s, dir).select(col("l_partkey").as("p"), col("l_suppkey").as("sk")))
     val deg = sp.groupBy("sk").agg(nrows.as("d"))
     // two-sided support on the PAIR side only (degrees for the jaccard
     // denominator stay computed on the full sp): df >= 2 keeps hapax parts
