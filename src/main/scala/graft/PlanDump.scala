@@ -1,27 +1,26 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev instrument: print a declared query's executed plan (after running
   * it, so AQE's FINAL plan is shown — reused exchanges, runtime join
   * strategy swaps, and coalesced stages are only visible post-execution).
-  * Not part of the driver contract.
+  * Not part of the driver contract. Session config comes from
+  * [[Sessions]] so dumped plans are representative of the sessions the
+  * driver actually measures (r15 ADVICE: an inline copy had drifted).
   *
   * Usage: runMain graft.PlanDump <key> [sfDir]
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.PlanDump <query-key> [sfDir]")
+      System.err.println("  keys: " + SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val key = args(0)
+    require(SparkEntry.queries.contains(key), s"unknown query key: $key")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.build(cpus, logLevel = "ERROR")
     val df = SparkEntry.queries(key)(spark, sfDir)
     df.collect()
     println(df.queryExecution.executedPlan.toString())

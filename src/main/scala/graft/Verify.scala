@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -10,26 +9,14 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is INT64 TIMESTAMP(NANOS); set at construction so session
-      // behavior doesn't depend on which loader ran first (Tables.events
-      // also sets it idempotently for sessions built elsewhere, e.g. tests).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // static conf; default 100 thrashes across the full catalog (see Bench)
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Reliable-checkpoint gate support (r8 verdict #2): with
+    // Shared session config (Sessions.scala) — includes the reliable-
+    // checkpoint gate support (r8 verdict #2): with
     // -Dspark.graft.reliableCheckpoints=true and SPARK_GRAFT_CHECKPOINT_DIR
     // set, every Checkpoints.stable site switches from localCheckpoint to
     // durable checkpoints into this dir — the cluster-safe mode — and the
     // whole catalog re-gates under it. Unset (the driver contract), this
     // is a no-op.
-    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach(spark.sparkContext.setCheckpointDir)
+    val spark = Sessions.build(cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

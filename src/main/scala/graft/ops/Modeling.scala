@@ -112,8 +112,8 @@ object Modeling {
     * aggregate: the explicit-n exchange satisfies the aggregate's
     * clustering requirement (no second exchange) and is exempt from AQE
     * coalescing, so the distinct's hash state is split
-    * rows/[[PairBudget.RowsPerLinearTask]] ways. The row estimate is the
-    * lineitem parquet-metadata count — exact for the (orderkey, partkey)
+    * rows/[[PairBudget.RowsPerLinearTask]] ways. The row estimate is a
+    * memoized column-pruned lineitem count — exact for the (orderkey, partkey)
     * streams and a 1:1 upper bound for the order-join customer–supplier
     * stream. Below the gate: plain distinct(), byte-identical plan.
     */
@@ -143,8 +143,14 @@ object Modeling {
     */
   private[graft] def distinctWith(n: Option[Int], df: DataFrame): DataFrame =
     n.map { p =>
+      // eager=false (r15 ADVICE): localCheckpoint persists on first compute,
+      // so consumers still share the materialized blocks within the
+      // executing action — but building the query (plan inspection, a
+      // refused/abandoned query) no longer runs the full scan+shuffle+
+      // distinct job at construction time.
       Checkpoints.stable(
-        df.repartition(p, df.columns.map(col).toIndexedSeq: _*).distinct())
+        df.repartition(p, df.columns.map(col).toIndexedSeq: _*).distinct(),
+        eager = false)
     }.getOrElse(df.distinct())
 
   // ------------------------------------------------------------------

@@ -196,9 +196,12 @@ private[graft] object PairBudget {
   /** Work-proportional partition count for the LINEAR distinct/aggregate
     * exchanges that feed the pair joins (r15 — the one spilling stage the
     * basket-pair sizing left behind: the raw (orderkey, partkey) distinct,
-    * 1.1 GB memory-spill at sf10/32 tasks). Row count is a parquet
-    * metadata-only count, memoized like every other estimate; below the
-    * byte gate the count never runs and callers keep their exact plan.
+    * 1.1 GB memory-spill at sf10/32 tasks). Row count is a column-pruned
+    * Spark count job (cheap — it reads no column data, only row-group
+    * batch counts — but it IS a job; true footer-only count pushdown needs
+    * spark.sql.parquet.aggregatePushdown), memoized like every other
+    * estimate; below the byte gate the count never runs and callers keep
+    * their exact plan.
     */
   private[graft] def linearAggPartitions(
       s: SparkSession,

@@ -45,18 +45,29 @@ class CatalogSpec extends SparkSpec {
 
   test("SURVEY §2 lists every declared key (doc-drift lint)") {
     // The r11 and r12 verdicts both found declared keys missing from
-    // SURVEY §2, which §0 promises is the full declared surface. Enforce
-    // the promise mechanically: every SparkEntry.queries key must appear
-    // backticked inside the §2 section of SURVEY.md.
+    // SURVEY §2, which §0 promises is the full declared surface; the r15
+    // verdict found a WEAKER drift class the substring grep let through —
+    // keys present only as prose bullets, with no table row carrying the
+    // operator/scale columns. Enforce the promise mechanically: every
+    // SparkEntry.queries key must appear backticked in the FIRST CELL of a
+    // `|`-table row inside §2 (shared rows like "| `a` / `b` |" and the
+    // original planning rows "| — `a` |" both qualify; prose does not).
     val src = repoFile("SURVEY.md")
     val start = src.indexOf("## §2.")
     val end = src.indexOf("## §3.")
     assert(start >= 0 && end > start, "SURVEY.md §2/§3 headings not found")
     val section2 = src.substring(start, end)
-    val missing = SparkEntry.queries.keySet.filterNot(k => section2.contains(s"`$k`"))
+    val firstCells: Seq[String] = section2.linesIterator.collect {
+      case l if l.startsWith("|") =>
+        val body = l.drop(1)
+        val cut = body.indexOf('|')
+        if (cut >= 0) body.substring(0, cut) else body
+    }.toSeq
+    val missing = SparkEntry.queries.keySet
+      .filterNot(k => firstCells.exists(_.contains(s"`$k`")))
     assert(
       missing.isEmpty,
-      s"declared keys missing from SURVEY.md §2: ${missing.toSeq.sorted.mkString(", ")}",
+      s"declared keys without a §2 table row in SURVEY.md: ${missing.toSeq.sorted.mkString(", ")}",
     )
   }
 

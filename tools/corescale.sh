@@ -16,29 +16,56 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
 cd /root/repo
+# r15 ADVICE: a failed run must not silently inherit the previous
+# iteration's bench.json — remove it first, check the java exit status, and
+# make the report tolerate core-counts that are missing or partial.
 for C in 4 8 16 32; do
   echo "[corescale] cores=$C"
-  SPARK_GRAFT_CPUS=$C SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_BENCH_KEYS="$KEYS" \
+  rm -f bench.json
+  if ! SPARK_GRAFT_CPUS=$C SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_BENCH_KEYS="$KEYS" \
     java -XX:+IgnoreUnrecognizedVMOptions -XX:ReservedCodeCacheSize=2g $ADD_OPENS \
     -Xmx48g -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
-    > "${OUT}_c${C}.log" 2>&1
-  cp bench.json "${OUT}_c${C}.json" 2>/dev/null
+    > "${OUT}_c${C}.log" 2>&1; then
+    echo "[corescale] cores=$C FAILED (rc=$?) — see ${OUT}_c${C}.log; skipping" >&2
+    rm -f "${OUT}_c${C}.json"
+    continue
+  fi
+  cp bench.json "${OUT}_c${C}.json"
 done
 python3 - "$OUT" <<'EOF'
-import json, sys
+import json, os, sys
 out = sys.argv[1]
 cores = [4, 8, 16, 32]
 data = {}
 for c in cores:
-    with open(f"{out}_c{c}.json") as f:
-        data[c] = json.load(f)["queries"]
-keys = sorted(data[4], key=lambda k: -data[4][k])
-print(f"{'key':34s} " + "".join(f"{'c'+str(c):>8s}" for c in cores) + f"{'S(32/4)':>9s}{'E(32)':>7s}")
+    path = f"{out}_c{c}.json"
+    if not os.path.exists(path):
+        print(f"[corescale] WARNING: no record for c{c} (run failed?)", file=sys.stderr)
+        continue
+    with open(path) as f:
+        data[c] = {k: v for k, v in json.load(f)["queries"].items() if v is not None}
+if not data:
+    sys.exit("[corescale] no records at all")
+present = sorted(data)
+base, top = present[0], present[-1]
+keys = sorted(data[base], key=lambda k: -data[base][k])
+def cell(c, k):
+    v = data.get(c, {}).get(k)
+    return f"{v:8.2f}" if v is not None else f"{'--':>8s}"
+print(f"{'key':34s} " + "".join(f"{'c'+str(c):>8s}" for c in cores) + f"{'S(hi/lo)':>9s}{'E':>7s}")
 for k in keys:
-    t = [data[c][k] for c in cores]
-    s = t[0] / t[3] if t[3] else float('nan')
-    e = s / 8.0
-    print(f"{k:34s} " + "".join(f"{x:8.2f}" for x in t) + f"{s:9.2f}{e:7.2f}")
-tot = [sum(data[c].values()) for c in cores]
-print(f"{'TOTAL':34s} " + "".join(f"{x:8.2f}" for x in tot) + f"{tot[0]/tot[3]:9.2f}{tot[0]/tot[3]/8:7.2f}")
+    lo, hi = data[base].get(k), data.get(top, {}).get(k)
+    s = lo / hi if lo and hi else float('nan')
+    e = s / (top / base)
+    print(f"{k:34s} " + "".join(cell(c, k) for c in cores) + f"{s:9.2f}{e:7.2f}")
+shared = set(keys)
+for c in present:
+    shared &= set(data[c])
+if shared != set(keys):
+    print(f"[corescale] TOTAL over {len(shared)} keys present at every core count "
+          f"(dropped: {sorted(set(keys) - shared)})", file=sys.stderr)
+tot = {c: sum(data[c][k] for k in shared) for c in present}
+print(f"{'TOTAL':34s} " + "".join(
+    (f"{tot[c]:8.2f}" if c in tot else f"{'--':>8s}") for c in cores)
+    + f"{tot[base]/tot[top]:9.2f}{tot[base]/tot[top]/(top/base):7.2f}")
 EOF
