@@ -163,110 +163,120 @@ object MinHashDedup {
     * CLUSTER a curation pipeline actually consumes (pairs alone can't say
     * "keep one of {a,b,c}" when a~b and b~c but a!~c).
     *
-    * Min-label propagation WITH pointer jumping: each round, a node's label
-    * becomes the min of its own and its neighbors' (the self-looped edge
-    * set makes that ONE equi-join + groupBy on 8-byte ids), then every
-    * label is short-cut through its own current label twice
-    * (`cluster_id := label(label(cluster_id))` — two exchange-reused
-    * self-joins). The double jump grows the propagation horizon ~4× per
-    * round, so convergence is O(log diameter) driver rounds, not
-    * O(diameter): a length-1M edit chain — the shape incremental near-dup
-    * corpora actually produce — finishes in ~10 rounds where plain
-    * propagation would need 1M. The working set is only nodes that HAVE an
-    * edge (at 100 TB: the dup fraction of the corpus, not the corpus);
-    * singletons join back at the end with themselves as cluster.
-    * [[Checkpoints.stable]] truncates the growing lineage so round k
-    * doesn't replay rounds 1..k-1 (localCheckpoint by default; config-
-    * switched to a durable checkpoint dir on a real cluster). The per-round
-    * driver action is a Σ cluster_id aggregate (a scalar — labels are
-    * monotone non-increasing, so an unchanged sum IS the fixpoint proof).
-    * The fixpoint is unique, so the result is deterministic no matter how
-    * rounds schedule. If maxRounds is ever hit (diameter > 4^maxRounds —
-    * not a reachable corpus shape), the current labels are returned with a
-    * warning rather than throwing: labels are monotone toward the fixpoint,
-    * so the partial result is a valid over-segmentation (some clusters
-    * split, none merged wrongly).
+    * Algorithm (r16): iterated LOCAL CONTRACTION — each round runs an
+    * in-task union-find over every partition's edges (one narrow
+    * mapPartitions, NO exchange), takes each node's min local root across
+    * partitions (one 8-byte-pair aggregate), rewrites the surviving edges
+    * through those labels, and repeats until no cross-component edge
+    * remains. A round contracts every chain that is co-resident in a
+    * partition to a single star, so the surviving edge set shrinks by
+    * roughly the partition count per round: measured at sf0.1 the r10-r15
+    * pointer-jumping loop (per-round equi-join + groupBy + two label
+    * self-joins) needed 10 driver rounds ≈ 95 AQE stage-jobs ≈ 3 s of pure
+    * scheduling on data this small; contraction converges in 2-3 rounds.
+    * At 100 TB the same shape holds: per-round cost is linear shuffles of
+    * the LIVE edge set (which shrinks geometrically), per-task memory is
+    * O(nodes per partition) for the union-find map — the same
+    * partition-bounded buffer class as SemDedup.blockForestPairs, and the
+    * standard MapReduce-CC trade (Rastogi et al. 2013's local-contraction
+    * family) of driver rounds for per-round joins.
+    *
+    * The in-task union-find is a deliberate (d)-tier typed escape from
+    * codegen (the SemDedup.forestEdgesOf precedent): the relational
+    * equivalent (min-label propagation with pointer jumping) re-learns
+    * in O(log diameter) exchanges what one linear pass over a partition
+    * learns in-place. Union is BY MIN ID, so a component's local root is
+    * its smallest local member — labels are monotone non-increasing toward
+    * the global min-reachable fixpoint, exactly the declared semantics.
+    *
+    * Termination: edges empty ⇒ labels final. (A label chain can be stale
+    * by one hop mid-loop — m(b)=y while m(y)=z — but that very pair
+    * guarantees the rewritten edge (y,z) survives into the next round, so
+    * an empty edge set proves every chain resolved.) If maxRounds is ever
+    * hit, the current labels are returned with a warning: they are monotone
+    * toward the fixpoint, so the partial result is a valid
+    * over-segmentation (some clusters split, none merged wrongly).
+    * [[Checkpoints.stable]] (non-eager) truncates every per-round frame so
+    * round k never replays rounds 1..k-1; the per-round driver action is
+    * the edge-set emptiness probe.
     */
   def clusters(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    // r10 job-count cut (r8 verdict #3; measured 123 driver jobs → see
-    // PERF.md r10 note). Four structural changes, fixpoint unchanged:
-    //   1. SINGLE-PASS edge build: the old two-branch union recomputed the
-    //      entire upstream pair pipeline (LSH bucketize + exact verify —
-    //      the expensive part) once per branch; explode emits both
-    //      directions AND both self-loops from one scan.
-    //   2. SELF-LOOPS make the per-round neighbor-min include the node's
-    //      own current label, so the separate least(old, nbr_min) join
-    //      against the previous labels disappears.
-    //   3. Fixpoint metric = Σ cluster_id (decimal — no overflow at any
-    //      corpus size). Labels are per-node monotone non-increasing, so
-    //      an unchanged sum between consecutive rounds proves no label
-    //      moved: one tiny agg replaces the old join-vs-old + count, and
-    //      round 1 needs no materialized init-labels frame at all
-    //      (initial labels are self ⇒ neighbor-min = min(dst)).
-    //   4. TWO pointer jumps per round: horizon ~4× per round vs ~2×, so
-    //      long chains converge in about half the driver rounds for one
-    //      extra in-plan self-join (exchange-reused, not recomputed).
-    // Checkpoints stay NON-EAGER (r8 loop-eagerness note): the round's one
-    // label-sum action materializes the round's frame in the same job.
-    val edges = pairs
-      .select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")),
-        struct(col("id_a").as("src"), col("id_a").as("dst")),
-        struct(col("id_b").as("src"), col("id_b").as("dst")),
-      )).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      // self-loops repeat once per incident pair — dedupe so the per-round
-      // join carries |2E|+|V| rows, not 4|E|; then pre-partition on the
-      // round-join key (LogicalRDD preserves outputPartitioning through
-      // the checkpoint, so no round ever re-shuffles the edge side)
+    val session = docs.sparkSession
+    import session.implicits._
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"), greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))
       .distinct()
-      .repartition(col("dst"))
       .transform(Checkpoints.stable(_, eager = false))
-    // pointer jump ×2: cluster_id := label(label(cluster_id)). Every label
-    // IS a node id present in prop (prop covers all nodes via groupBy over
-    // the self-looped edges), so the inner joins are total;
-    // label(label(v)) <= label(v) by monotonicity, so no least() is needed.
-    def jump2(prop: DataFrame): DataFrame = {
-      val j1 = prop
-        .join(prop.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump")),
-          Seq("cluster_id"))
-        .select(col("doc_id"), col("jump").as("cluster_id"))
-      j1.join(j1.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump")),
-          Seq("cluster_id"))
-        .select(col("doc_id"), col("jump").as("cluster_id"))
-    }
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
-    var labels = jump2(
-      edges.groupBy(col("src").as("doc_id")).agg(min(col("dst")).as("cluster_id")))
-      .transform(Checkpoints.stable(_, eager = false))
-    var prevSum = labelSum(labels)
-    var converged = false
-    var round = 1
-    while (!converged && round < maxRounds) {
-      val prop = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-      val next = jump2(prop).transform(Checkpoints.stable(_, eager = false))
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
+    var labels: DataFrame = null
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // min local root per node across partitions; referenced 3× below
+      // (label composition + both edge-rewrite sides), so checkpointed
+      val m = Checkpoints.stable(
+        edges
+          .as[(Long, Long)]
+          .mapPartitions(localMinRoots)
+          .toDF("node", "root")
+          .groupBy("node")
+          .agg(min(col("root")).as("lbl")),
+        eager = false)
+      labels =
+        if (labels == null) m.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        else labels
+          .join(m.select(col("node").as("cluster_id"), col("lbl")), Seq("cluster_id"), "left")
+          .select(col("doc_id"), coalesce(col("lbl"), col("cluster_id")).as("cluster_id"))
+      labels = Checkpoints.stable(labels, eager = false)
+      edges = Checkpoints.stable(
+        edges
+          .join(m.select(col("node").as("a"), col("lbl").as("la")), "a")
+          .join(m.select(col("node").as("b"), col("lbl").as("lb")), "b")
+          .filter(col("la") =!= col("lb"))
+          .select(least(col("la"), col("lb")).as("a"), greatest(col("la"), col("lb")).as("b"))
+          .distinct(),
+        eager = false)
+      done = edges.isEmpty
       round += 1
     }
-    if (!converged)
+    if (!done)
       Console.err.println(
         s"graft: dedup cluster labels still moving after $maxRounds rounds " +
           "— returning best-effort (over-segmented) labels"
       )
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      Console.err.println(s"[cc] converged after $round contraction rounds")
     docs
       .select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** One partition's union-find (union by min id, path-compressed): emits
+    * (node, root) where root is the smallest node id in the node's LOCAL
+    * component. Deterministic in the partition's row SET (order-free:
+    * union-by-min makes the final root the component minimum regardless of
+    * arrival order). Heap is O(distinct nodes in the partition).
+    */
+  private def localMinRoots(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent.update(a, a)
+      if (!parent.contains(b)) parent.update(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent.update(rb, ra)
+      else if (rb < ra) parent.update(ra, rb)
+    }
+    val nodes = parent.keys.toArray
+    nodes.iterator.map(n => (n, find(n)))
   }
 
   private def dedupClusters(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {

@@ -413,4 +413,34 @@ class SemDedupSpec extends SparkSpec {
       s"hub cap collateral damage too high: $origRecall vs hub-free $baseRecall",
     )
   }
+
+  test("contraction cluster loop: cross-partition chains resolve to the component min") {
+    // r16: the cluster loop switched from relational pointer-jumping to
+    // per-partition union-find contraction (MinHashDedup.localMinRoots).
+    // This pins the shapes the contraction must get right across TASK
+    // boundaries: long paths scattered over many partitions (every local
+    // pass sees only fragments), non-canonical pair order (id_a > id_b),
+    // duplicate pairs, multiple components, and pair-less singletons.
+    import spark.implicits._
+    import graft.ops.MinHashDedup
+    val chainA = (0L until 200L).sliding(2).map(s => (s(1), s(0))).toSeq // reversed order
+    val chainB = (1000L until 1100L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val dupes = Seq((5L, 4L), (4L, 5L), (1001L, 1000L)) // duplicates, both orders
+    val pairs = spark
+      .createDataset(scala.util.Random.shuffle(chainA ++ chainB ++ dupes))
+      .toDF("id_a", "id_b")
+      .repartition(16) // scatter consecutive edges across tasks
+    val docs = spark
+      .createDataset((0L until 200L) ++ (1000L until 1100L) ++ Seq(7777L))
+      .toDF("doc_id")
+    val got = MinHashDedup
+      .clusters(docs, pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    (0L until 200L).foreach(n => assert(got(n) == 0L, s"chain A node $n got ${got(n)}"))
+    (1000L until 1100L).foreach(n => assert(got(n) == 1000L, s"chain B node $n got ${got(n)}"))
+    assert(got(7777L) == 7777L, "singleton must label itself")
+    assert(got.size == 301)
+  }
 }
