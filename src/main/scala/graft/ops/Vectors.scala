@@ -41,6 +41,45 @@ object Vectors {
     */
   def nativeDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** Byte-gated task floor for COMPUTE-DENSE embedding plans (r16, guide
+    * §2.5's "bytes are the wrong work proxy" case): the embeddings table is
+    * byte-tiny relative to its arithmetic — every downstream pair join costs
+    * ~64 FMAs per candidate row — so both the scan splitter (one ≥4 MB-floor
+    * split for the whole file) and AQE's byte-targeted partition coalescing
+    * funnel the dot-product work into 1-3 tasks (measured: the
+    * mine_hard_negatives pair stage ran 1.7 s CPU in ONE task at sf0.1 while
+    * 31 cores idled). An explicit hash repartition to defaultParallelism is
+    * exempt from AQE coalescing (REPARTITION_BY_NUM) and survives every
+    * narrow op downstream, so the dots spread across the machine.
+    *
+    * Gated on the table's on-disk bytes: the repartition fires only when the
+    * scan would otherwise produce fewer splits than cores
+    * (bytes < parallelism × the 4 MB open-cost split floor). At cluster
+    * scale the input outgrows the gate and the plan is byte-identical to
+    * the ungated one — no extra exchange on a 100 TB scan that already has
+    * thousands of splits.
+    */
+  /** The gate itself, shared with the broadcast side of the same trade: a
+    * byte-gated broadcast() hint on the build side of a compute-dense join
+    * keeps ENSURE_REQUIREMENTS exchanges out of the INITIAL plan entirely —
+    * measured on mine_hard_negatives, AQE's own SMJ→BHJ conversion leaves
+    * the probe side's exchange behind as a `local` AQEShuffleRead and then
+    * byte-coalesces it to ONE partition, clamping the pair-dot stage to one
+    * task no matter how the upstream was partitioned.
+    */
+  private[graft] def denseEmbGate(s: SparkSession, dir: String): Boolean = {
+    val p = s.sparkContext.defaultParallelism
+    graft.Tables.inputBytes(s, dir, "embeddings") < p.toLong * 4L * 1024 * 1024
+  }
+
+  private[graft] def spreadSmallScan(
+      s: SparkSession,
+      dir: String,
+      df: DataFrame,
+      keys: Column*,
+  ): DataFrame =
+    if (denseEmbGate(s, dir)) df.repartition(s.sparkContext.defaultParallelism, keys: _*) else df
+
   /** For the 100 probe vectors (vec_id < 100): top-10 nearest corpus
     * neighbors by cosine (self excluded), rank on (rounded sim desc, cand_id).
     */
@@ -259,7 +298,12 @@ object Vectors {
     */
   private def mineHardNegatives(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // task-floor spread (r16): hash(vec_id) partitioning survives the
+    // routing window, the member join, and the self-join's AQE local
+    // shuffle reads, so the pair-dot stage runs machine-wide instead of in
+    // the scan's single split (see spreadSmallScan)
+    val e = spreadSmallScan(
+      s, dir, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), col("vec_id"))
     // shares the session-cached corpus centroids with the semantic-dedup
     // family (r13 — IvfAnn.gridCellsOf scaladoc): same target, same corpus
     val cells = IvfAnn.gridCellsOf(e, probes = 2, cacheKey = Some("emb:" + dir))
@@ -276,8 +320,15 @@ object Vectors {
     // (the routeToCells doctrine).
     val em = cells.join(e, "vec_id")
     val w = Window.partitionBy("anchor_id").orderBy(col("sim").desc, col("neg_id"))
+    // below the gate: hint the neg side broadcast so the INITIAL plan is a
+    // BHJ and the anchor side keeps its 32-way partitioning end to end (an
+    // AQE-converted BHJ leaves the probe's SMJ exchange behind and
+    // byte-coalesces it to one task — see denseEmbGate). Above the gate the
+    // member frame grows with n and the strategy stays AQE's size-based
+    // call, exactly as before.
+    val negSide = em.select(col("cid"), col("vec_id").as("neg_id"), col("embedding").as("nv"))
     em.select(col("cid"), col("vec_id").as("anchor_id"), col("embedding").as("av"))
-      .join(em.select(col("cid"), col("vec_id").as("neg_id"), col("embedding").as("nv")), "cid")
+      .join(if (denseEmbGate(s, dir)) broadcast(negSide) else negSide, "cid")
       .filter(col("anchor_id") =!= col("neg_id"))
       .withColumn("sim", round(nativeDot(col("av"), col("nv")), 4))
       .filter(col("sim") >= HnBandLo && col("sim") < HnBandHi)
