@@ -256,7 +256,7 @@ object Graph {
     val e0 = pairs
       .select(col("pa").as("u"), col("pb").as("v"))
       .unionByName(pairs.select(col("pb").as("u"), col("pa").as("v")))
-      .transform(Checkpoints.stable(_))
+      .transform(Checkpoints.stable(_, eager = false))
     val eFinal = (1 to KCoreRounds).foldLeft(e0) { (e, round) =>
       val keep = e.groupBy("u").agg(nrows.as("deg")).filter(col("deg") >= KCoreK).select("u")
       val pruned = e
@@ -264,7 +264,7 @@ object Graph {
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
       // the LAST round's frame is referenced once (the final degree agg),
       // so its checkpoint would be a pure materialization tax
-      if (round < KCoreRounds) pruned.transform(Checkpoints.stable(_)) else pruned
+      if (round < KCoreRounds) pruned.transform(Checkpoints.stable(_, eager = false)) else pruned
     }
     eFinal
       .groupBy("u")
@@ -319,9 +319,17 @@ object Graph {
         .lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("sp")))
+    // checkpoint the edge list ONCE (r16 — the graph_kcore discipline,
+    // non-eager): unlike pagerank's pure join+agg rounds, the window/rank
+    // chain here pushes round-specific projections into each copy of the
+    // distinct subtree, so exchange reuse never fires and the
+    // scan→join→distinct map side ran 3× per execution (measured: three
+    // identical 0.64 s stages at sf0.1 — plans/r16). The checkpointed edge
+    // blocks are read by every round instead.
     val edges = e0
       .select(col("c").as("src"), col("sp").as("dst"))
       .unionByName(e0.select(col("sp").as("src"), col("c").as("dst")))
+      .transform(Checkpoints.stable(_, eager = false))
     val w = Window.partitionBy("node").orderBy(col("c").desc, col("lbl"))
     var labels = edges.select(col("src").as("node")).distinct().withColumn("lbl", col("node"))
     for (_ <- 1 to 3) {

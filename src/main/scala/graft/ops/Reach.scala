@@ -51,10 +51,12 @@ object Reach {
     * "unreached within 3 hops" sentinel) with min/max partkey witnesses.
     */
   private def graphShortestHops(s: SparkSession, dir: String): DataFrame = {
-    val os = Tables
-      .lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
+    // scale path (r16, parity with the kcore/triangle siblings): sized +
+    // checkpointed raw-row distinct above the byte gate; plain distinct at
+    // dev scales
+    val os = Modeling.sizedDistinct(
+      s, dir,
+      Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey").as("p")))
     val pairs = os
       .select(col("ok"), col("p").as("s1"))
       .join(os.select(col("ok"), col("p").as("s2")), "ok")
@@ -63,15 +65,23 @@ object Reach {
       .agg(nrows.as("sup"))
       .filter(col("sup") >= 2)
       .select("s1", "s2")
+    // checkpoint the edge list ONCE (r16 — the graph_kcore discipline,
+    // non-eager): each BFS round references `edges`, and the dist chain
+    // references its predecessor TWICE (relax + left join), so the unrolled
+    // plan reaches the basket-pair subtree ~2^rounds times; exchange reuse
+    // collapsed only part of it (measured three 3-to-5-task pair-subplan
+    // stages per execution at sf0.1). The materialized edge blocks bound
+    // that to one evaluation.
     val edges = pairs
       .select(col("s1").as("src"), col("s2").as("dst"))
       .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
+      .transform(Checkpoints.stable(_, eager = false))
     val nodes = edges.select(col("dst").as("node")).distinct()
     val seeds = Tables.part(s, dir).filter(col("p_size") === 1).select(col("p_partkey").as("node"))
     var dist = nodes
       .join(seeds.withColumn("zero", lit(0L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("zero"), lit(99L)).as("dist"))
-    for (_ <- 1 to 3) {
+    for (round <- 1 to 3) {
       val relax = edges
         .join(dist.select(col("node").as("src"), col("dist")), "src")
         .groupBy(col("dst").as("node"))
@@ -79,6 +89,9 @@ object Reach {
       dist = dist
         .join(relax, Seq("node"), "left")
         .select(col("node"), least(col("dist"), coalesce(col("reach"), lit(99L))).as("dist"))
+      // truncate the doubling dist lineage (each round references dist
+      // twice); the last round's frame is consumed once — no checkpoint
+      if (round < 3) dist = Checkpoints.stable(dist, eager = false)
     }
     dist
       .groupBy(col("dist").as("hops"))
